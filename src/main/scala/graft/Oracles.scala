@@ -1,0 +1,215 @@
+package graft
+
+/** DuckDB-dialect oracle SQL, one entry per SparkEntry.queries key.
+  * Mirrors each Spark plan value-for-value: exact decimal sums cast to
+  * double, identical rounding scales, identical tie-breaks, RE2-safe
+  * regexes (no lookahead), explicit 'g' flags on regexp_replace.
+  */
+object Oracles {
+
+  private val dsumQty  = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private val dsumDisc =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  val core: Map[String, String] = Map(
+    "q01_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $dsumQty AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  $dsumDisc AS sum_disc_price,
+         |  ROUND($dsumQty/COUNT(l_quantity), 6) AS avg_qty,
+         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_discount), 6) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q03_join_agg" ->
+      s"""SELECT l_orderkey, $dsumDisc AS revenue, CAST(o_orderdate AS DATE) AS o_date
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, o_date
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 20""".stripMargin,
+
+    "q04_broadcast_join" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(c_acctbal), 6) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "q05_dedup_key" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS first_date
+        |FROM (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q06_regex_extract" ->
+      """SELECT CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+        |  THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) END AS k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "q07_parse_dollars" ->
+      """WITH built AS (
+        |  SELECT o_orderkey,
+        |    CASE
+        |      WHEN o_orderkey % 4 = 0 THEN
+        |        '$' || CAST(FLOOR(m/100) AS BIGINT) || '.' || lpad(CAST(m%100 AS VARCHAR), 2, '0') || ' million'
+        |      WHEN o_orderkey % 4 = 1 THEN
+        |        '$' || CAST(FLOOR(m/1000) AS BIGINT) || '.' || lpad(CAST(m%1000 AS VARCHAR), 3, '0') || ' billion'
+        |      WHEN o_orderkey % 4 = 2 THEN '$' || format('{:,}', m)
+        |      ELSE 'N/A' END AS raw
+        |  FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS m FROM orders))
+        |SELECT o_orderkey, raw,
+        |  CASE
+        |    WHEN regexp_matches(raw, '(?i)^\$\s*(\d+\.?\d*)\s*milli?on')
+        |      THEN CAST(regexp_extract(raw, '(?i)^\$\s*(\d+\.?\d*)\s*milli?on', 1) AS DOUBLE) * 1000000.0
+        |    WHEN regexp_matches(raw, '(?i)^\$\s*(\d+\.?\d*)\s*billi?on')
+        |      THEN CAST(regexp_extract(raw, '(?i)^\$\s*(\d+\.?\d*)\s*billi?on', 1) AS DOUBLE) * 1000000000.0
+        |    WHEN regexp_matches(raw, '^\$\s*(\d{1,3}([,\.]\d{3})+)')
+        |      THEN CAST(regexp_replace(regexp_extract(raw, '^\$\s*(\d{1,3}([,\.]\d{3})+)', 1), '[,\.]', '', 'g') AS DOUBLE)
+        |    END AS dollars
+        |FROM built ORDER BY o_orderkey""".stripMargin,
+
+    "q08_multi_date" ->
+      """WITH built AS (
+        |  SELECT o_orderkey,
+        |    CASE o_orderkey % 4
+        |      WHEN 0 THEN strftime(o_orderdate, '%B %-d, %Y')
+        |      WHEN 1 THEN strftime(o_orderdate, '%Y/%m/%d')
+        |      WHEN 2 THEN strftime(o_orderdate, '%B %Y')
+        |      ELSE strftime(o_orderdate, '%Y') END AS raw
+        |  FROM orders)
+        |SELECT o_orderkey, raw,
+        |  CAST(COALESCE(
+        |    try_strptime(raw, '%B %d, %Y'),
+        |    try_strptime(raw, '%Y/%m/%d'),
+        |    try_strptime(raw, '%B %Y'),
+        |    try_strptime(raw, '%Y')) AS DATE) AS parsed
+        |FROM built ORDER BY o_orderkey""".stripMargin,
+
+    "q09_null_prune" ->
+      """WITH d AS (SELECT nullif(lang,'zh') AS lang2, nullif(source,'src3') AS src2, text
+        |           FROM documents),
+        |a AS (SELECT COUNT(*) AS n, COUNT(lang2) AS nn_lang2, COUNT(src2) AS nn_src2,
+        |             COUNT(text) AS nn_text FROM d)
+        |SELECT column_name, null_frac, null_frac < 0.9 AS keep FROM (
+        |  SELECT 'lang2' AS column_name, ROUND(CAST(n - nn_lang2 AS DOUBLE)/n, 6) AS null_frac FROM a
+        |  UNION ALL
+        |  SELECT 'src2', ROUND(CAST(n - nn_src2 AS DOUBLE)/n, 6) FROM a
+        |  UNION ALL
+        |  SELECT 'text', ROUND(CAST(n - nn_text AS DOUBLE)/n, 6) FROM a)
+        |ORDER BY column_name""".stripMargin,
+
+    "q10_pivot" ->
+      """SELECT o_custkey,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q11_coalesce_fill" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, spend,
+        |  ROUND(COALESCE(NULLIF(spend, 0.0), c_acctbal), 2) AS effective_value
+        |FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q13_conditional_agg" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_value,
+        |  COUNT(CASE WHEN l_quantity >= 30 THEN 1 END) AS high_qty_cnt,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q14_semi_anti" ->
+      """SELECT c_mktsegment, grp, n FROM (
+        |  SELECT c_mktsegment, 'with_orders' AS grp, COUNT(*) AS n FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'no_orders', COUNT(*) FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_mktsegment)
+        |ORDER BY c_mktsegment, grp""".stripMargin,
+
+    "q15_string_normalize" ->
+      """SELECT p_brand, COUNT(DISTINCT norm_name) AS n_names, MIN(norm_name) AS first_name
+        |FROM (SELECT p_brand, lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS norm_name
+        |      FROM part)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q16_type_coercion" ->
+      """SELECT event_id,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  CAST(FLOOR(value) AS BIGINT) AS value_int,
+        |  event_type = 'purchase' AS is_purchase
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^\d+$')
+        |  THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+    "q18_runtime_parse" ->
+      """WITH built AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE l_linenumber % 3
+        |      WHEN 0 THEN h || 'h ' || CAST(l_partkey % 60 AS VARCHAR) || 'm'
+        |      WHEN 1 THEN h || ' hr'
+        |      ELSE CAST(l_partkey % 300 AS VARCHAR) || ' m' END AS raw
+        |  FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+        |          CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR) AS h FROM lineitem))
+        |SELECT l_orderkey, l_linenumber, raw,
+        |  CASE
+        |    WHEN regexp_matches(raw, '^(\d+)\s*h(?:ou)?r?s?\s*(\d*)') THEN
+        |      CAST(regexp_extract(raw, '^(\d+)\s*h(?:ou)?r?s?\s*(\d*)', 1) AS BIGINT) * 60 +
+        |      COALESCE(try_cast(regexp_extract(raw, '^(\d+)\s*h(?:ou)?r?s?\s*(\d*)', 2) AS BIGINT), 0)
+        |    WHEN regexp_matches(raw, '^(\d+)\s*m') THEN
+        |      CAST(regexp_extract(raw, '^(\d+)\s*m', 1) AS BIGINT)
+        |    END AS minutes
+        |FROM built ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q19_etl_pipeline" ->
+      """SELECT c_mktsegment, substring(o_orderpriority, 1, 1) AS priority_class,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(c_acctbal), 6) AS avg_bal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus IN ('O','F','P')
+        |GROUP BY c_mktsegment, priority_class
+        |ORDER BY c_mktsegment, priority_class""".stripMargin
+  )
+
+  def all: Map[String, String] = core
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data pipeline operators (dedup,
+  * language-ID, quality scoring, fingerprinting). All pure Column
+  * expressions over `functions._` higher-order array ops — codegen'd,
+  * fully distributed, and reproducible in the DuckDB oracle dialect.
+  */
+object Text {
+
+  /** Whitespace word tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Distinct word tokens (set semantics for Jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Distinct k-word shingles, joined with single spaces.
+    * k=3 gives a sparse space even over a small vocabulary, which is what
+    * separates planted near-duplicates from random overlap. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Deterministic 60-bit hash of a string, seeded: first 15 hex digits of
+    * md5(seed:s) as a non-negative bigint. Chosen because the identical
+    * value is computable in DuckDB (`cast('0x'||substr(md5(..),1,15) as
+    * bigint)`), giving hash-level oracle parity for MinHash/SimHash. */
+  def hash60(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 15), 16, 10)
+      .cast("bigint")
+
+  /** MinHash signature over a shingle array: one min-hash per seed. */
+  def minhashSig(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleArr, s => hash60(s, seed)))
+    }: _*)
+
+  /** SimHash fingerprint (`bits`-wide, default 32) over a token array:
+    * per-bit majority vote of token-hash bits. */
+  def simhash(tokArr: Column, bits: Int = 32): Column = {
+    val hashes = transform(tokArr, t => hash60(t, 0))
+    val bitCols = (0 until bits).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * (1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Marker-token count for language scoring: how many array elements are
+    * in the marker set. */
+  def markerCount(tokArr: Column, markers: Seq[String]): Column =
+    size(filter(tokArr, t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Polynomial rolling-hash fingerprint of the whole token sequence:
+    * fp = sum(hash60(tok_i) * 31^(i mod 8)) mod 2^61-1 — order-sensitive
+    * (unlike a token-set hash) and SQL-expressible. */
+  def rollingFingerprint(tokArr: Column): Column = {
+    val p = lit(2305843009213693951L) // 2^61 - 1
+    aggregate(
+      zip_with(tokArr, sequence(lit(0), size(tokArr) - 1), (t, i) =>
+        pmod(hash60(t, 7) * pow(lit(31.0), pmod(i, lit(8)).cast("double")).cast("bigint"), p)),
+      lit(0L), (acc, x) => pmod(acc + x, p))
+  }
+}

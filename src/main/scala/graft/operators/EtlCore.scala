@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Parse
+
+/** Core relational/ETL operators — the reference's capability surface
+  * (challenge.py) re-expressed as declarative Spark plans over the
+  * TPC-H-ish tables. Each method is one SURVEY.md §2.A row.
+  *
+  * Numeric policy (cross-engine determinism): money aggregates go through
+  * [[Parse.dsum]]/[[Parse.davg]] (exact decimal sum → double) so results
+  * do not depend on partitioning/summation order; raw per-row doubles are
+  * emitted untouched (IEEE ops are deterministic given identical inputs).
+  */
+object EtlCore {
+
+  /** q01: groupBy + multi-aggregate (TPC-H Q1 shape; the reference's
+    * ratings-histogram aggregation, challenge.py:288). */
+  def q01Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Parse.dsum(col("l_quantity")).as("sum_qty"),
+        Parse.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Parse.dsumDec(Parse.discPrice(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        Parse.davg(col("l_quantity")).as("avg_qty"),
+        Parse.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q02: filter + projection; predicate and column pruning must reach the
+    * parquet scan (the reference's adult=='False' filter, challenge.py:202). */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("o_date"))
+      .orderBy("o_orderkey")
+
+  /** q03: 3-way join + agg + top-N (TPC-H Q3 shape; the reference's
+    * wiki⋈kaggle merge, challenge.py:252). Customer side is filtered before
+    * the join so the shuffle moves only matching rows. */
+  def q03JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1995-03-15").cast("timestamp")
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_shipdate") > cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+      .agg(Parse.dsumDec(Parse.discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(20)
+      .select("l_orderkey", "revenue", "o_date")
+  }
+
+  /** q04: star join against broadcast dims (nation, region). */
+  def q04BroadcastJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"), Parse.davg(col("c_acctbal")).as("avg_bal"))
+      .orderBy("r_name")
+
+  /** q05: deterministic keep-first dedup by key (the reference's
+    * drop_duplicates(subset='imdb_id'), challenge.py:106 — made
+    * order-stable with an explicit tie-break). */
+  def q05DedupKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("first_date"))
+      .orderBy("o_custkey")
+  }
+
+  /** q06: regex extraction from messy strings (the reference's imdb-id
+    * extract, challenge.py:105). Guarded cast: no-match → null, not error. */
+  def q06RegexExtract(s: SparkSession, d: String): DataFrame = {
+    val pat = "\"k\":\\s*(\\d+)"
+    val raw = regexp_extract(col("props"), pat, 1)
+    Tables.eventsWithTs(s, d)
+      .select(when(raw =!= "", raw.cast("int")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
+  /** Deterministic money-string construction shared by q07/q19: formats a
+    * bigint dollar amount in one of the reference's observed shapes, keyed
+    * by `k % 4` (pure integer string ops — identical in any engine). */
+  private def moneyString(m: Column, k: Column): Column =
+    when(k % 4 === 0,
+      concat(lit("$"), floor(m / 100).cast("string"), lit("."),
+        lpad((m % 100).cast("string"), 2, "0"), lit(" million")))
+    .when(k % 4 === 1,
+      concat(lit("$"), floor(m / 1000).cast("string"), lit("."),
+        lpad((m % 1000).cast("string"), 3, "0"), lit(" billion")))
+    .when(k % 4 === 2, concat(lit("$"), format_number(m, 0)))
+    .otherwise(lit("N/A"))
+
+  /** q07: money-string parsing (challenge.py:118-134). Strings are built
+    * deterministically from order totals, then parsed back with
+    * [[Parse.parseDollars]]. */
+  def q07ParseDollars(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("m", floor(col("o_totalprice")).cast("bigint"))
+      .withColumn("raw", moneyString(col("m"), col("o_orderkey")))
+      .select(col("o_orderkey"), col("raw"), Parse.parseDollars(col("raw")).as("dollars"))
+      .orderBy("o_orderkey")
+
+  /** q08: multi-format date parsing with fallback chain
+    * (challenge.py:139-143). */
+  def q08MultiDate(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey") % 4
+    val raw =
+      when(k === 0, date_format(col("o_orderdate"), "MMMM d, yyyy"))
+      .when(k === 1, date_format(col("o_orderdate"), "yyyy/MM/dd"))
+      .when(k === 2, date_format(col("o_orderdate"), "MMMM yyyy"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy"))
+    Tables.orders(s, d)
+      .withColumn("raw", raw)
+      .select(col("o_orderkey"), col("raw"), Parse.parseMultiDate(col("raw")).as("parsed"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q09: per-column null-ratio profile — the decision input for the
+    * reference's ">90% NaN → drop column" rule (challenge.py:110-115).
+    * One aggregation pass; long-form output. */
+  def q09NullPrune(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.documents(s, d)
+      .select(nullif(col("lang"), lit("zh")).as("lang2"),
+        nullif(col("source"), lit("src3")).as("src2"),
+        col("text"))
+    val total = count(lit(1))
+    df.agg(
+        total.as("n"),
+        count(col("lang2")).as("nn_lang2"),
+        count(col("src2")).as("nn_src2"),
+        count(col("text")).as("nn_text"))
+      .select(explode(array(
+        struct(lit("lang2").as("column_name"),
+          round((col("n") - col("nn_lang2")).cast("double") / col("n"), 6).as("null_frac")),
+        struct(lit("src2").as("column_name"),
+          round((col("n") - col("nn_src2")).cast("double") / col("n"), 6).as("null_frac")),
+        struct(lit("text").as("column_name"),
+          round((col("n") - col("nn_text")).cast("double") / col("n"), 6).as("null_frac")))).as("c"))
+      .select(col("c.column_name"), col("c.null_frac"),
+        (col("c.null_frac") < 0.9).as("keep"))
+      .orderBy("column_name")
+  }
+
+  /** q10: groupBy + pivot with explicit value list (no extra distinct
+    * pass) + fillna(0) — the reference's ratings pivot
+    * (challenge.py:288-296). */
+  def q10Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .count()
+      .na.fill(0L)
+      .select(col("o_custkey"), col("O").as("n_open"), col("F").as("n_filled"),
+        col("P").as("n_partial"))
+      .orderBy("o_custkey")
+
+  /** q11: join + fill-missing-from-other-source — the reference's
+    * fill_missing_kaggle_data (challenge.py:256-262): zero/null on the
+    * preferred side falls back to the secondary side. */
+  def q11CoalesceFill(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey").agg(Parse.dsum(col("o_totalprice")).as("spend"))
+    Tables.customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("spend"),
+        round(coalesce(nullif(col("spend"), lit(0.0)), col("c_acctbal")), 2)
+          .as("effective_value"))
+      .orderBy("c_custkey")
+  }
+
+  /** q12: window rank top-N per group. */
+  def q12WindowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q13: CASE-WHEN conditional aggregation (the reference's boolean
+    * coercions, challenge.py:206). */
+  def q13ConditionalAgg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("l_returnflag") === "R", col("l_extendedprice").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("double").as("returned_value"),
+        count(when(col("l_quantity") >= 30, lit(1))).as("high_qty_cnt"),
+        count(lit(1)).as("n"))
+      .orderBy("l_linestatus")
+  }
+
+  /** q14: left-semi / left-anti joins — the reference's key-presence
+    * filters ('Director' in movie, challenge.py:46-49). */
+  def q14SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("grp", lit("with_orders"))
+    val noO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("grp", lit("no_orders"))
+    withO.unionByName(noO)
+      .select("c_mktsegment", "grp", "n")
+      .orderBy("c_mktsegment", "grp")
+  }
+
+  /** q15: string normalization (trim / lower / whitespace collapse) +
+    * distinct — the reference's column-value cleanup (challenge.py:62-95). */
+  def q15StringNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("norm_name",
+        lower(trim(regexp_replace(col("p_name"), "\\s+", " "))))
+      .groupBy("p_brand")
+      .agg(countDistinct(col("norm_name")).as("n_names"),
+        min(col("norm_name")).as("first_name"))
+      .orderBy("p_brand")
+
+  /** q16: safe type coercion — unix-seconds round trip, string render,
+    * guarded double→int (challenge.py:202-246). `floor` before the cast:
+    * plain double→bigint casts truncate in some engines and round in
+    * others. */
+  def q16TypeCoercion(s: SparkSession, d: String): DataFrame =
+    Tables.eventsWithTs(s, d)
+      .select(
+        col("event_id"),
+        expr("ts_ns DIV 1000000000").as("epoch_s"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        floor(col("value")).cast("bigint").as("value_int"),
+        (col("event_type") === "purchase").as("is_purchase"))
+      .orderBy("event_id")
+
+  /** q17: JSON field extraction from a string column (the reference's
+    * ragged wiki JSON, challenge.py:34-70). */
+  def q17JsonExtract(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k")
+    Tables.eventsWithTs(s, d)
+      .select(when(k.rlike("^\\d+$"), k.cast("int")).as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), Parse.dsum(col("value")).as("sum_value"))
+      .orderBy("k")
+  }
+
+  /** q18: running-time parsing "2h 15m" / "2 hr" / "135 m" → minutes
+    * (challenge.py:186-196), over deterministically constructed strings. */
+  def q18RuntimeParse(s: SparkSession, d: String): DataFrame = {
+    val h = floor(col("l_quantity")).cast("bigint")
+    val k = col("l_linenumber") % 3
+    val raw =
+      when(k === 0, concat(h.cast("string"), lit("h "),
+        (col("l_partkey") % 60).cast("string"), lit("m")))
+      .when(k === 1, concat(h.cast("string"), lit(" hr")))
+      .otherwise(concat((col("l_partkey") % 300).cast("string"), lit(" m")))
+    Tables.lineitem(s, d)
+      .withColumn("raw", raw)
+      .select(col("l_orderkey"), col("l_linenumber"), col("raw"),
+        Parse.parseRuntime(col("raw")).as("minutes"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q19: the flagship composed pipeline — filter → join → derive →
+    * conditional fill → aggregate, the shape of ETLchallenge end-to-end. */
+  def q19EtlPipeline(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("O", "F", "P"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .withColumn("priority_class", substring(col("o_orderpriority"), 1, 1))
+      .groupBy("c_mktsegment", "priority_class")
+      .agg(count(lit(1)).as("n_orders"),
+        Parse.dsum(col("o_totalprice")).as("revenue"),
+        Parse.davg(col("c_acctbal")).as("avg_bal"))
+      .orderBy("c_mktsegment", "priority_class")
+}
