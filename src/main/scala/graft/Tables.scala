@@ -15,12 +15,13 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4 has
-    * no native type for. We read nanos as long (legacy conf) and expose
-    * both `ts_ns` (exact bigint nanos) and `ts` (µs-truncated timestamp,
-    * via exact integer division — double division would lose precision at
-    * 1e18 magnitudes). */
+    * no native type for. The session must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.local]] does;
+    * so do Bench/Verify) — we deliberately do NOT mutate session conf here.
+    * Exposes both `ts_ns` (exact bigint nanos) and `ts` (µs-truncated
+    * timestamp via exact integer division — double division would lose
+    * precision at 1e18 magnitudes). */
   def eventsWithTs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

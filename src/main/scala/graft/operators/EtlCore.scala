@@ -14,6 +14,12 @@ import graft.functions.Parse
   * [[Parse.dsum]]/[[Parse.davg]] (exact decimal sum → double) so results
   * do not depend on partitioning/summation order; raw per-row doubles are
   * emitted untouched (IEEE ops are deterministic given identical inputs).
+  *
+  * Ordering policy: plans here are production plans — NO canonical output
+  * sort (a global sort of a fact table is pure overhead at 100 TB). The
+  * only sorts kept are semantic top-N (q03), which collapse to
+  * TakeOrderedAndProject. [[graft.Queries.verified]] adds a deterministic
+  * order for the oracle compare.
   */
 object EtlCore {
 
@@ -30,7 +36,6 @@ object EtlCore {
         Parse.davg(col("l_quantity")).as("avg_qty"),
         Parse.davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   /** q02: filter + projection; predicate and column pruning must reach the
     * parquet scan (the reference's adult=='False' filter, challenge.py:202). */
@@ -39,7 +44,6 @@ object EtlCore {
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         to_date(col("o_orderdate")).as("o_date"))
-      .orderBy("o_orderkey")
 
   /** q03: 3-way join + agg + top-N (TPC-H Q3 shape; the reference's
     * wiki⋈kaggle merge, challenge.py:252). Customer side is filtered before
@@ -65,7 +69,6 @@ object EtlCore {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(count(lit(1)).as("n_cust"), Parse.davg(col("c_acctbal")).as("avg_bal"))
-      .orderBy("r_name")
 
   /** q05: deterministic keep-first dedup by key (the reference's
     * drop_duplicates(subset='imdb_id'), challenge.py:106 — made
@@ -77,7 +80,6 @@ object EtlCore {
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("first_date"))
-      .orderBy("o_custkey")
   }
 
   /** q06: regex extraction from messy strings (the reference's imdb-id
@@ -88,7 +90,6 @@ object EtlCore {
     Tables.eventsWithTs(s, d)
       .select(when(raw =!= "", raw.cast("int")).as("k"))
       .groupBy("k").agg(count(lit(1)).as("n"))
-      .orderBy("k")
   }
 
   /** Deterministic money-string construction shared by q07/q19: formats a
@@ -112,7 +113,6 @@ object EtlCore {
       .withColumn("m", floor(col("o_totalprice")).cast("bigint"))
       .withColumn("raw", moneyString(col("m"), col("o_orderkey")))
       .select(col("o_orderkey"), col("raw"), Parse.parseDollars(col("raw")).as("dollars"))
-      .orderBy("o_orderkey")
 
   /** q08: multi-format date parsing with fallback chain
     * (challenge.py:139-143). */
@@ -126,34 +126,17 @@ object EtlCore {
     Tables.orders(s, d)
       .withColumn("raw", raw)
       .select(col("o_orderkey"), col("raw"), Parse.parseMultiDate(col("raw")).as("parsed"))
-      .orderBy("o_orderkey")
   }
 
   /** q09: per-column null-ratio profile — the decision input for the
     * reference's ">90% NaN → drop column" rule (challenge.py:110-115).
-    * One aggregation pass; long-form output. */
-  def q09NullPrune(s: SparkSession, d: String): DataFrame = {
-    val df = Tables.documents(s, d)
+    * Delegates to [[NullPrune.profile]] (one aggregation pass, long-form);
+    * [[NullPrune.prune]] applies the drop end-to-end (spec-tested). */
+  def q09NullPrune(s: SparkSession, d: String): DataFrame =
+    NullPrune.profile(Tables.documents(s, d)
       .select(nullif(col("lang"), lit("zh")).as("lang2"),
         nullif(col("source"), lit("src3")).as("src2"),
-        col("text"))
-    val total = count(lit(1))
-    df.agg(
-        total.as("n"),
-        count(col("lang2")).as("nn_lang2"),
-        count(col("src2")).as("nn_src2"),
-        count(col("text")).as("nn_text"))
-      .select(explode(array(
-        struct(lit("lang2").as("column_name"),
-          round((col("n") - col("nn_lang2")).cast("double") / col("n"), 6).as("null_frac")),
-        struct(lit("src2").as("column_name"),
-          round((col("n") - col("nn_src2")).cast("double") / col("n"), 6).as("null_frac")),
-        struct(lit("text").as("column_name"),
-          round((col("n") - col("nn_text")).cast("double") / col("n"), 6).as("null_frac")))).as("c"))
-      .select(col("c.column_name"), col("c.null_frac"),
-        (col("c.null_frac") < 0.9).as("keep"))
-      .orderBy("column_name")
-  }
+        col("text")))
 
   /** q10: groupBy + pivot with explicit value list (no extra distinct
     * pass) + fillna(0) — the reference's ratings pivot
@@ -166,7 +149,6 @@ object EtlCore {
       .na.fill(0L)
       .select(col("o_custkey"), col("O").as("n_open"), col("F").as("n_filled"),
         col("P").as("n_partial"))
-      .orderBy("o_custkey")
 
   /** q11: join + fill-missing-from-other-source — the reference's
     * fill_missing_kaggle_data (challenge.py:256-262): zero/null on the
@@ -179,7 +161,6 @@ object EtlCore {
       .select(col("c_custkey"), col("spend"),
         round(coalesce(nullif(col("spend"), lit(0.0)), col("c_acctbal")), 2)
           .as("effective_value"))
-      .orderBy("c_custkey")
   }
 
   /** q12: window rank top-N per group. */
@@ -189,7 +170,6 @@ object EtlCore {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-      .orderBy("o_custkey", "rn")
   }
 
   /** q13: CASE-WHEN conditional aggregation (the reference's boolean
@@ -204,23 +184,21 @@ object EtlCore {
           .otherwise(lit(0).cast(dec))).cast("double").as("returned_value"),
         count(when(col("l_quantity") >= 30, lit(1))).as("high_qty_cnt"),
         count(lit(1)).as("n"))
-      .orderBy("l_linestatus")
   }
 
-  /** q14: left-semi / left-anti joins — the reference's key-presence
-    * filters ('Director' in movie, challenge.py:46-49). */
+  /** q14: semi/anti key-presence split — the reference's key-presence
+    * filters ('Director' in movie, challenge.py:46-49). One scan of each
+    * table: orders is reduced to distinct keys (map-side partial), then a
+    * single left join classifies every customer as with/without orders —
+    * half the I/O of running a left-semi and a left-anti separately. */
   def q14SemiAnti(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(s, d)
-    val o = Tables.orders(s, d)
-    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
-      .withColumn("grp", lit("with_orders"))
-    val noO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
-      .withColumn("grp", lit("no_orders"))
-    withO.unionByName(noO)
+    val hasOrders = Tables.orders(s, d).select(col("o_custkey")).distinct()
+    Tables.customer(s, d)
+      .join(hasOrders, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("grp",
+        when(col("o_custkey").isNull, lit("no_orders")).otherwise(lit("with_orders")))
+      .groupBy("c_mktsegment", "grp").agg(count(lit(1)).as("n"))
       .select("c_mktsegment", "grp", "n")
-      .orderBy("c_mktsegment", "grp")
   }
 
   /** q15: string normalization (trim / lower / whitespace collapse) +
@@ -232,7 +210,6 @@ object EtlCore {
       .groupBy("p_brand")
       .agg(countDistinct(col("norm_name")).as("n_names"),
         min(col("norm_name")).as("first_name"))
-      .orderBy("p_brand")
 
   /** q16: safe type coercion — unix-seconds round trip, string render,
     * guarded double→int (challenge.py:202-246). `floor` before the cast:
@@ -246,7 +223,6 @@ object EtlCore {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
         floor(col("value")).cast("bigint").as("value_int"),
         (col("event_type") === "purchase").as("is_purchase"))
-      .orderBy("event_id")
 
   /** q17: JSON field extraction from a string column (the reference's
     * ragged wiki JSON, challenge.py:34-70). */
@@ -256,7 +232,6 @@ object EtlCore {
       .select(when(k.rlike("^\\d+$"), k.cast("int")).as("k"), col("value"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"), Parse.dsum(col("value")).as("sum_value"))
-      .orderBy("k")
   }
 
   /** q18: running-time parsing "2h 15m" / "2 hr" / "135 m" → minutes
@@ -273,7 +248,6 @@ object EtlCore {
       .withColumn("raw", raw)
       .select(col("l_orderkey"), col("l_linenumber"), col("raw"),
         Parse.parseRuntime(col("raw")).as("minutes"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** q19: the flagship composed pipeline — filter → join → derive →
@@ -287,5 +261,4 @@ object EtlCore {
       .agg(count(lit(1)).as("n_orders"),
         Parse.dsum(col("o_totalprice")).as("revenue"),
         Parse.davg(col("c_acctbal")).as("avg_bal"))
-      .orderBy("c_mktsegment", "priority_class")
 }
