@@ -211,5 +211,53 @@ object Oracles {
         |ORDER BY c_mktsegment, priority_class""".stripMargin
   )
 
-  def all: Map[String, String] = core
+  /** Text-analysis block (SURVEY §2.D). Tokenization is mirrored as
+    * string_split_regex(text,'\s+'); hash60 as
+    * CAST('0x'||substr(md5(seed||':'||s),1,15) AS BIGINT). */
+  val text: Map[String, String] = Map(
+    "t01_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN ('window','batch','stream'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','fast','slow'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('data','table','row'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('query','join','merge'))) AS BIGINT) AS s_fr
+        | FROM t)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS best_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t02_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, n_chars,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE) AS n_stop,
+        |   CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct FROM t)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+        |  ROUND(LEAST(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.5 +
+        |        (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) * 0.3 +
+        |        n_distinct / CAST(n_tokens AS DOUBLE) * 0.2, 6) AS quality
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "t03_token_count" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(1, len(toks)+1), i ->
+        |    (CAST(('0x'||substr(md5('7:'||toks[i]),1,15)) AS BIGINT) % 1048576) *
+        |    ([1,31,961,29791,923521,28629151,887503681,27512614111][((i-1)%8)+1])
+        |  )) % 2305843009213693951 AS BIGINT) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+
+  def all: Map[String, String] = core ++ text
 }

@@ -42,7 +42,11 @@ object Queries {
     "q16_type_coercion"    -> (EtlCore.q16TypeCoercion _),
     "q17_json_extract"     -> (EtlCore.q17JsonExtract _),
     "q18_runtime_parse"    -> (EtlCore.q18RuntimeParse _),
-    "q19_etl_pipeline"     -> (EtlCore.q19EtlPipeline _)
+    "q19_etl_pipeline"     -> (EtlCore.q19EtlPipeline _),
+    "t01_lang_id"          -> (TextAnalysis.t01LangId _),
+    "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
+    "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
+    "t04_fingerprint"      -> (TextAnalysis.t04Fingerprint _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -65,7 +69,11 @@ object Queries {
     "q16_type_coercion"    -> Seq("event_id"),
     "q17_json_extract"     -> Seq("k"),
     "q18_runtime_parse"    -> Seq("l_orderkey", "l_linenumber"),
-    "q19_etl_pipeline"     -> Seq("c_mktsegment", "priority_class")
+    "q19_etl_pipeline"     -> Seq("c_mktsegment", "priority_class"),
+    "t01_lang_id"          -> Seq("doc_id"),
+    "t02_quality_score"    -> Seq("doc_id"),
+    "t03_token_count"      -> Seq("doc_id"),
+    "t04_fingerprint"      -> Seq("doc_id")
   )
 
   /** Verification view: production plan + canonical output order. */

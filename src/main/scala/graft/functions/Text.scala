@@ -64,13 +64,21 @@ object Text {
     size(filter(tokArr, t => t.isin(markers.map(lit(_)): _*)))
 
   /** Polynomial rolling-hash fingerprint of the whole token sequence:
-    * fp = sum(hash60(tok_i) * 31^(i mod 8)) mod 2^61-1 — order-sensitive
-    * (unlike a token-set hash) and SQL-expressible. */
+    * fp = sum((hash60(tok_i) mod 2^20) * 31^(i mod 8)) mod 2^61-1 —
+    * order-sensitive (unlike a token-set hash) and SQL-expressible.
+    *
+    * Overflow discipline: the hash is reduced to 20 bits BEFORE the power
+    * multiply, so each term is < 2^20 * 31^7 < 2^55 and the running
+    * (mod p) accumulator stays < 2^61 + 2^55 — no silent bigint wrap in
+    * Spark, no overflow error in the oracle engine. The 31^e powers are
+    * exact integer literals (31^7 < 2^53), never a runtime pow(). */
   def rollingFingerprint(tokArr: Column): Column = {
     val p = lit(2305843009213693951L) // 2^61 - 1
+    val powers = array(Seq.iterate(1L, 8)(_ * 31L).map(lit(_)): _*)
     aggregate(
       zip_with(tokArr, sequence(lit(0), size(tokArr) - 1), (t, i) =>
-        pmod(hash60(t, 7) * pow(lit(31.0), pmod(i, lit(8)).cast("double")).cast("bigint"), p)),
+        pmod(hash60(t, 7), lit(1048576L)) *
+          element_at(powers, (pmod(i, lit(8)) + 1).cast("int"))),
       lit(0L), (acc, x) => pmod(acc + x, p))
   }
 }

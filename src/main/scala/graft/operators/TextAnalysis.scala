@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+
+/** Text-analysis operators for the training-data pipeline (SURVEY §2.D):
+  * language ID, quality scoring, token statistics, fingerprinting — all
+  * pure Column expressions over higher-order array functions, so every
+  * operator is a single codegen'd map-side pass over `documents` (no
+  * shuffle, no UDF, embarrassingly parallel at any scale).
+  *
+  * Numeric policy: no transcendentals (exp/log differ in final ulp across
+  * engines); scores are rational arithmetic + round(_, 6) only.
+  */
+object TextAnalysis {
+
+  /** Deterministic marker lexicons. Real language ID swaps in real n-gram
+    * tables; the operator shape (map-side score + argmax) is identical. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "batch", "stream"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "row"),
+    "fr" -> Seq("query", "join", "merge"))
+
+  /** t01: per-language marker-token counts + argmax label.
+    * Tie-break = fixed priority order (en, es, fr, de) via the CASE chain,
+    * mirrored verbatim in the oracle. */
+  def t01LangId(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val scoreCols: Seq[Column] = langMarkers.map { case (l, m) =>
+      Text.markerCount(toks, m).cast("bigint").as(s"s_$l")
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id") +: scoreCols: _*)
+      .withColumn("best_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_de"), lit("en"))
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), lit("es"))
+        .when(col("s_fr") >= col("s_de"), lit("fr"))
+        .otherwise(lit("de")))
+  }
+
+  /** t02: document quality score from length, stopword ratio, and
+    * lexical diversity — the length/punct/stopword heuristics of LLM data
+    * curation, in deterministic rational arithmetic. */
+  def t02QualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(toks).cast("bigint").as("n_tokens"),
+        Text.markerCount(toks, Seq("the", "a")).cast("double").as("n_stop"),
+        size(array_distinct(toks)).cast("double").as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_stop") / col("n_tokens").cast("double"), 6).as("stop_ratio"),
+        round(
+          least(col("n_chars").cast("double"), lit(500.0)) / lit(500.0) * lit(0.5) +
+          (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")) * lit(0.3) +
+          col("n_distinct") / col("n_tokens").cast("double") * lit(0.2), 6)
+          .as("quality"))
+  }
+
+  /** t03: token statistics — whitespace tokens, regex word tokens,
+    * distinct tokens. */
+  def t03TokenCount(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("bigint").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .cast("bigint").as("n_words"),
+        size(array_distinct(toks)).cast("bigint").as("n_distinct"))
+  }
+
+  /** t04: order-sensitive polynomial rolling-hash fingerprint per doc. */
+  def t04Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Text.rollingFingerprint(Text.tokens(col("text"))).as("fp"))
+}
