@@ -259,5 +259,79 @@ object Oracles {
         |FROM t ORDER BY doc_id""".stripMargin
   )
 
-  def all: Map[String, String] = core ++ text
+  /** hash60 mirror: first 15 hex digits of md5(seed:s) as bigint. */
+  private def h60(seed: Int, x: String): String =
+    s"CAST(('0x'||substr(md5('$seed:'||$x),1,15)) AS BIGINT)"
+
+  /** Distinct word-3-gram shingles CTE (mirrors Text.shingles). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+      |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(text,'\s+') AS toks FROM documents)
+      |  WHERE len(toks) >= 3)""".stripMargin
+
+  /** Dedup block (SURVEY §2.B). */
+  val dedup: Map[String, String] = {
+    val minhashes = (0 until 16)
+      .map(seed => s"list_min(list_transform(sh, s -> ${h60(seed, "s")}))")
+      .mkString(",\n        ")
+    val simhashBits = (0 until 32).map(i =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val cosine =
+      """list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))))""".stripMargin
+    Map(
+      "d01_dedup_exact" ->
+        """WITH doubled AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+          |SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+          |FROM doubled GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+      "d02_ngram_jaccard" ->
+        s"""WITH $shingleCte,
+           |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+           |      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+           |      GROUP BY 1,2,3,4)
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE), 6) AS jaccard FROM p)
+           |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      "d03_minhash_lsh" ->
+        s"""WITH $shingleCte,
+           |sig AS (SELECT doc_id, sh, [$minhashes] AS sig FROM sh),
+           |bands AS (SELECT doc_id, b, sig[b*4+1:b*4+4] AS bsig FROM sig, range(0,4) t(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT id_a, id_b,
+           |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           |          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) AS jaccard
+           |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+           |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      "d04_simhash" ->
+        s"""WITH $shingleCte,
+           |hsh AS (SELECT doc_id, list_transform(sh, t -> ${h60(0, "t")}) AS hs FROM sh),
+           |fp AS (SELECT doc_id, CAST($simhashBits AS BIGINT) AS fp FROM hsh),
+           |bands AS (SELECT doc_id, fp, b, (fp >> (8*b)) & 255 AS key FROM fp, range(0,4) t(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+           |         FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM cand
+           |WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+      "d05_embedding_dedup" ->
+        s"""SELECT id_a, id_b, cosine FROM (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    ROUND($cosine, 6) AS cosine
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+           |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin
+    )
+  }
+
+  def all: Map[String, String] = core ++ text ++ dedup
 }

@@ -46,7 +46,12 @@ object Queries {
     "t01_lang_id"          -> (TextAnalysis.t01LangId _),
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
-    "t04_fingerprint"      -> (TextAnalysis.t04Fingerprint _)
+    "t04_fingerprint"      -> (TextAnalysis.t04Fingerprint _),
+    "d01_dedup_exact"      -> (Dedup.d01DedupExact _),
+    "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
+    "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
+    "d04_simhash"          -> (Dedup.d04Simhash _),
+    "d05_embedding_dedup"  -> (Dedup.d05EmbeddingDedup _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -73,7 +78,12 @@ object Queries {
     "t01_lang_id"          -> Seq("doc_id"),
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),
-    "t04_fingerprint"      -> Seq("doc_id")
+    "t04_fingerprint"      -> Seq("doc_id"),
+    "d01_dedup_exact"      -> Seq("keep_id"),
+    "d02_ngram_jaccard"    -> Seq("id_a", "id_b"),
+    "d03_minhash_lsh"      -> Seq("id_a", "id_b"),
+    "d04_simhash"          -> Seq("id_a", "id_b"),
+    "d05_embedding_dedup"  -> Seq("id_a", "id_b")
   )
 
   /** Verification view: production plan + canonical output order. */

@@ -21,9 +21,13 @@ object Text {
     * separates planted near-duplicates from random overlap. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    // Guard: sequence(0, n) with n<0 would produce a DESCENDING sequence
+    // (not empty) — short docs must yield an empty shingle set.
+    when(size(toks) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+    .otherwise(array().cast("array<string>"))
   }
 
   /** Jaccard similarity of two (distinct-element) arrays. */
@@ -46,17 +50,25 @@ object Text {
       array_min(transform(shingleArr, s => hash60(s, seed)))
     }: _*)
 
-  /** SimHash fingerprint (`bits`-wide, default 32) over a token array:
-    * per-bit majority vote of token-hash bits. */
-  def simhash(tokArr: Column, bits: Int = 32): Column = {
-    val hashes = transform(tokArr, t => hash60(t, 0))
+  /** SimHash fingerprint (`bits`-wide, default 32) from a PRE-HASHED
+    * feature array: per-bit majority vote of feature-hash bits. Callers
+    * should materialize the hash array in its own projection first — the
+    * vote references it `bits` times, and keeping it a separate (non-cheap)
+    * attribute stops CollapseProject from inlining `bits` copies of the
+    * md5 work into the plan. */
+  def simhashOfHashes(hashes: Column, bits: Int = 32): Column = {
     val bitCols = (0 until bits).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L) * (1L << i)).otherwise(lit(0L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
+
+  /** SimHash over a raw token/shingle array (hashes computed inline —
+    * prefer [[simhashOfHashes]] on a materialized hash column). */
+  def simhash(tokArr: Column, bits: Int = 32): Column =
+    simhashOfHashes(transform(tokArr, t => hash60(t, 0)), bits)
 
   /** Marker-token count for language scoring: how many array elements are
     * in the marker set. */
