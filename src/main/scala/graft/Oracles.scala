@@ -333,5 +333,24 @@ object Oracles {
     )
   }
 
-  def all: Map[String, String] = core ++ text ++ dedup
+  /** Similarity block (SURVEY §2.C). e02 is approximate → rows-only (no
+    * oracle entry); its recall is spec-tested against e01. */
+  val similarity: Map[String, String] = {
+    val cosQC =
+      """list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> CAST(c.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)))))""".stripMargin
+    Map(
+      "e01_knn_brute" ->
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |s AS (SELECT q_id, c.vec_id AS c_id,
+           |  ROUND($cosQC, 6) AS cosine
+           |  FROM q JOIN embeddings c ON c.vec_id <> q_id),
+           |r AS (SELECT q_id, c_id, cosine,
+           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
+           |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+    )
+  }
+
+  def all: Map[String, String] = core ++ text ++ dedup ++ similarity
 }

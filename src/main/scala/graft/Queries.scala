@@ -51,7 +51,9 @@ object Queries {
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
     "d04_simhash"          -> (Dedup.d04Simhash _),
-    "d05_embedding_dedup"  -> (Dedup.d05EmbeddingDedup _)
+    "d05_embedding_dedup"  -> (Dedup.d05EmbeddingDedup _),
+    "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
+    "e02_ann_lsh"          -> (Similarity.e02AnnLsh _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -83,7 +85,9 @@ object Queries {
     "d02_ngram_jaccard"    -> Seq("id_a", "id_b"),
     "d03_minhash_lsh"      -> Seq("id_a", "id_b"),
     "d04_simhash"          -> Seq("id_a", "id_b"),
-    "d05_embedding_dedup"  -> Seq("id_a", "id_b")
+    "d05_embedding_dedup"  -> Seq("id_a", "id_b"),
+    "e01_knn_brute"        -> Seq("q_id", "rnk"),
+    "e02_ann_lsh"          -> Seq("q_id", "rnk")
   )
 
   /** Verification view: production plan + canonical output order. */
