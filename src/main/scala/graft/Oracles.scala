@@ -352,5 +352,37 @@ object Oracles {
     )
   }
 
-  def all: Map[String, String] = core ++ text ++ dedup ++ similarity
+  /** Multimodal + streaming blocks (SURVEY §2.E/F). m01's fake decode is
+    * md5-derived so the byte-level fields are SQL-expressible. */
+  val eventsAndMedia: Map[String, String] = Map(
+    "m01_multimodal_meta" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes,
+        |  CAST(('0x'||substr(hx,1,4)) AS BIGINT) AS width,
+        |  CAST(('0x'||substr(hx,5,4)) AS BIGINT) AS height,
+        |  CASE CAST(('0x'||substr(hx,9,2)) AS BIGINT) % 3
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "s01_window_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s02_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no FROM f)
+        |SELECT user_id, sess_no, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
+  def all: Map[String, String] = core ++ text ++ dedup ++ similarity ++ eventsAndMedia
 }

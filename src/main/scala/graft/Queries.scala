@@ -53,7 +53,10 @@ object Queries {
     "d04_simhash"          -> (Dedup.d04Simhash _),
     "d05_embedding_dedup"  -> (Dedup.d05EmbeddingDedup _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
-    "e02_ann_lsh"          -> (Similarity.e02AnnLsh _)
+    "e02_ann_lsh"          -> (Similarity.e02AnnLsh _),
+    "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
+    "s01_window_agg"       -> (EventOps.s01WindowAgg _),
+    "s02_sessionize"       -> (EventOps.s02Sessionize _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -87,7 +90,10 @@ object Queries {
     "d04_simhash"          -> Seq("id_a", "id_b"),
     "d05_embedding_dedup"  -> Seq("id_a", "id_b"),
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
-    "e02_ann_lsh"          -> Seq("q_id", "rnk")
+    "e02_ann_lsh"          -> Seq("q_id", "rnk"),
+    "m01_multimodal_meta"  -> Seq("doc_id"),
+    "s01_window_agg"       -> Seq("win_start", "event_type"),
+    "s02_sessionize"       -> Seq("user_id", "sess_no")
   )
 
   /** Verification view: production plan + canonical output order. */

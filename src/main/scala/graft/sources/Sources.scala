@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Readers (SURVEY §2.G) — the reference's extract step reads ragged-key
+  * JSON and mixed-type CSV (challenge.py:24-27). Schemas are always
+  * explicit: schema inference is a full extra pass over the data at
+  * scale, and silently drifts when a batch happens to miss a field.
+  */
+object Sources {
+
+  /** CSV with an explicit schema. Malformed rows null out (PERMISSIVE),
+    * mirroring the reference's errors='coerce' posture. */
+  def csv(s: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    s.read.schema(schema).option("header", header.toString)
+      .option("mode", "PERMISSIVE").csv(path)
+
+  /** JSON-lines with an explicit schema: ragged keys resolve to null
+    * columns instead of schema drift (the reference's alt-title mess). */
+  def json(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** Parquet (schema comes from the footer; pushdown/pruning free). */
+  def parquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+}
+
+/** Writers (SURVEY §2.G) — full-replace and chunked loads
+  * (challenge.py:293-308), Spark-shaped. */
+object Sinks {
+
+  /** Partitioned parquet write — the lake analog of a partitioned table
+    * load; partition columns become directory keys for pruning. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.partitionBy(partitionCols: _*).mode(mode).parquet(path)
+
+  /** Chunked write: bounds rows per output file — the analog of the
+    * reference's 1M-row chunked DB load (challenge.py:302-308). File
+    * count scales with data, no single-writer bottleneck. */
+  def writeChunked(df: DataFrame, path: String, maxRecordsPerFile: Long,
+                   mode: String = "overwrite"): Unit =
+    df.write.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .mode(mode).parquet(path)
+
+  /** Append rows to an existing dataset (incremental load). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+}

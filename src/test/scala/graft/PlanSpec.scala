@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape assertions: the SCALE properties (broadcast, pushdown,
+  * pruning, sort-free production paths) hold in the optimized plans, not
+  * just in intent. */
+class PlanSpec extends SparkSpecBase {
+
+  private def physical(name: String): String =
+    Queries.production(name)(spark, sf001)
+      .queryExecution.executedPlan.toString
+
+  test("q04: dims join as broadcast hash joins") {
+    val p = physical("q04_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q02: filter is pushed to the parquet scan and columns pruned") {
+    val p = Queries.production("q02_filter_project")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("o_orderpriority"), "predicate should reach the scan")
+    // pruned read schema: none of the untouched wide columns
+    assert(!p.contains("o_comment"), "column pruning must drop o_comment")
+  }
+
+  test("production emitters carry no global Sort (ordering is verify-only)") {
+    for (q <- Seq("q07_parse_dollars", "q08_multi_date", "q16_type_coercion",
+        "q18_runtime_parse")) {
+      val p = physical(q)
+      assert(!p.contains("Sort ["), s"$q production plan has a global sort:\n${p.take(1500)}")
+    }
+  }
+
+  test("q03: top-N collapses to TakeOrderedAndProject (no full sort)") {
+    val p = physical("q03_join_agg")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("e01: scoring runs through the native codegen'd graft_cosine") {
+    val p = physical("e01_knn_brute")
+    assert(p.contains("graft_cosine"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query set must broadcast")
+  }
+
+  test("d01: exact dedup is a single hash aggregate with map-side partials") {
+    val p = physical("d01_dedup_exact")
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+}

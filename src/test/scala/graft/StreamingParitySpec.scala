@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+import graft.streaming.{SessEvent, StreamOps}
+
+/** Batch/stream parity: the same transforms produce the same results when
+  * driven through MemoryStream micro-batches (SURVEY §6). */
+class StreamingParitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val Hour = 3600L * 1000000L // µs
+
+  /** Deterministic little event log: 3 users, gaps around the 30-min
+    * session threshold, spanning 3 hourly windows. */
+  private def events: Seq[(Long, Long, Long, Double, String)] = {
+    val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime * 1000L
+    Seq(
+      (1L, 1L, base + 60L * 1000000L, 1.5, "view"),
+      (1L, 2L, base + 120L * 1000000L, 2.0, "view"),
+      (1L, 3L, base + 2000L * 1000000L, 3.25, "purchase"), // > 30min gap: new session
+      (2L, 4L, base + 30L * 1000000L, 4.0, "view"),
+      (2L, 5L, base + Hour + 10L * 1000000L, 5.5, "purchase"),
+      (3L, 6L, base + 2 * Hour + 5L * 1000000L, 6.0, "view"))
+  }
+
+  private def toSessEvent(t: (Long, Long, Long, Double, String)): SessEvent =
+    SessEvent(t._1, t._2, t._3, t._4, new Timestamp(t._3 / 1000L))
+
+  test("s01 window agg: streaming append output equals batch on-time windows") {
+    val batchDf = events.map(e => (new Timestamp(e._3 / 1000L), e._5, e._4))
+      .toDF("ts", "event_type", "value")
+    val expected = EventOps.windowAgg(batchDf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowAggStream(stream.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("s01_par").outputMode("append").start()
+    try {
+      stream.addData(events.map(e => (new Timestamp(e._3 / 1000L), e._5, e._4)))
+      q.processAllAvailable()
+      // advance the watermark past every real window, twice (watermark is
+      // computed from the PREVIOUS batch's max event time)
+      val flush = new Timestamp(Timestamp.valueOf("2024-06-02 00:00:00").getTime)
+      stream.addData(Seq((flush, "flush", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((new Timestamp(flush.getTime + 1000), "flush", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("s01_par")
+        .filter(col("event_type") =!= "flush").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("s02 sessionize: flatMapGroupsWithState equals the batch two-window form") {
+    val batchDf = events.map(e => (e._1, e._2, e._3, e._4))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val expected = EventOps.sessionize(batchDf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_no"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+      .toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SessEvent]
+    val q = StreamOps.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("s02_par").outputMode("append").start()
+    try {
+      stream.addData(events.map(toSessEvent))
+      q.processAllAvailable()
+      // two sentinel batches on a throwaway user advance the watermark so
+      // event-time timeouts flush every open session
+      val far = Timestamp.valueOf("2024-06-03 00:00:00").getTime * 1000L
+      stream.addData(Seq(SessEvent(999L, 900L, far, 0.0, new Timestamp(far / 1000L))))
+      q.processAllAvailable()
+      stream.addData(Seq(SessEvent(999L, 901L, far + 1000000L, 0.0,
+        new Timestamp(far / 1000L + 1000L))))
+      q.processAllAvailable()
+      val got = spark.table("s02_par").filter(col("user_id") =!= 999L).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_no"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+        .toSet
+      assert(got == expected)
+      // sums match to float tolerance (batch sums in exact decimal)
+      val sums = spark.table("s02_par").filter(col("user_id") =!= 999L)
+        .select(sum("sum_value")).collect()(0).getDouble(0)
+      val expSum = EventOps.sessionize(batchDf)
+        .select(sum("sum_value")).collect()(0).getDouble(0)
+      assert(math.abs(sums - expSum) < 1e-9)
+    } finally q.stop()
+  }
+}

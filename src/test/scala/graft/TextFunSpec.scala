@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vec}
+
+/** Unit semantics of the text/vector primitives on literal data. */
+class TextFunSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("shingles: distinct 3-grams, short docs yield empty") {
+    val r = Seq("a b c d", "a b").toDF("t")
+      .select(Text.shingles(col("t")).as("sh")).collect()
+    assert(r(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r(1).getSeq[String](0).isEmpty)
+  }
+
+  test("jaccard on literal sets") {
+    val r = Seq(1).toDF("x").select(
+      Text.jaccard(array(lit("a"), lit("b"), lit("c")),
+        array(lit("b"), lit("c"), lit("d"))).as("j")).collect()(0).getDouble(0)
+    assert(math.abs(r - 0.5) < 1e-12)
+  }
+
+  test("hash60 matches the DuckDB-computable value") {
+    // duckdb: CAST(('0x'||substr(md5('0:hello'),1,15)) AS BIGINT)
+    val r = Seq(1).toDF("x")
+      .select(Text.hash60(lit("hello"), 0).as("h")).collect()(0).getLong(0)
+    assert(r == 670288084931774607L)
+  }
+
+  test("simhash of identical docs is equal; near-dup within small hamming") {
+    val doc = "spark table join scan filter agg window sort"
+    val near = "spark table join scan filter agg window merge"
+    val df = Seq(doc, doc, near).toDF("t")
+      .select(Text.simhash(Text.tokens(col("t"))).as("fp")).collect()
+    assert(df(0).getLong(0) == df(1).getLong(0))
+    val ham = java.lang.Long.bitCount(df(0).getLong(0) ^ df(2).getLong(0))
+    assert(ham <= 12, s"hamming $ham unexpectedly large for a near-dup")
+  }
+
+  test("cosine: orthogonal is 0, identical is 1") {
+    val a = array(lit(1.0f), lit(0.0f))
+    val b = array(lit(0.0f), lit(1.0f))
+    val r = Seq(1).toDF("x").select(
+      Vec.cosine(a, b).as("ab"), Vec.cosine(a, a).as("aa")).collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("native graft_cosine matches portable Vec.cosine bit-for-bit") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).limit(50)
+    val a = e.toDF("ida", "va")
+    val b = e.toDF("idb", "vb")
+    graft.functions.CosineSimilarity.register(spark)
+    val both = a.crossJoin(b)
+      .select(Vec.cosine(col("va"), col("vb")).as("portable"),
+        call_function("graft_cosine", col("va"), col("vb")).as("native"))
+    assert(both.filter(col("portable") =!= col("native")).count() == 0)
+  }
+}
