@@ -273,8 +273,9 @@ object Oracles {
 
   /** Dedup block (SURVEY §2.B). */
   val dedup: Map[String, String] = {
+    import graft.functions.Text.{minhashA, minhashB, MinhashMod => M}
     val minhashes = (0 until 16)
-      .map(seed => s"list_min(list_transform(sh, s -> ${h60(seed, "s")}))")
+      .map(j => s"list_min(list_transform(hb, h -> (h * ${minhashA(j)} + ${minhashB(j)}) % $M))")
       .mkString(",\n        ")
     val simhashBits = (0 until 32).map(i =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)")
@@ -303,7 +304,8 @@ object Oracles {
 
       "d03_minhash_lsh" ->
         s"""WITH $shingleCte,
-           |sig AS (SELECT doc_id, sh, [$minhashes] AS sig FROM sh),
+           |hbt AS (SELECT doc_id, sh, list_transform(sh, s -> ${h60(0, "s")} % $M) AS hb FROM sh),
+           |sig AS (SELECT doc_id, sh, [$minhashes] AS sig FROM hbt),
            |bands AS (SELECT doc_id, b, sig[b*4+1:b*4+4] AS bsig FROM sig, range(0,4) t(b)),
            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |         FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass distinct-k-shingle builder invoked from generated code.
+  * Semantics match the portable Column form exactly: whitespace split
+  * (Spark's split keeps trailing empties: limit -1), k-token windows
+  * joined by single spaces, first-occurrence-order dedup. */
+object ShingleUtil {
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split("\\s+", -1)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd shingle expression — the hot-path replacement for the
+  * portable higher-order form ([[Text.shingles]]): higher-order lambdas
+  * are interpreted per element, this is one tight loop per row inside
+  * whole-stage codegen. Output set is identical to the portable form
+  * (spec-asserted). */
+case class GraftShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingles expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.shingles(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShingles =
+    copy(child = newChild)
+}
+
+object GraftShingles {
+
+  /** Registers `graft_shingles(text, k)`; k must be a foldable int. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => GraftShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+
+  /** Column-API entry. */
+  def apply(spark: SparkSession, text: Column, k: Int = 3): Column = {
+    register(spark)
+    call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(k))
+  }
+}

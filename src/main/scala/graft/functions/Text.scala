@@ -44,11 +44,35 @@ object Text {
     conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 15), 16, 10)
       .cast("bigint")
 
-  /** MinHash signature over a shingle array: one min-hash per seed. */
-  def minhashSig(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleArr, s => hash60(s, seed)))
+  /** Modulus for the MinHash affine rehash family (2^30). */
+  val MinhashMod: Long = 1073741824L
+
+  /** Affine rehash constants (Carter–Wegman style universal family):
+    * odd multiplier + offset per permutation, derived from fixed mixing
+    * constants so both engines embed the identical literals. */
+  def minhashA(j: Int): Long = ((2654435761L * (j + 1)) % MinhashMod) | 1L
+  def minhashB(j: Int): Long = (1779033703L * (j + 1)) % MinhashMod
+
+  /** 30-bit base hash array for MinHash: ONE md5 per shingle. Materialize
+    * this as its own column before calling [[minhashSigFromBase]], so the
+    * digest pass isn't inlined once per permutation. */
+  def minhashBase(shingleArr: Column): Column =
+    transform(shingleArr, s => pmod(hash60(s, 0), lit(MinhashMod)))
+
+  /** MinHash signature from a base-hash array: each permutation is a
+    * cheap affine transform mod 2^30 (odd multiplier → a permutation of
+    * the low bits) — k× fewer digests than hashing per-seed, in Spark AND
+    * in the SQL oracle. */
+  def minhashSigFromBase(baseArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(baseArr, h =>
+        pmod(h * lit(minhashA(j)) + lit(minhashB(j)), lit(MinhashMod))))
     }: _*)
+
+  /** MinHash signature over a raw shingle array (convenience; hot paths
+    * should materialize [[minhashBase]] first). */
+  def minhashSig(shingleArr: Column, numHashes: Int): Column =
+    minhashSigFromBase(minhashBase(shingleArr), numHashes)
 
   /** SimHash fingerprint (`bits`-wide, default 32) from a PRE-HASHED
     * feature array: per-bit majority vote of feature-hash bits. Callers

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Text, Vec}
+import graft.functions.{CosineSimilarity, GraftShingles, Text}
 
 /** Deduplication operators for the training-data pipeline (SURVEY §2.B).
   *
@@ -41,10 +41,13 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** doc_id + distinct 3-gram shingle set (empty-set docs dropped). */
+  /** doc_id + distinct 3-gram shingle set (empty-set docs dropped).
+    * Uses the native [[GraftShingles]] expression — same output set as
+    * the portable Text.shingles (spec-asserted), one codegen'd loop per
+    * row instead of interpreted per-element lambdas. */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), Text.shingles(col("text")).as("sh"))
+      .select(col("doc_id"), GraftShingles(s, col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** d02: exact word-3-gram Jaccard pairs (>= 0.5) via inverted index:
@@ -72,11 +75,24 @@ object Dedup {
     * (band, band-signature); exact verification touches only candidates. */
   def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
-    val bands = sh
-      .select(col("doc_id"), Text.minhashSig(col("sh"), Bands * Rows).as("sig"))
+    // Signature as a relational plan (explode → codegen'd md5 projection →
+    // ONE hash aggregate with 16 min() columns): higher-order lambdas are
+    // interpreted per element, a Generate + HashAggregate is whole-stage
+    // codegen. Same affine-rehash math as Text.minhashSigFromBase.
+    val mins = (0 until Bands * Rows).map(j =>
+      min(pmod(col("hb") * lit(Text.minhashA(j)) + lit(Text.minhashB(j)),
+        lit(Text.MinhashMod))).as(s"mh_$j"))
+    val sig = sh
+      .select(col("doc_id"), explode(col("sh")).as("sng"))
+      .select(col("doc_id"),
+        pmod(Text.hash60(col("sng"), 0), lit(Text.MinhashMod)).as("hb"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+    val bands = sig
       .select(col("doc_id"), explode(array((0 until Bands).map(bnd =>
         struct(lit(bnd).as("band"),
-          slice(col("sig"), bnd * Rows + 1, Rows).as("bsig"))): _*)).as("x"))
+          array((0 until Rows).map(r => col(s"mh_${bnd * Rows + r}")): _*)
+            .as("bsig"))): _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bsig").as("bsig"))
     val ba = bands.toDF("id_a", "band", "bsig")
     val bb = bands.toDF("id_b", "band2", "bsig2")
@@ -100,9 +116,20 @@ object Dedup {
     * within distance 3 shares at least one clean band — pigeonhole, so
     * banding loses nothing at this radius). */
   def d04Simhash(s: SparkSession, d: String): DataFrame = {
+    // Bit votes as a relational explode + one hash aggregate: 32 codegen'd
+    // conditional sums instead of 32 interpreted higher-order array passes
+    // (vote_i > 0  ⇔  2·ones_i > n). Same math as Text.simhashOfHashes.
+    val ones = (0 until 32).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"one_$i"))
+    val fpExpr = (0 until 32).map(i =>
+      when(col(s"one_$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
     val fp = shingled(s, d)
-      .select(col("doc_id"), transform(col("sh"), t => Text.hash60(t, 0)).as("hs"))
-      .select(col("doc_id"), Text.simhashOfHashes(col("hs"), 32).as("fp"))
+      .select(col("doc_id"), explode(col("sh")).as("sng"))
+      .select(col("doc_id"), Text.hash60(col("sng"), 0).as("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), ones: _*)
+      .select(col("doc_id"), fpExpr.as("fp"))
     val bands = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(bnd => struct(lit(bnd).as("band"),
         shiftright(col("fp"), 8 * bnd).bitwiseAND(lit(255L)).as("key"))): _*)).as("x"))
@@ -125,7 +152,7 @@ object Dedup {
     val b = e.toDF("id_b", "vb")
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Vec.cosineRounded(col("va"), col("vb")).as("cosine"))
+        round(CosineSimilarity(s, col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= 0.45)
   }
 }

@@ -46,6 +46,13 @@ class TextFunSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(0)) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("native graft_shingles equals portable Text.shingles on real docs") {
+    val df = Tables.documents(spark, sf001)
+      .select(Text.shingles(col("text")).as("portable"),
+        graft.functions.GraftShingles(spark, col("text")).as("native"))
+    assert(df.filter(col("portable") =!= col("native")).count() == 0)
+  }
+
   test("native graft_cosine matches portable Vec.cosine bit-for-bit") {
     val e = Tables.embeddings(spark, sf001)
       .select(col("vec_id"), col("embedding")).limit(50)
