@@ -200,6 +200,32 @@ object Oracles {
         |    END AS minutes
         |FROM built ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    "q20_map_consolidate" ->
+      """WITH built AS (SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN '{"title": "t'||doc_id||'", "also_known_as": "alt'||doc_id||'"}'
+        |    WHEN 1 THEN '{"title": "t'||doc_id||'", "alternate_title": "alt'||doc_id||'", "year": "1999"}'
+        |    ELSE '{"title": "t'||doc_id||'"}' END AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(json_keys(raw)) AS BIGINT) AS n_keys,
+        |  json_extract_string(raw, '$.title') AS title,
+        |  COALESCE(json_extract_string(raw, '$.also_known_as'),
+        |           json_extract_string(raw, '$.alternate_title'),
+        |           json_extract_string(raw, '$.working_title')) AS alt_title
+        |FROM built ORDER BY doc_id""".stripMargin,
+
+    "q21_suffix_merge" ->
+      """WITH wiki AS (SELECT c_custkey AS id, c_name AS name, c_acctbal AS value FROM customer),
+        |kaggle AS (SELECT o_custkey AS id,
+        |    'Customer#'||CAST(o_custkey AS VARCHAR) AS name,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT w.id, COALESCE(w.name, k.name) AS name,
+        |  ROUND(COALESCE(NULLIF(k.value, 0.0), w.value), 2) AS value,
+        |  w.value AS value_wiki, k.value AS value_kaggle, k.n_orders
+        |FROM wiki w LEFT JOIN kaggle k ON w.id = k.id ORDER BY w.id""".stripMargin,
+
     "q19_etl_pipeline" ->
       """SELECT c_mktsegment, substring(o_orderpriority, 1, 1) AS priority_class,
         |  COUNT(*) AS n_orders,

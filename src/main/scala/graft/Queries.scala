@@ -43,6 +43,8 @@ object Queries {
     "q17_json_extract"     -> (EtlCore.q17JsonExtract _),
     "q18_runtime_parse"    -> (EtlCore.q18RuntimeParse _),
     "q19_etl_pipeline"     -> (EtlCore.q19EtlPipeline _),
+    "q20_map_consolidate"  -> (Reshape.q20MapConsolidate _),
+    "q21_suffix_merge"     -> (Reshape.q21SuffixMerge _),
     "t01_lang_id"          -> (TextAnalysis.t01LangId _),
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
@@ -80,6 +82,8 @@ object Queries {
     "q17_json_extract"     -> Seq("k"),
     "q18_runtime_parse"    -> Seq("l_orderkey", "l_linenumber"),
     "q19_etl_pipeline"     -> Seq("c_mktsegment", "priority_class"),
+    "q20_map_consolidate"  -> Seq("doc_id"),
+    "q21_suffix_merge"     -> Seq("id"),
     "t01_lang_id"          -> Seq("doc_id"),
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),
