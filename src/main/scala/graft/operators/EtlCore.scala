@@ -72,15 +72,16 @@ object EtlCore {
 
   /** q05: deterministic keep-first dedup by key (the reference's
     * drop_duplicates(subset='imdb_id'), challenge.py:106 — made
-    * order-stable with an explicit tie-break). */
-  def q05DedupKey(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    * order-stable with an explicit tie-break). Implemented as
+    * min(struct(orderKeys...)) — a partial-aggregatable hash agg (map-side
+    * combine, no per-group sort), unlike the row_number window form which
+    * total-sorts every partition at scale. */
+  def q05DedupKey(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey"),
-        to_date(col("o_orderdate")).as("first_date"))
-  }
+      .groupBy("o_custkey")
+      .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("f"))
+      .select(col("o_custkey"), col("f.o_orderkey").as("o_orderkey"),
+        to_date(col("f.o_orderdate")).as("first_date"))
 
   /** q06: regex extraction from messy strings (the reference's imdb-id
     * extract, challenge.py:105). Guarded cast: no-match → null, not error. */

@@ -73,9 +73,24 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("bigint").as("n_distinct"))
   }
 
-  /** t04: order-sensitive polynomial rolling-hash fingerprint per doc. */
-  def t04Fingerprint(s: SparkSession, d: String): DataFrame =
+  /** t04: order-sensitive polynomial rolling-hash fingerprint per doc.
+    * Relational form of [[Text.rollingFingerprint]]: posexplode tokens →
+    * codegen'd md5 term projection → one hash aggregate. The term sum runs
+    * in DECIMAL(38,0) (exact, order-independent) and is reduced mod p
+    * once at the end — identical to the fold-with-mod-per-step result. */
+  def t04Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val p = 2305843009213693951L // 2^61 - 1
+    val powers = array(Seq.iterate(1L, 8)(_ * 31L).map(lit(_)): _*)
     Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("i", "tok")))
       .select(col("doc_id"),
-        Text.rollingFingerprint(Text.tokens(col("text"))).as("fp"))
+        (pmod(Text.hash60(col("tok"), 7), lit(1048576L)) *
+          element_at(powers, (pmod(col("i"), lit(8)) + 1).cast("int")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("term"))
+      .groupBy("doc_id")
+      .agg(sum("term").as("acc"))
+      .select(col("doc_id"),
+        pmod(col("acc"), lit(p).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("bigint").as("fp"))
+  }
 }

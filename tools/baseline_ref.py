@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""Baseline protocol (dev tool, not shipped code).
+
+The reference (CocoLB/08-Movies-ETL) is a single-process pandas pipeline
+with no published benchmark, so the 2x perf gate needs a measurable
+baseline: this script implements the SAME headline operations, with the
+same semantics as the graft queries, in idiomatic pandas/numpy (the
+reference's own technology), on the same sf parquet tables, on the same
+machine. Timings include the parquet read (Spark's bench times include
+the scan too).
+
+Usage: baseline_ref.py <sfDir>   -> one JSON line, and stores per-op secs
+"""
+import sys, time, json, re, hashlib
+import pandas as pd
+import numpy as np
+
+def timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+def main(sf):
+    P = lambda t: f"{sf}/{t}.parquet"
+    res = {}
+
+    def q01():
+        li = pd.read_parquet(P("lineitem"))
+        li = li[li.l_shipdate < "1998-09-03"]
+        li.groupby(["l_returnflag", "l_linestatus"]).agg(
+            sum_qty=("l_quantity", "sum"), sum_base=("l_extendedprice", "sum"),
+            avg_qty=("l_quantity", "mean"), avg_disc=("l_discount", "mean"),
+            n=("l_quantity", "size"))
+    res["q01_agg"] = timed(q01)
+
+    def q03():
+        c = pd.read_parquet(P("customer")); o = pd.read_parquet(P("orders"))
+        l = pd.read_parquet(P("lineitem"))
+        c = c[c.c_mktsegment == "BUILDING"]
+        o = o[o.o_orderdate < "1995-03-15"]
+        l = l[l.l_shipdate > "1995-03-15"]
+        m = c.merge(o, left_on="c_custkey", right_on="o_custkey").merge(
+            l, left_on="o_orderkey", right_on="l_orderkey")
+        m["rev"] = m.l_extendedprice * (1 - m.l_discount)
+        m.groupby(["l_orderkey", "o_orderdate"]).rev.sum().nlargest(20)
+    res["q03_join_agg"] = timed(q03)
+
+    def q05():
+        o = pd.read_parquet(P("orders"))
+        o.sort_values(["o_orderdate", "o_orderkey"]).drop_duplicates("o_custkey")
+    res["q05_dedup_key"] = timed(q05)
+
+    def q07():
+        o = pd.read_parquet(P("orders"))
+        m = np.floor(o.o_totalprice).astype("int64")
+        k = o.o_orderkey % 4
+        raw = pd.Series(np.select(
+            [k == 0, k == 1, k == 2],
+            ["$" + (m // 100).astype(str) + "." + (m % 100).astype(str).str.zfill(2) + " million",
+             "$" + (m // 1000).astype(str) + "." + (m % 1000).astype(str).str.zfill(3) + " billion",
+             "$" + m.map("{:,}".format)], "N/A"))
+        # the reference's parse_dollars applied per row (challenge.py:118)
+        def parse(s):
+            mm = re.match(r"(?i)^\$\s*(\d+\.?\d*)\s*milli?on", s)
+            if mm: return float(mm.group(1)) * 1e6
+            mb = re.match(r"(?i)^\$\s*(\d+\.?\d*)\s*billi?on", s)
+            if mb: return float(mb.group(1)) * 1e9
+            mp = re.match(r"^\$\s*(\d{1,3}(?:[,\.]\d{3})+)", s)
+            if mp: return float(re.sub(r"[,\.]", "", mp.group(1)))
+            return np.nan
+        raw.apply(parse)
+    res["q07_parse_dollars"] = timed(q07)
+
+    def q10():
+        o = pd.read_parquet(P("orders"))
+        o.pivot_table(index="o_custkey", columns="o_orderstatus",
+                      values="o_orderkey", aggfunc="count").fillna(0)
+    res["q10_pivot"] = timed(q10)
+
+    def q12():
+        o = pd.read_parquet(P("orders"))
+        o.sort_values(["o_totalprice", "o_orderkey"],
+                      ascending=[False, True]).groupby("o_custkey").head(3)
+    res["q12_window_topn"] = timed(q12)
+
+    def q19():
+        o = pd.read_parquet(P("orders")); c = pd.read_parquet(P("customer"))
+        o = o[o.o_orderstatus.isin(["O", "F", "P"])]
+        m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        m["pc"] = m.o_orderpriority.str[:1]
+        m.groupby(["c_mktsegment", "pc"]).agg(
+            n=("o_orderkey", "size"), rev=("o_totalprice", "sum"),
+            bal=("c_acctbal", "mean"))
+    res["q19_etl_pipeline"] = timed(q19)
+
+    def d01():
+        d = pd.read_parquet(P("documents"))
+        dd = pd.concat([d, d.assign(doc_id=d.doc_id + 1000000)])
+        dd["h"] = dd.text.map(lambda t: hashlib.sha256(t.encode()).hexdigest())
+        dd.groupby("h").agg(keep=("doc_id", "min"), n=("doc_id", "size"))
+    res["d01_dedup_exact"] = timed(d01)
+
+    def d02():
+        d = pd.read_parquet(P("documents"))
+        sh = {}
+        for i, t in zip(d.doc_id, d.text):
+            toks = t.split()
+            sh[i] = {" ".join(toks[j:j+3]) for j in range(len(toks) - 2)}
+        inv = {}
+        for i, ss in sh.items():
+            for s in ss: inv.setdefault(s, []).append(i)
+        from collections import Counter
+        inter = Counter()
+        for ids in inv.values():
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    inter[(ids[x], ids[y])] += 1
+        [(a, b) for (a, b), c in inter.items()
+         if c / (len(sh[a]) + len(sh[b]) - c) >= 0.5]
+    res["d02_ngram_jaccard"] = timed(d02)
+
+    def t03():
+        d = pd.read_parquet(P("documents"))
+        toks = d.text.str.split()
+        pd.DataFrame({"n": toks.map(len),
+                      "w": d.text.map(lambda t: len(re.findall("[a-z]+", t))),
+                      "u": toks.map(lambda x: len(set(x)))})
+    res["t03_token_count"] = timed(t03)
+
+    def t04():
+        d = pd.read_parquet(P("documents"))
+        M, P61 = 1048576, (1 << 61) - 1
+        pw = [31 ** e for e in range(8)]
+        def fp(t):
+            acc = 0
+            for i, tok in enumerate(t.split()):
+                h = int(hashlib.md5(f"7:{tok}".encode()).hexdigest()[:15], 16) % M
+                acc = (acc + h * pw[i % 8]) % P61
+            return acc
+        d.text.map(fp)
+    res["t04_fingerprint"] = timed(t04)
+
+    def e01():
+        e = pd.read_parquet(P("embeddings"))
+        V = np.stack(e.embedding.to_numpy()).astype(np.float64)
+        ids = e.vec_id.to_numpy()
+        Q = V[ids % 100 == 0]
+        sims = (Q @ V.T) / (np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(V, axis=1)[None, :])
+        np.argsort(-np.round(sims, 6), axis=1)[:, :11]
+    res["e01_knn_brute"] = timed(e01)
+
+    def s02():
+        ev = pd.read_parquet(P("events"))
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        us = ev.ts.astype("int64") // 1000
+        new = (us.groupby(ev.user_id).diff().isna() |
+               (us.groupby(ev.user_id).diff() > 1800000000)).astype(int)
+        sess = new.groupby(ev.user_id).cumsum()
+        ev.assign(sess=sess, us=us).groupby(["user_id", "sess"]).agg(
+            n=("event_id", "size"), a=("us", "min"), b=("us", "max"),
+            v=("value", "sum"))
+    res["s02_sessionize"] = timed(s02)
+
+    def m01():
+        d = pd.read_parquet(P("documents"))
+        def meta(t):
+            b = hashlib.md5(t.encode()).digest()
+            return (len(b), (b[0] << 8) | b[1], (b[2] << 8) | b[3],
+                    ["png", "jpeg", "webp"][b[4] % 3])
+        d.text.map(meta)
+    res["m01_multimodal_meta"] = timed(m01)
+
+    total = round(sum(res.values()), 3)
+    print(json.dumps({"metric": "baseline_total", "value": total,
+                      "unit": "sec", "queries": res, "sf": sf}))
+
+if __name__ == "__main__":
+    main(sys.argv[1])
