@@ -28,17 +28,21 @@ object Vec {
     * deterministic pseudo-random hyperplanes. Hyperplane component (j, d)
     * is derived from hash60-style md5 arithmetic so the planes are fixed
     * across runs (no RNG at plan time). */
+  /** Hyperplane component sign in {-1, +1} from md5(seed:comp) parity —
+    * deterministic at plan time, shared by the portable and native
+    * ([[RhpBucket]]) forms. */
+  def rhpSign(seed: Int, comp: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$comp".getBytes("UTF-8"))
+    if ((digest(0) & 1) == 1) 1.0 else -1.0
+  }
+
   def rhpBucket(v: Column, bits: Int, dim: Int, seedBase: Int = 1000): Column = {
     val bitCols = (0 until bits).map { j =>
-      // Component weights in {-1, +1} from md5(seed:d) parity — a signed
-      // random projection (Achlioptas-style). The hyperplane is computed
-      // once at PLAN time and embedded as a literal array, so the per-row
-      // work is a single zip_with pass (dim multiply-adds per bit).
-      val weights: Seq[Double] = (0 until dim).map { comp =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${seedBase + j}:$comp".getBytes("UTF-8"))
-        if ((digest(0) & 1) == 1) 1.0 else -1.0
-      }
+      // Signed random projection (Achlioptas-style): the hyperplane is
+      // computed once at PLAN time and embedded as a literal array, so the
+      // per-row work is a single zip_with pass (dim multiply-adds per bit).
+      val weights: Seq[Double] = (0 until dim).map(rhpSign(seedBase + j, _))
       val proj = aggregate(
         zip_with(v, typedLit(weights), (x, w) => x.cast("double") * w),
         lit(0.0d), (acc, p) => acc + p)

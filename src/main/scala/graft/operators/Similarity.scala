@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{CosineSimilarity, Vec}
+import graft.functions.{CosineSimilarity, RhpBucket, TopKByScore}
 
 /** Similarity search over the embeddings table (SURVEY §2.C).
   *
@@ -28,17 +27,25 @@ object Similarity {
   private def rounded(s: SparkSession, a: Column, b: Column): Column =
     round(CosineSimilarity(s, a, b), 6)
 
+  /** Per-query top-k via the bounded [[TopKByScore]] aggregate: map-side
+    * partial top-k means at most k rows per (query, partition) reach the
+    * shuffle — the row_number-window form would shuffle and sort EVERY
+    * scored candidate. Output identical (score DESC, id ASC ranking). */
+  private def topK(s: SparkSession, scored: DataFrame): DataFrame =
+    scored.groupBy("q_id")
+      .agg(TopKByScore(s, struct(col("cosine"), col("c_id")), K).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("c_id"), col("t.score").as("cosine"),
+        (col("pos") + 1).cast("bigint").as("rnk"))
+
   /** e01: brute-force cosine top-k — every corpus vector scored against
     * every query (queries = vec_id % 100 == 0), exact ranking. */
   def e01KnnBrute(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") % 100 === 0).toDF("q_id", "qv")
     val c = e.toDF("c_id", "cv")
-    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("c_id"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= K)
+    topK(s, c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")))
   }
 
   /** e02: LSH-bucketed approximate top-k — candidates share a
@@ -52,7 +59,7 @@ object Similarity {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val bucketed = e.select(col("vec_id"), col("embedding"),
       explode(array((0 until L).map(t => struct(lit(t).as("tbl"),
-        Vec.rhpBucket(col("embedding"), bits, dim, 1000 + t * bits)
+        RhpBucket(s, col("embedding"), bits, dim, 1000 + t * bits)
           .as("bkt"))): _*)).as("x"))
       .select(col("vec_id"), col("embedding"),
         col("x.tbl").as("tbl"), col("x.bkt").as("bkt"))
@@ -63,9 +70,7 @@ object Similarity {
       .join(c, col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&
         col("q_id") =!= col("c_id"))
       .select("q_id", "qv", "c_id", "cv").distinct()
-    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("c_id"))
-    cand.select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= K)
+    topK(s, cand
+      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")))
   }
 }

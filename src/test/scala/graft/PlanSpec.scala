@@ -43,6 +43,14 @@ class PlanSpec extends SparkSpecBase {
       "query set must broadcast")
   }
 
+  test("e01/e02: top-k is the bounded partial aggregate, not a window sort") {
+    for (q <- Seq("e01_knn_brute", "e02_ann_lsh")) {
+      val p = physical(q)
+      assert(p.contains("graft_topk"), s"$q should aggregate with graft_topk")
+      assert(!p.contains("Window"), s"$q must not shuffle-sort through a window")
+    }
+  }
+
   test("d01: exact dedup is a single hash aggregate with map-side partials") {
     val p = physical("d01_dedup_exact")
     assert(p.contains("HashAggregate"), p.take(2000))

@@ -53,6 +53,15 @@ class TextFunSpec extends SparkSpecBase {
     assert(df.filter(col("portable") =!= col("native")).count() == 0)
   }
 
+  test("native graft_rhp_bucket equals portable Vec.rhpBucket") {
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).limit(100)
+    val df = e.select(
+      Vec.rhpBucket(col("embedding"), 4, 64, 1008).as("portable"),
+      graft.functions.RhpBucket(spark, col("embedding"), 4, 64, 1008).as("native"))
+    assert(df.filter(col("portable") =!= col("native")).count() == 0)
+  }
+
   test("native graft_cosine matches portable Vec.cosine bit-for-bit") {
     val e = Tables.embeddings(spark, sf001)
       .select(col("vec_id"), col("embedding")).limit(50)
