@@ -53,6 +53,15 @@ class TextFunSpec extends SparkSpecBase {
     assert(df.filter(col("portable") =!= col("native")).count() == 0)
   }
 
+  test("relational t04 fingerprint equals the portable rollingFingerprint fold") {
+    val portable = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        Text.rollingFingerprint(Text.tokens(col("text"))).as("fp"))
+    val relational = graft.operators.TextAnalysis.t04Fingerprint(spark, sf001)
+    assert(portable.exceptAll(relational).count() == 0 &&
+      relational.exceptAll(portable).count() == 0)
+  }
+
   test("native graft_rhp_bucket equals portable Vec.rhpBucket") {
     val e = Tables.embeddings(spark, sf001)
       .select(col("vec_id"), col("embedding")).limit(100)
