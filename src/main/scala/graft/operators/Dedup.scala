@@ -52,10 +52,28 @@ object Dedup {
 
   /** d02: exact word-3-gram Jaccard pairs (>= 0.5) via inverted index:
     * explode shingles, self-join on shingle, count co-occurrences =
-    * |A∩B|, so jaccard = c / (|A| + |B| - c). No all-pairs product. */
-  def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val inv = shingled(s, d)
+    * |A∩B|, so jaccard = c / (|A| + |B| - c). No all-pairs product.
+    *
+    * `maxDf` (document-frequency cutoff) is the corpus-scale guard: a
+    * shingle in f docs generates f² candidate rows, so stop-shingles must
+    * be dropped from the index at 100 TB (they carry ~no Jaccard signal;
+    * standard prefix/stop-token filtering). The oracle-gated query runs
+    * uncapped (exact) — pass a cutoff when the corpus demands it. */
+  def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(shingled(s, d), threshold = 0.5, maxDf = None)
+
+  def ngramJaccardPairs(sh: DataFrame, threshold: Double,
+                        maxDf: Option[Int]): DataFrame = {
+    val exploded = sh
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val inv = maxDf.fold(exploded) { cap =>
+      val hot = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("s")
+      // Seq-key joins move the key column first; restore positional order
+      // (the sides below are renamed positionally with toDF).
+      exploded.join(broadcast(hot), Seq("s"), "left_anti")
+        .select("doc_id", "n_sh", "s")
+    }
     val a = inv.toDF("id_a", "na", "s")
     val b = inv.toDF("id_b", "nb", "s2")
     a.join(b, col("s") === col("s2") && col("id_a") < col("id_b"))
@@ -64,7 +82,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
   }
 
   private val Bands = 4

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities. AQE's skew-join splitting covers
+  * sort-merge joins at runtime; explicit salting is still the tool when
+  * a hot key must be split BEFORE a shuffle AQE can't rewrite (windows,
+  * or a build side that must replicate).
+  */
+object Skew {
+
+  /** Salted equi-join: the (possibly skewed) left side gets a
+    * deterministic salt in [0, buckets) derived from cheap non-key
+    * columns, the (smaller) right side is replicated `buckets` times, and
+    * the join key becomes (key, salt) — a hot key now spreads over
+    * `buckets` reducers. Row multiplicity is unchanged: every left row
+    * matches exactly its original right rows (one replica each).
+    *
+    * `saltSource` must be deterministic per row (e.g. a row id column) so
+    * the same input always lands in the same bucket. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltSource: Column, buckets: Int,
+                 how: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    val l = left.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, l("__salt") === r("__salt") && l(key) === r(key), how)
+      .drop(l("__salt")).drop(r("__salt")).drop(r(key))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Skew}
+
+class SkewSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("saltedJoin: same rows as a plain join, key spread over buckets") {
+    val left = Seq.tabulate(1000)(i =>
+      (if (i < 900) "hot" else s"k$i", i.toLong)).toDF("key", "row_id")
+    val right = Seq(("hot", 1.0), ("k950", 2.0)).toDF("key", "w")
+    val plain = left.join(right, "key")
+    val salted = Skew.saltedJoin(left, right, "key", col("row_id"), 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("key", "row_id", "w").exceptAll(
+      plain.select("key", "row_id", "w")).count() == 0)
+    // the hot key really lands in multiple buckets
+    val spread = left.filter(col("key") === "hot")
+      .select(pmod(hash(col("row_id")), lit(8)).as("b"))
+      .distinct().count()
+    assert(spread > 1)
+  }
+
+  test("ngramJaccard df-cutoff drops stop-shingles but keeps true pairs") {
+    val sh = Seq(
+      (1L, Seq("a b c", "x y z")),
+      (2L, Seq("a b c", "x y z")),
+      (3L, Seq("a b c", "q r s")),
+      (4L, Seq("a b c", "t u v"))).toDF("doc_id", "sh")
+    // uncapped: docs 1,2 pair at 1.0; 'a b c' (df=4) also links 3,4 at 1/3
+    val uncapped = Dedup.ngramJaccardPairs(sh, 0.3, None).count()
+    // df cap 3 removes 'a b c' from the index: only the 1-2 pair remains
+    val capped = Dedup.ngramJaccardPairs(sh, 0.3, Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped > 1)
+    assert(capped == Set((1L, 2L)))
+  }
+}
