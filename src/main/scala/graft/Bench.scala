@@ -26,7 +26,10 @@ object Bench {
     }
     val names = Queries.production.keys.toSeq.sorted
     names.foreach(materialize) // warmup: codegen + JIT + file-footer caches
-    val results = names.map(n => n -> materialize(n))
+    // two timed passes, keep the min — steady-state time with scheduler
+    // noise suppressed (single-pass jitter is ±20-30% at toy SFs)
+    val pass1 = names.map(n => n -> materialize(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), materialize(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
