@@ -392,6 +392,14 @@ object Oracles {
         |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    "m02_frame_sample" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |f AS (SELECT doc_id, i AS frame_no,
+        |        CAST(('0x'||substr(hx, CAST(8*i+1 AS INT), 8)) AS BIGINT) AS checksum
+        |      FROM h, range(0,4) t(i))
+        |SELECT doc_id, frame_no, checksum, checksum % 5 = 0 AS is_keyframe
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
     "s01_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
         |  COUNT(*) AS n,

@@ -57,6 +57,7 @@ object Queries {
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     "e02_ann_lsh"          -> (Similarity.e02AnnLsh _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
+    "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _)
   )
@@ -96,6 +97,7 @@ object Queries {
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
+    "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no")
   )

@@ -11,6 +11,10 @@ case class MediaRow(doc_id: Long, payload: Array[Byte])
 case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
                      format: String)
 
+/** One sampled frame of a media payload. */
+case class FrameRow(doc_id: Long, frame_no: Long, checksum: Long,
+                    is_keyframe: Boolean)
+
 /** Multimodal column handling (SURVEY §2.E): media as opaque `binary`
   * columns + typed decode metadata.
   *
@@ -45,6 +49,27 @@ object Multimodal {
             case _ => "webp"
           }
           MediaMeta(r.doc_id, b.length.toLong, width, height, format)
+        }
+      }
+      .toDF()
+  }
+
+  /** m02: frame sampling — one payload row fans out to N frame rows via
+    * a typed flatMap (the row-multiplying shape a video/audio sampler
+    * needs). The frame extraction is the same clearly-marked stub:
+    * fixed 4-byte "frames" of the md5 payload, checksummed. */
+  def m02FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .as[MediaRow]
+      .flatMap { r =>
+        // a real codec seeks keyframe boundaries here
+        val b = r.payload
+        (0 until 4).iterator.map { i =>
+          val cs = ((b(4 * i) & 0xffL) << 24) | ((b(4 * i + 1) & 0xffL) << 16) |
+            ((b(4 * i + 2) & 0xffL) << 8) | (b(4 * i + 3) & 0xffL)
+          FrameRow(r.doc_id, i.toLong, cs, cs % 5 == 0)
         }
       }
       .toDF()
