@@ -58,6 +58,30 @@ class StreamingParitySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s01 window agg: data later than the watermark is dropped (streaming contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowAggStream(stream.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("s01_late").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-06-01 00:10:00")
+      stream.addData(Seq((t0, "view", 1.0)))
+      q.processAllAvailable()
+      // advance watermark far past t0's window
+      stream.addData(Seq((Timestamp.valueOf("2024-06-01 06:00:00"), "flush", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((Timestamp.valueOf("2024-06-01 06:00:01"), "flush", 0.0)))
+      q.processAllAvailable()
+      // this event's window closed hours ago -> must be silently dropped
+      stream.addData(Seq((Timestamp.valueOf("2024-06-01 00:20:00"), "late", 9.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((Timestamp.valueOf("2024-06-01 06:00:02"), "flush", 0.0)))
+      q.processAllAvailable()
+      assert(spark.table("s01_late").filter(col("event_type") === "late").count() == 0)
+      assert(spark.table("s01_late").filter(col("event_type") === "view").count() == 1)
+    } finally q.stop()
+  }
+
   test("s02 sessionize: flatMapGroupsWithState equals the batch two-window form") {
     val batchDf = events.map(e => (e._1, e._2, e._3, e._4))
       .toDF("user_id", "event_id", "ts_us", "value")
