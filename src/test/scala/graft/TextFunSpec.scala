@@ -28,6 +28,23 @@ class TextFunSpec extends SparkSpecBase {
     assert(r == 670288084931774607L)
   }
 
+  test("minhashSig matches a JVM-computed reference (same math d03 inlines relationally)") {
+    val shingles = Seq("a b c", "b c d", "c d e")
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"0:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = (0 until 4).map { j =>
+      shingles.map(s => ((h60(s) % Text.MinhashMod) * Text.minhashA(j) +
+        Text.minhashB(j)) % Text.MinhashMod).min
+    }
+    val got = Seq(1).toDF("x")
+      .select(Text.minhashSig(array(shingles.map(lit(_)): _*), 4).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == expected)
+  }
+
   test("simhash of identical docs is equal; near-dup within small hamming") {
     val doc = "spark table join scan filter agg window sort"
     val near = "spark table join scan filter agg window merge"
