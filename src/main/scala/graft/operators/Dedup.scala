@@ -76,7 +76,13 @@ object Dedup {
     }
     val a = inv.toDF("id_a", "na", "s")
     val b = inv.toDF("id_b", "nb", "s2")
-    a.join(b, col("s") === col("s2") && col("id_a") < col("id_b"))
+    // Length filter (PPJoin-family): j >= t needs |A∩B| >= t/(1+t)·(na+nb)
+    // and |A∩B| <= min(na,nb), which together force min >= t·max. Applied
+    // inside the join it prunes candidate rows BEFORE the pair-count
+    // shuffle; the result set is provably unchanged.
+    a.join(b, col("s") === col("s2") && col("id_a") < col("id_b") &&
+        col("na").cast("double") >= col("nb") * threshold &&
+        col("nb").cast("double") >= col("na") * threshold)
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),

@@ -70,6 +70,15 @@ class TextFunSpec extends SparkSpecBase {
     assert(df.filter(col("portable") =!= col("native")).count() == 0)
   }
 
+  test("native graft_shingles equals portable on whitespace edge cases") {
+    val edges = Seq("", "a", "a b", "a b c", " a  b c ", "a b c b c d",
+      "a\tb\nc d")
+    val df = edges.toDF("t")
+      .select(Text.shingles(col("t")).as("portable"),
+        graft.functions.GraftShingles(spark, col("t")).as("native"))
+    assert(df.filter(col("portable") =!= col("native")).count() == 0)
+  }
+
   test("relational t04 fingerprint equals the portable rollingFingerprint fold") {
     val portable = Tables.documents(spark, sf001)
       .select(col("doc_id"),
