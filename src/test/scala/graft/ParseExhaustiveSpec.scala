@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Parse
+
+/** Exhaustive table-driven parser coverage (one Spark job per family —
+  * all cases go through a single DataFrame pass). */
+class ParseExhaustiveSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("parseRuntime: every h/m combination 0-23h x 0-59m plus bare forms") {
+    val hm = for (h <- 0 to 23; m <- 0 to 59)
+      yield (s"${h}h ${m}m", h * 60L + m)
+    val bareH = (0 to 23).map(h => (s"$h hr", h * 60L))
+    val bareM = (0 to 300 by 7).map(m => (s"$m m", m.toLong))
+    val cases = hm ++ bareH ++ bareM
+    val bad = cases.toDF("raw", "want")
+      .select(Parse.parseRuntime(col("raw")).as("got"), col("want"))
+      .filter(col("got").isNull || col("got") =!= col("want")).count()
+    assert(bad == 0)
+  }
+
+  test("parseDollars: million/billion with 0-2 decimals and grouped plain amounts") {
+    val mm = for (i <- 0 to 99; f <- Seq("", ".5", ".25"))
+      yield (s"$$$i$f million", s"$i$f".toDouble * 1e6)
+    val bb = for (i <- 0 to 9; f <- Seq("", ".75"))
+      yield (s"$$$i$f billion", s"$i$f".toDouble * 1e9)
+    val plain = Seq(1234567L, 22333444L, 999000L).map(v =>
+      (f"$$$v%,d", v.toDouble))
+    val cases = mm ++ bb ++ plain
+    val bad = cases.toDF("raw", "want")
+      .select(Parse.parseDollars(col("raw")).as("got"), col("want"))
+      .filter(col("got").isNull || col("got") =!= col("want")).count()
+    assert(bad == 0)
+  }
+
+  test("parseMultiDate: every day of a year through the full-date format") {
+    val days = (0 until 365).map { off =>
+      java.time.LocalDate.of(2001, 1, 1).plusDays(off)
+    }
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("MMMM d, yyyy", java.util.Locale.US)
+    val cases = days.map(d => (d.format(fmt), java.sql.Date.valueOf(d)))
+    val bad = cases.toDF("raw", "want")
+      .select(Parse.parseMultiDate(col("raw")).as("got"), col("want"))
+      .filter(col("got").isNull || col("got") =!= col("want")).count()
+    assert(bad == 0)
+  }
+}
