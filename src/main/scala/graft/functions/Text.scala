@@ -13,9 +13,6 @@ object Text {
   /** Whitespace word tokens. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** Distinct word tokens (set semantics for Jaccard). */
-  def tokenSet(text: Column): Column = array_distinct(tokens(text))
-
   /** Distinct k-word shingles, joined with single spaces.
     * k=3 gives a sparse space even over a small vocabulary, which is what
     * separates planted near-duplicates from random overlap. */

@@ -17,12 +17,10 @@ object Vec {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double; null-safe on zero vectors. */
+  /** Cosine similarity in double; null-safe on zero vectors. Portable
+    * reference form of the native [[CosineSimilarity]] expression
+    * (bit-identical; parity spec-asserted). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Cosine rounded for cross-engine-stable comparisons/ordering. */
-  def cosineRounded(a: Column, b: Column, scale: Int = 6): Column =
-    round(cosine(a, b), scale)
 
   /** Random-hyperplane LSH bucket id: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes. Hyperplane component (j, d)

@@ -126,12 +126,9 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val sa = sh.toDF("id_a", "sha")
     val sb = sh.toDF("id_b", "shb")
-    val inter = size(array_intersect(col("sha"), col("shb")))
     cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        round(inter.cast("double") /
-          (size(col("sha")) + size(col("shb")) - inter).cast("double"), 6)
-          .as("jaccard"))
+        round(Text.jaccard(col("sha"), col("shb")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
 
