@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, GraftShingles, RhpBucket, TopKByScore}
+import graft.functions.{CosineSimilarity, ExprArgs, GraftShingles, RhpBucket, TopKByScore}
 
 /** `spark.sql.extensions=graft.GraftExtensions` registration path for
   * every native graft expression. */
@@ -17,18 +17,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[GraftShingles].getName, "graft_shingles"),
       (exprs: Seq[Expression]) => GraftShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+        ExprArgs.int(exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_rhp_bucket"),
       new ExpressionInfo(classOf[RhpBucket].getName, "graft_rhp_bucket"),
       (exprs: Seq[Expression]) => RhpBucket(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int])))
+        ExprArgs.int(exprs(1)),
+        ExprArgs.int(exprs(2)),
+        ExprArgs.int(exprs(3)))))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKByScore(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+        ExprArgs.int(exprs(1)))))
   }
 }

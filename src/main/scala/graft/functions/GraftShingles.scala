@@ -10,6 +10,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Foldable-literal argument extraction for registered function builders
+  * (SQL users may write `10` (int) or a bigint literal). */
+private[graft] object ExprArgs {
+  def int(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
+  }
+}
+
 /** Single-pass distinct-k-shingle builder invoked from generated code.
   * Semantics match the portable Column form exactly: whitespace split
   * (Spark's split keeps trailing empties: limit -1), k-token windows
@@ -71,7 +84,7 @@ object GraftShingles {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       exprs => GraftShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+        ExprArgs.int(exprs(1))), "built-in")
 
   /** Column-API entry. */
   def apply(spark: SparkSession, text: Column, k: Int = 3): Column = {

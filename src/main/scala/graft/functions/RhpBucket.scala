@@ -64,9 +64,9 @@ object RhpBucket {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rhp_bucket",
       exprs => RhpBucket(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int]), "built-in")
+        ExprArgs.int(exprs(1)),
+        ExprArgs.int(exprs(2)),
+        ExprArgs.int(exprs(3))), "built-in")
 
   def apply(spark: SparkSession, v: Column, bits: Int, dim: Int,
             seedBase: Int): Column = {

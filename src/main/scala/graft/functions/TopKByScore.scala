@@ -121,7 +121,7 @@ object TopKByScore {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk",
-      exprs => TopKByScore(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      exprs => TopKByScore(exprs(0), ExprArgs.int(exprs(1))),
       "built-in")
 
   /** Column-API entry: `graft_topk(struct(score, id), k)`. */

@@ -48,4 +48,14 @@ object Sinks {
   /** Append rows to an existing dataset (incremental load). */
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  /** Bucketed managed table: co-locates rows by join key at write time so
+    * later joins between tables bucketed on the same key run with NO
+    * shuffle exchange (spec-asserted). The lake-side analog of
+    * pre-partitioned warehouse loads; `sortBy` makes the join a zip of
+    * sorted buckets. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
 }

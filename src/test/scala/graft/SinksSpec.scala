@@ -59,6 +59,34 @@ class SinksSpec extends SparkSpecBase {
     assert(Sources.parquet(spark, dir).count() == 1000)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    for (t <- Seq("bkt_a", "bkt_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a crashed prior run can leave an orphaned managed location behind
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "vb")
+    Sinks.writeBucketed(a, "bkt_a", "k", 8)
+    Sinks.writeBucketed(b, "bkt_b", "k", 8)
+    // force the sort-merge path (tiny test tables would broadcast, which
+    // hides the property under test: bucket co-location removes shuffles)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed-by-key join must not shuffle")
+      assert(j.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("append mode accumulates; overwrite replaces") {
     val dir = tmp() + "/modes"
     val df = Seq(1L, 2L).toDF("id")
