@@ -369,6 +369,35 @@ object Oracles {
         |   / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE))))
         |    * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> CAST(c.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)))))""".stripMargin
     Map(
+      "e03_ivf_ann" ->
+        s"""WITH comp AS (
+           |  SELECT label, i,
+           |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |      / (COUNT(*) * 1000000.0) AS c
+           |  FROM embeddings, range(1, 65) t(i)
+           |  GROUP BY label, i),
+           |cent AS (SELECT label, list(c ORDER BY i) AS cv FROM comp GROUP BY label),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |cells AS (
+           |  SELECT q_id, label, ROUND(
+           |    list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * cv[i]))
+           |    / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE))))
+           |     * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i])))), 6) AS cscore
+           |  FROM q, cent),
+           |probed AS (
+           |  SELECT q_id, label FROM (
+           |    SELECT q_id, label,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cscore DESC, label) AS rr
+           |    FROM cells) WHERE rr <= 3),
+           |scored AS (
+           |  SELECT p.q_id, c.vec_id AS c_id,
+           |    ROUND($cosQC, 6) AS cosine
+           |  FROM probed p JOIN q USING (q_id)
+           |  JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.q_id),
+           |r AS (SELECT q_id, c_id, cosine,
+           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
+           |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
       "e01_knn_brute" ->
         s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
            |s AS (SELECT q_id, c.vec_id AS c_id,

@@ -56,6 +56,7 @@ object Queries {
     "d05_embedding_dedup"  -> (Dedup.d05EmbeddingDedup _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     "e02_ann_lsh"          -> (Similarity.e02AnnLsh _),
+    "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
@@ -96,6 +97,7 @@ object Queries {
     "d05_embedding_dedup"  -> Seq("id_a", "id_b"),
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
+    "e03_ivf_ann"          -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{CosineSimilarity, RhpBucket, TopKByScore}
+import graft.functions.{CosineSimilarity, RhpBucket, TopKByScore, Vec}
 
 /** Similarity search over the embeddings table (SURVEY §2.C).
   *
@@ -72,5 +72,50 @@ object Similarity {
       .select("q_id", "qv", "c_id", "cv").distinct()
     topK(s, cand
       .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")))
+  }
+
+  /** e03: IVF-style ANN — coarse cells (here: the label column; a
+    * k-means quantizer slots in identically), exact per-cell centroids,
+    * probe the top-3 nearest cells per query, scan only those cells.
+    * At scale the corpus is partitioned by cell id, so a query touches
+    * `probe/cells` of the data. Deterministic end-to-end (centroid means
+    * use exact scaled-integer sums, order-independent), so unlike most
+    * ANN this one is oracle-gated exactly.
+    */
+  def e03IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val Probe = 3
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+    // Cell centroids: per (cell, position), an exact order-independent
+    // mean — components quantized to 1e-6 via floor(v*1e6) so the bigint
+    // sum is exact in any engine and any partitioning.
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("label"), col("i"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("bigint").as("sv"))
+      .groupBy("label", "i")
+      .agg(sum("sv").as("ssum"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (col("ssum").cast("double") / (col("n").cast("double") * lit(1000000.0))).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    // Probe assignment: top-Probe cells by centroid cosine (portable
+    // cosine — the centroid table is tiny; ties broken by cell id).
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("label"),
+        round(Vec.cosine(col("qv"), col("cv")), 6).as("cscore"))
+      .groupBy("q_id")
+      .agg(TopKByScore(s, struct(col("cscore"), col("label").cast("bigint")), Probe)
+        .as("cells"))
+      .select(col("q_id"), explode(col("cells")).as("cell"))
+      .select(col("q_id"), col("cell.id").cast("int").as("label"))
+    // In-cell scan: score only vectors in probed cells, native cosine.
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv2"), col("label"))
+    val scored = broadcast(probed.join(q, "q_id")).join(c, Seq("label"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv2")).as("cosine"))
+    topK(s, scored)
   }
 }
