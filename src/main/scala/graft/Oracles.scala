@@ -226,6 +226,16 @@ object Oracles {
         |  w.value AS value_wiki, k.value AS value_kaggle, k.n_orders
         |FROM wiki w LEFT JOIN kaggle k ON w.id = k.id ORDER BY w.id""".stripMargin,
 
+    "q22_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type, value FROM events),
+        |p AS (SELECT user_id, t, MAX(event_id) AS p_id, arg_max(value, event_id) AS p_value
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, t)
+        |SELECT e.event_id, e.user_id, p.p_id AS last_purchase_id,
+        |  p.p_value AS last_purchase_value,
+        |  e.t - p.t AS gap_us
+        |FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t >= p.t
+        |ORDER BY e.event_id""".stripMargin,
+
     "q19_etl_pipeline" ->
       """SELECT c_mktsegment, substring(o_orderpriority, 1, 1) AS priority_class,
         |  COUNT(*) AS n_orders,

@@ -45,6 +45,7 @@ object Queries {
     "q19_etl_pipeline"     -> (EtlCore.q19EtlPipeline _),
     "q20_map_consolidate"  -> (Reshape.q20MapConsolidate _),
     "q21_suffix_merge"     -> (Reshape.q21SuffixMerge _),
+    "q22_asof_join"        -> (EventOps.q22AsofJoin _),
     "t01_lang_id"          -> (TextAnalysis.t01LangId _),
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
@@ -86,6 +87,7 @@ object Queries {
     "q19_etl_pipeline"     -> Seq("c_mktsegment", "priority_class"),
     "q20_map_consolidate"  -> Seq("doc_id"),
     "q21_suffix_merge"     -> Seq("id"),
+    "q22_asof_join"        -> Seq("event_id"),
     "t01_lang_id"          -> Seq("doc_id"),
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),

@@ -40,6 +40,44 @@ object EventOps {
       .select(col("user_id"), col("event_id"),
         expr("ts_ns DIV 1000").as("ts_us"), col("value")))
 
+  /** q22: as-of join — attach to every event the most recent (inclusive)
+    * purchase of the same user. Spark has no ASOF JOIN operator; the
+    * scale-correct expression is the union-and-fill pattern: tag both
+    * sides, union, ONE shuffle by user, sort by (time, side), and carry
+    * the last purchase forward with last(_, ignoreNulls). No inequality
+    * join (which would plan as a per-key cross product). Purchases are
+    * pre-reduced to one row per (user, t) so the match is deterministic;
+    * the oracle mirrors with a native ASOF LEFT JOIN. */
+  def q22AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithTs(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns DIV 1000").as("t"), col("event_type"), col("value"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "t")
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("t"),
+        col("m.event_id").as("p_id"), col("m.value").as("p_value"))
+    val left = ev.select(col("user_id"), col("t"), lit(0).as("is_p"),
+      col("event_id"),
+      lit(null).cast("bigint").as("p_id"), lit(null).cast("double").as("p_value"),
+      lit(null).cast("bigint").as("p_t"))
+    val right = purch.select(col("user_id"), col("t"), lit(1).as("is_p"),
+      lit(null).cast("bigint").as("event_id"),
+      col("p_id"), col("p_value"), col("t").as("p_t"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), desc("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("lp_id", last("p_id", ignoreNulls = true).over(w))
+      .withColumn("lp_value", last("p_value", ignoreNulls = true).over(w))
+      .withColumn("lp_t", last("p_t", ignoreNulls = true).over(w))
+      .filter(col("is_p") === 0)
+      .select(col("event_id"), col("user_id"),
+        col("lp_id").as("last_purchase_id"),
+        col("lp_value").as("last_purchase_value"),
+        (col("t") - col("lp_t")).as("gap_us"))
+  }
+
   /** Sessionization transform over (user_id, event_id, ts_us, value) —
     * shared shape with the streaming variant. */
   def sessionize(events: DataFrame): DataFrame = {
