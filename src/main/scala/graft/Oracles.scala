@@ -236,6 +236,17 @@ object Oracles {
         |FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t >= p.t
         |ORDER BY e.event_id""".stripMargin,
 
+    "q23_range_join" ->
+      """WITH w AS (
+        |  SELECT o_orderkey AS win_id, o_custkey % 150 AS u,
+        |    1704067200000000 + (o_orderkey % 30) * 86400000000 + (o_custkey % 24) * 3600000000 AS start_us
+        |  FROM orders WHERE o_orderkey % 199 = 0),
+        |w2 AS (SELECT win_id, u, start_us, start_us + 604800000000 AS end_us FROM w),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+        |SELECT e.event_id, e.user_id, w2.win_id, e.t - w2.start_us AS offset_us
+        |FROM e JOIN w2 ON e.user_id = w2.u AND e.t >= w2.start_us AND e.t < w2.end_us
+        |ORDER BY e.event_id, w2.win_id""".stripMargin,
+
     "q19_etl_pipeline" ->
       """SELECT c_mktsegment, substring(o_orderpriority, 1, 1) AS priority_class,
         |  COUNT(*) AS n_orders,

@@ -46,6 +46,7 @@ object Queries {
     "q20_map_consolidate"  -> (Reshape.q20MapConsolidate _),
     "q21_suffix_merge"     -> (Reshape.q21SuffixMerge _),
     "q22_asof_join"        -> (EventOps.q22AsofJoin _),
+    "q23_range_join"       -> (EventOps.q23RangeJoin _),
     "t01_lang_id"          -> (TextAnalysis.t01LangId _),
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
@@ -88,6 +89,7 @@ object Queries {
     "q20_map_consolidate"  -> Seq("doc_id"),
     "q21_suffix_merge"     -> Seq("id"),
     "q22_asof_join"        -> Seq("event_id"),
+    "q23_range_join"       -> Seq("event_id", "win_id"),
     "t01_lang_id"          -> Seq("doc_id"),
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),

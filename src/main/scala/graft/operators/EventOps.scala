@@ -78,6 +78,35 @@ object EventOps {
         (col("t") - col("lp_t")).as("gap_us"))
   }
 
+  private val DayUs = 86400000000L
+  private val Epoch2024Us = 1704067200000000L // 2024-01-01T00:00:00Z
+
+  /** q23: range (interval) join — events matched to [start, end) promo
+    * windows per user. The scale pattern: fragment each interval into the
+    * day buckets it covers, equi-join on (user, day), then exact-range
+    * post-filter — shuffle keys stay equi-join keys, never an inequality
+    * join (which plans as a per-key cross product). Windows are derived
+    * deterministically from orders; the oracle states the same join as a
+    * plain inequality join. */
+  def q23RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val windows = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 199 === 0)
+      .select(col("o_orderkey").as("win_id"), (col("o_custkey") % 150).as("u"),
+        (lit(Epoch2024Us) + (col("o_orderkey") % 30) * lit(DayUs) +
+          (col("o_custkey") % 24) * lit(3600000000L)).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(7 * DayUs))
+    val frags = windows.select(col("win_id"), col("u"), col("start_us"), col("end_us"),
+      explode(sequence(expr(s"start_us DIV $DayUs"),
+        expr(s"(end_us - 1) DIV $DayUs"))).as("wday"))
+    Tables.eventsWithTs(s, d)
+      .select(col("event_id"), col("user_id"), expr("ts_ns DIV 1000").as("t"))
+      .withColumn("day", expr(s"t DIV $DayUs"))
+      .join(broadcast(frags), col("user_id") === col("u") && col("day") === col("wday"))
+      .filter(col("t") >= col("start_us") && col("t") < col("end_us"))
+      .select(col("event_id"), col("user_id"), col("win_id"),
+        (col("t") - col("start_us")).as("offset_us"))
+  }
+
   /** Sessionization transform over (user_id, event_id, ts_us, value) —
     * shared shape with the streaming variant. */
   def sessionize(events: DataFrame): DataFrame = {
