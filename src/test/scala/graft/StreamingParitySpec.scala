@@ -82,6 +82,22 @@ class StreamingParitySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enrich against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Double)]
+    val q = stream.toDF.toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+      q.processAllAvailable()
+      val got = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      assert(got == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("s02 sessionize: flatMapGroupsWithState equals the batch two-window form") {
     val batchDf = events.map(e => (e._1, e._2, e._3, e._4))
       .toDF("user_id", "event_id", "ts_us", "value")
