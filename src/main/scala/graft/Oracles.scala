@@ -296,6 +296,22 @@ object Oracles {
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    "t05_pii_mask" ->
+      """WITH built AS (
+        |  SELECT c_custkey,
+        |    'contact ' || lower(regexp_replace(c_name, '[^A-Za-z0-9#]', '', 'g')) ||
+        |    ' at user' || CAST(c_custkey AS VARCHAR) ||
+        |    '@example' || CAST(c_nationkey AS VARCHAR) ||
+        |    '.com or 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+        |    '-' || lpad(CAST(c_nationkey * 173 % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM customer)
+        |SELECT c_custkey, raw,
+        |  regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS masked,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+        |FROM built ORDER BY c_custkey""".stripMargin,
+
     "t04_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
         |SELECT doc_id,

@@ -51,6 +51,7 @@ object Queries {
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
     "t04_fingerprint"      -> (TextAnalysis.t04Fingerprint _),
+    "t05_pii_mask"         -> (TextAnalysis.t05PiiMask _),
     "d01_dedup_exact"      -> (Dedup.d01DedupExact _),
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
@@ -94,6 +95,7 @@ object Queries {
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),
     "t04_fingerprint"      -> Seq("doc_id"),
+    "t05_pii_mask"         -> Seq("c_custkey"),
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d02_ngram_jaccard"    -> Seq("id_a", "id_b"),
     "d03_minhash_lsh"      -> Seq("id_a", "id_b"),

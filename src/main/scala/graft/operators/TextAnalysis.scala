@@ -73,6 +73,31 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("bigint").as("n_distinct"))
   }
 
+  /** t05: PII masking — the redaction pass of a training-data pipeline:
+    * emails → [EMAIL], phone-shaped numbers → [PHONE], with per-row match
+    * counts for audit. Input text is built deterministically (the
+    * synthetic corpus carries no PII), the masking rules are the real
+    * thing. RE2-safe patterns, mirrored verbatim in the oracle. */
+  def t05PiiMask(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val raw = concat(
+      lit("contact "), lower(regexp_replace(col("c_name"), "[^A-Za-z0-9#]", "")),
+      lit(" at user"), col("c_custkey").cast("string"),
+      lit("@example"), col("c_nationkey").cast("string"),
+      lit(".com or 555-"), lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("c_nationkey") * 173 % 10000).cast("string"), 4, "0"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), raw.as("raw"))
+      .select(col("c_custkey"), col("raw"),
+        regexp_replace(regexp_replace(col("raw"), email, "[EMAIL]"), phone, "[PHONE]")
+          .as("masked"),
+        size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("bigint")
+          .as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phone), lit(0))).cast("bigint")
+          .as("n_phones"))
+  }
+
   /** t04: order-sensitive polynomial rolling-hash fingerprint per doc.
     * Relational form of [[Text.rollingFingerprint]]: posexplode tokens →
     * codegen'd md5 term projection → one hash aggregate. The term sum runs
