@@ -14,26 +14,34 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
-    def materialize(name: String): Double = {
+    def materialize(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try Queries.production(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        Queries.production(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val names = Queries.production.keys.toSeq.sorted
     names.foreach(materialize) // warmup: codegen + JIT + file-footer caches
     // two timed passes, keep the min — steady-state time with scheduler
-    // noise suppressed (single-pass jitter is ±20-30% at toy SFs)
+    // noise suppressed (single-pass jitter is ±20-30% at toy SFs). A query
+    // that fails in either pass is reported as null and EXCLUDED from the
+    // total (a -1 sentinel would silently shrink it), with its name in
+    // `failures` so a partially-broken run can't look healthy.
     val pass1 = names.map(n => n -> materialize(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), materialize(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = names.map { n =>
+      n -> (for (a <- pass1(n); b <- materialize(n)) yield math.min(a, b))
+    }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(_.toString)
+    }.mkString("{", ",", "}")
+    val failures = results.collect { case (k, None) => "\"" + k + "\"" }
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,11 +18,24 @@ object Skew {
     * matches exactly its original right rows (one replica each).
     *
     * `saltSource` must be deterministic per row (e.g. a row id column) so
-    * the same input always lands in the same bucket. */
+    * the same input always lands in the same bucket.
+    *
+    * Only inner/left-flavored joins are supported: the right side is
+    * replicated `buckets` times, so a right/full outer join would emit
+    * each UNMATCHED right row once per replica (matched rows are fine —
+    * a left row meets exactly one replica of its partner). Semi/anti are
+    * safe because they only test existence against the replica set. */
+  private val saltableJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltSource: Column, buckets: Int,
                  how: String = "inner"): DataFrame = {
     require(buckets > 0)
+    val howNorm = how.toLowerCase.replace("_", "")
+    require(saltableJoinTypes(howNorm),
+      s"saltedJoin supports ${saltableJoinTypes.mkString("/")} joins; '$how' " +
+        "would duplicate unmatched right rows across salt replicas")
     val l = left.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

@@ -22,6 +22,20 @@ class SkewSpec extends SparkSpecBase {
     assert(spread > 1)
   }
 
+  test("saltedJoin rejects join types that would duplicate unmatched right rows") {
+    val l = Seq(("a", 1L)).toDF("key", "row_id")
+    val r = Seq(("a", 1.0)).toDF("key", "w")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, "key", col("row_id"), 4, how = "full")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(l, r, "key", col("row_id"), 4, how = "right_outer")
+    }
+    // left_anti is allowed and correct: unmatched left rows survive
+    assert(Skew.saltedJoin(l.union(Seq(("b", 2L)).toDF), r, "key",
+      col("row_id"), 4, how = "left_anti").collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("ngramJaccard df-cutoff drops stop-shingles but keeps true pairs") {
     val sh = Seq(
       (1L, Seq("a b c", "x y z")),
