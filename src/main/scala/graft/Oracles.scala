@@ -326,6 +326,25 @@ object Oracles {
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x'||substr(md5('$seed:'||$x),1,15)) AS BIGINT)"
 
+  /** RHP band-assignment mirror for the shared e02/d05 bucketing: one
+    * SELECT per LSH table, with the hyperplane sign weights (md5-parity,
+    * [[graft.functions.Vec.rhpSign]]) embedded as ±1 literals — the exact
+    * arrays [[graft.functions.RhpBucket]] builds at plan time, summed in
+    * the same index order, so bucket ids match the Spark plan
+    * bit-for-bit and the "approximate" queries are hash-gated exactly. */
+  private lazy val rhpBandsSql: String = {
+    import graft.operators.Similarity.{RhpBits, RhpSeedBase, RhpTables}
+    (0 until RhpTables).map { t =>
+      val bits = (0 until RhpBits).map { j =>
+        val w = (0 until 64).map(i =>
+          if (graft.functions.Vec.rhpSign(RhpSeedBase + t * RhpBits + j, i) > 0)
+            "1" else "-1").mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * ($w)[i])) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT vec_id, $t AS tbl, CAST($bits AS BIGINT) AS bkt FROM embeddings"
+    }.mkString("\n  UNION ALL\n")
+  }
+
   /** Distinct word-3-gram shingles CTE (mirrors Text.shingles). */
   private val shingleCte =
     """sh AS (
@@ -357,7 +376,9 @@ object Oracles {
 
       "d02_ngram_jaccard" ->
         s"""WITH $shingleCte,
-           |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+           |inv0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+           |hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > ${graft.operators.Dedup.NgramMaxDf}),
+           |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
            |      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
            |      GROUP BY 1,2,3,4)
@@ -390,47 +411,76 @@ object Oracles {
            |WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY id_a, id_b""".stripMargin,
 
       "d05_embedding_dedup" ->
-        s"""SELECT id_a, id_b, cosine FROM (
-           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |    ROUND($cosine, 6) AS cosine
-           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        s"""WITH bands AS (
+           |$rhpBandsSql),
+           |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           |         FROM bands x JOIN bands y
+           |         ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+           |SELECT id_a, id_b, cosine FROM (
+           |  SELECT id_a, id_b, ROUND($cosine, 6) AS cosine
+           |  FROM cand JOIN embeddings a ON a.vec_id = id_a
+           |            JOIN embeddings b ON b.vec_id = id_b)
            |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin
     )
   }
 
-  /** Similarity block (SURVEY §2.C). e02 is approximate → rows-only (no
-    * oracle entry); its recall is spec-tested against e01. */
+  /** Similarity block (SURVEY §2.C). e02's LSH bands are deterministic,
+    * so its oracle mirrors the bucketing exactly (rhpBandsSql) and even
+    * the "approximate" query is hash-gated; its recall vs e01 is
+    * additionally spec-tested. */
   val similarity: Map[String, String] = {
     val cosQC =
       """list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)))
         |   / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE))))
         |    * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> CAST(c.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)))))""".stripMargin
+    // Raw (unrounded) cosine between two 64-dim vector expressions —
+    // casts mirror Vec.cosine (both sides to double), sums run in index
+    // order, so assignment argmaxes compare bit-identical doubles.
+    def cosRaw(a: String, b: String): String =
+      s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform(range(1,65), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))))"
+    // One Lloyd assignment CTE pair (a$n/m$n): nearest centroid from
+    // cent$prev by raw cosine, ties to the lowest cell id — the mirror of
+    // Similarity.kmeansAssign's max_by over (score, -cell).
+    def assignCte(n: Int, cent: String): String =
+      s"""a$n AS (SELECT e.vec_id, c.cell, ${cosRaw("e.embedding", "c.cv")} AS score
+         |        FROM embeddings e, $cent c),
+         |m$n AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rr
+         |          FROM a$n) WHERE rr = 1)""".stripMargin
+    // Exact scaled-integer centroid means — Similarity.kmeansUpdate.
+    def updateCte(n: Int): String =
+      s"""comp$n AS (SELECT cell, i,
+         |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / (COUNT(*) * 1000000.0) AS c
+         |  FROM embeddings JOIN m$n USING (vec_id), range(1, 65) t(i)
+         |  GROUP BY cell, i),
+         |cent$n AS (SELECT cell, list(c ORDER BY i) AS cv FROM comp$n GROUP BY cell)""".stripMargin
+    import graft.operators.Similarity.{KmeansCells, KmeansIters}
+    val lloyd = (1 to KmeansIters).map(n =>
+      assignCte(n, s"cent${n - 1}") + ",\n" + updateCte(n)).mkString(",\n")
     Map(
       "e03_ivf_ann" ->
-        s"""WITH comp AS (
-           |  SELECT label, i,
-           |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
-           |      / (COUNT(*) * 1000000.0) AS c
-           |  FROM embeddings, range(1, 65) t(i)
-           |  GROUP BY label, i),
-           |cent AS (SELECT label, list(c ORDER BY i) AS cv FROM comp GROUP BY label),
+        s"""WITH cent0 AS (
+           |  SELECT CAST(vec_id AS INT) AS cell,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM embeddings WHERE vec_id < $KmeansCells),
+           |$lloyd,
+           |${assignCte(KmeansIters + 1, s"cent$KmeansIters")},
            |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-           |cells AS (
-           |  SELECT q_id, label, ROUND(
-           |    list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * cv[i]))
-           |    / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE))))
-           |     * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i])))), 6) AS cscore
-           |  FROM q, cent),
            |probed AS (
-           |  SELECT q_id, label FROM (
-           |    SELECT q_id, label,
-           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cscore DESC, label) AS rr
-           |    FROM cells) WHERE rr <= 3),
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |        ORDER BY ROUND(${cosRaw("q.qv", "c.cv")}, 6) DESC, c.cell) AS rr
+           |    FROM q, cent$KmeansIters c) WHERE rr <= 3),
            |scored AS (
            |  SELECT p.q_id, c.vec_id AS c_id,
            |    ROUND($cosQC, 6) AS cosine
            |  FROM probed p JOIN q USING (q_id)
-           |  JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.q_id),
+           |  JOIN m${KmeansIters + 1} mf ON mf.cell = p.cell
+           |  JOIN embeddings c ON c.vec_id = mf.vec_id AND c.vec_id <> p.q_id),
            |r AS (SELECT q_id, c_id, cosine,
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
            |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
@@ -440,6 +490,20 @@ object Oracles {
            |s AS (SELECT q_id, c.vec_id AS c_id,
            |  ROUND($cosQC, 6) AS cosine
            |  FROM q JOIN embeddings c ON c.vec_id <> q_id),
+           |r AS (SELECT q_id, c_id, cosine,
+           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
+           |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+      "e02_ann_lsh" ->
+        s"""WITH bands AS (
+           |$rhpBandsSql),
+           |cand AS (SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS c_id
+           |         FROM bands x JOIN bands y
+           |         ON x.tbl = y.tbl AND x.bkt = y.bkt
+           |           AND x.vec_id % 100 = 0 AND x.vec_id <> y.vec_id),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |s AS (SELECT cand.q_id, c_id, ROUND($cosQC, 6) AS cosine
+           |      FROM cand JOIN q USING (q_id) JOIN embeddings c ON c.vec_id = c_id),
            |r AS (SELECT q_id, c_id, cosine,
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
            |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin

@@ -19,9 +19,9 @@ import graft.functions.{CosineSimilarity, GraftShingles, Text}
   *    on within-bucket candidate pairs.
   *  - d04: SimHash is one map-side pass; candidates come from 8-bit band
   *    buckets; the hamming check is per-candidate-pair only.
-  *  - d05: exact cosine over all pairs — the small-SF oracle baseline
-  *    that e02's LSH-bucketed path replaces at scale. The dim table side
-  *    is broadcast so there is no shuffle at all.
+  *  - d05: RHP-band-bucketed candidates (shared with e02's tables) +
+  *    exact cosine verification within buckets; the all-pairs exact form
+  *    survives only as the small-SF recall cross-check (d05ExactPairs).
   */
 object Dedup {
 
@@ -50,17 +50,26 @@ object Dedup {
       .select(col("doc_id"), GraftShingles(s, col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
+  /** Default document-frequency cutoff for the cataloged d02: shingles
+    * appearing in more than this many documents are dropped from the
+    * inverted index. A shingle in f docs contributes f² candidate rows to
+    * the self-join, so the cap bounds per-shingle work at 64² = 4096 rows
+    * regardless of corpus size — the difference between a bounded plan
+    * and a stop-shingle blowup at 100 TB. Hot shingles carry ~no Jaccard
+    * signal at a 0.5 threshold (each adds at most 1 to |A∩B| while
+    * appearing everywhere). At the gate/bench SFs the observed max df is
+    * 7 (sf0.01) and 25 (sf0.1), so the capped result is provably
+    * identical to the uncapped one there; the oracle mirrors the cutoff
+    * so the gate stays exact even when the cap bites. */
+  val NgramMaxDf = 64
+
   /** d02: exact word-3-gram Jaccard pairs (>= 0.5) via inverted index:
     * explode shingles, self-join on shingle, count co-occurrences =
-    * |A∩B|, so jaccard = c / (|A| + |B| - c). No all-pairs product.
-    *
-    * `maxDf` (document-frequency cutoff) is the corpus-scale guard: a
-    * shingle in f docs generates f² candidate rows, so stop-shingles must
-    * be dropped from the index at 100 TB (they carry ~no Jaccard signal;
-    * standard prefix/stop-token filtering). The oracle-gated query runs
-    * uncapped (exact) — pass a cutoff when the corpus demands it. */
+    * |A∩B|, so jaccard = c / (|A| + |B| - c). No all-pairs product, and
+    * the [[NgramMaxDf]] stop-shingle cutoff is active in the cataloged
+    * plan (mirrored by the oracle's hot-shingle anti-join). */
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
-    ngramJaccardPairs(shingled(s, d), threshold = 0.5, maxDf = None)
+    ngramJaccardPairs(shingled(s, d), threshold = 0.5, maxDf = Some(NgramMaxDf))
 
   def ngramJaccardPairs(sh: DataFrame, threshold: Double,
                         maxDf: Option[Int]): DataFrame = {
@@ -165,9 +174,38 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
-  /** d05: exact cosine near-dup pairs (>= 0.45) on embeddings — the
-    * broadcast-nested-loop exact baseline; e02 is the bucketed scale path. */
+  /** d05: embedding near-dup pairs (cosine >= 0.45) via RHP-band
+    * candidate generation + exact native-cosine verification — the
+    * bucketed scale shape, sharing [[Similarity.rhpBands]] with e02 so a
+    * pipeline computes the bucketing once.
+    *
+    * The bands self-join shuffles by (table, bucket) — never all-pairs —
+    * and the candidate distinct keys on (id_a, id_b) only; vectors rejoin
+    * per side as equi-joins on id. The hyperplanes are deterministic
+    * (md5-parity, fixed at plan time), so the oracle mirrors the exact
+    * same candidate set and the gate stays hash-exact at any SF. Recall
+    * vs the all-pairs exact form ([[d05ExactPairs]], kept as the small-SF
+    * cross-check) is spec-asserted; at the gate threshold each qualifying
+    * pair collides in >= 1 of the 16 tables with p ≈ 0.96, and rising
+    * sharply with cosine — raise L for a tighter floor at scale. */
   def d05EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val bands = Similarity.rhpBands(s, e)
+    val a = bands.toDF("id_a", "tbl", "bkt")
+    val b = bands.toDF("id_b", "tbl2", "bkt2")
+    val cand = a.join(b, col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand.join(e.toDF("id_a", "va"), "id_a").join(e.toDF("id_b", "vb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(CosineSimilarity(s, col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+  }
+
+  /** The all-pairs exact form of d05 — quadratic by construction, kept
+    * ONLY as the small-SF recall cross-check for the bucketed catalog
+    * entry (DedupSpec); never registered in the production catalog. */
+  def d05ExactPairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val a = e.toDF("id_a", "va")
     val b = e.toDF("id_b", "vb")

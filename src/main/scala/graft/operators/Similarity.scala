@@ -24,8 +24,27 @@ object Similarity {
 
   private val K = 10
 
+  /** Shared RHP banding config: L tables × `bits` hyperplane sign bits,
+    * seeds 1000 + t·bits. e02 (ANN top-k) and d05 (near-dup pairs) read
+    * the SAME bands, so a real pipeline computes the bucketing once. */
+  val RhpTables = 16
+  val RhpBits = 4
+  val RhpSeedBase = 1000
+  private val EmbeddingDim = 64
+
   private def rounded(s: SparkSession, a: Column, b: Column): Column =
     round(CosineSimilarity(s, a, b), 6)
+
+  /** (vec_id, tbl, bkt) band assignments — one row per vector per table.
+    * Deliberately id-only: vectors are projected away before any
+    * candidate shuffle, so downstream distincts key on 16 bytes of ids
+    * instead of hashing and shipping 64-float payloads. */
+  def rhpBands(s: SparkSession, e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      explode(array((0 until RhpTables).map(t => struct(lit(t).as("tbl"),
+        RhpBucket(s, col("embedding"), RhpBits, EmbeddingDim,
+          RhpSeedBase + t * RhpBits).as("bkt"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.tbl").as("tbl"), col("x.bkt").as("bkt"))
 
   /** Per-query top-k via the bounded [[TopKByScore]] aggregate: map-side
     * partial top-k means at most k rows per (query, partition) reach the
@@ -49,71 +68,107 @@ object Similarity {
   }
 
   /** e02: LSH-bucketed approximate top-k — candidates share a
-    * random-hyperplane bucket in at least one of L tables. Approximate:
-    * driver records a rows-only check; recall is spec-asserted vs e01.
-    * (bits=4, L=16 measured recall@10 ≈ 0.88 on the synthetic embeddings,
-    * which are near-orthogonal — real clustered embeddings need fewer
-    * tables for the same recall.) */
+    * random-hyperplane bucket in at least one of L tables. The bands are
+    * deterministic (md5-parity hyperplanes fixed at plan time), so the
+    * oracle mirrors the bucketing exactly and the result is hash-gated
+    * like any exact query; recall vs e01 is additionally spec-asserted
+    * (bits=4, L=16 measured recall@10 ≈ 0.88 on the synthetic
+    * embeddings, which are near-orthogonal — real clustered embeddings
+    * need fewer tables for the same recall).
+    *
+    * Shuffle hygiene: the candidate distinct keys on (q_id, c_id) ONLY —
+    * 16 bytes/row — and the vectors rejoin after dedup (query side
+    * broadcast: it is 1% of the corpus; corpus side an equi-join on
+    * c_id). The earlier form deduped on (q_id, qv, c_id, cv), hashing
+    * and shipping ~512 B of float payload per candidate row. */
   def e02AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val L = 16; val bits = 4; val dim = 64
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val bucketed = e.select(col("vec_id"), col("embedding"),
-      explode(array((0 until L).map(t => struct(lit(t).as("tbl"),
-        RhpBucket(s, col("embedding"), bits, dim, 1000 + t * bits)
-          .as("bkt"))): _*)).as("x"))
-      .select(col("vec_id"), col("embedding"),
-        col("x.tbl").as("tbl"), col("x.bkt").as("bkt"))
-    val q = bucketed.filter(col("vec_id") % 100 === 0)
-      .toDF("q_id", "qv", "tbl", "bkt")
-    val c = bucketed.toDF("c_id", "cv", "tbl2", "bkt2")
+    val bands = rhpBands(s, e)
+    val q = bands.filter(col("vec_id") % 100 === 0).toDF("q_id", "tbl", "bkt")
+    val c = bands.toDF("c_id", "tbl2", "bkt2")
     val cand = broadcast(q)
       .join(c, col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&
         col("q_id") =!= col("c_id"))
-      .select("q_id", "qv", "c_id", "cv").distinct()
-    topK(s, cand
+      .select("q_id", "c_id").distinct()
+    val qv = e.filter(col("vec_id") % 100 === 0).toDF("q_id", "qv")
+    val cv = e.toDF("c_id", "cv")
+    topK(s, cand.join(cv, "c_id").join(broadcast(qv), "q_id")
       .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")))
   }
 
-  /** e03: IVF-style ANN — coarse cells (here: the label column; a
-    * k-means quantizer slots in identically), exact per-cell centroids,
-    * probe the top-3 nearest cells per query, scan only those cells.
-    * At scale the corpus is partitioned by cell id, so a query touches
-    * `probe/cells` of the data. Deterministic end-to-end (centroid means
-    * use exact scaled-integer sums, order-independent), so unlike most
-    * ANN this one is oracle-gated exactly.
-    */
-  def e03IvfAnn(s: SparkSession, d: String): DataFrame = {
-    val Probe = 3
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
-    // Cell centroids: per (cell, position), an exact order-independent
-    // mean — components quantized to 1e-6 via floor(v*1e6) so the bigint
-    // sum is exact in any engine and any partitioning.
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .select(col("label"), col("i"),
+  /** e03 coarse-quantizer config: k cells, `KmeansIters` Lloyd rounds,
+    * probe the top-`Probe` nearest cells per query. */
+  val KmeansCells = 16
+  val KmeansIters = 2
+  private val Probe = 3
+
+  /** One Lloyd assignment step: nearest centroid by raw (unrounded)
+    * cosine, ties to the LOWEST cell id. Scores are bit-identical across
+    * engines (sequential index-order sums), so argmax is too — max_by
+    * over (score, -cell) is order-independent because cell is unique. */
+  private def kmeansAssign(cent: DataFrame, e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        Vec.cosine(col("embedding"), col("cv")).as("score"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
+
+  /** Exact per-(cell, position) centroid means: components quantized to
+    * 1e-6 via floor(v·1e6) so the bigint sum is exact in any engine and
+    * any partitioning; cells that lose all members drop out. */
+  private def kmeansUpdate(assigned: DataFrame, e: DataFrame): DataFrame =
+    e.join(assigned, "vec_id")
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("cell"), col("i"),
         floor(col("v").cast("double") * lit(1000000.0)).cast("bigint").as("sv"))
-      .groupBy("label", "i")
+      .groupBy("cell", "i")
       .agg(sum("sv").as("ssum"), count(lit(1)).as("n"))
-      .select(col("label"), col("i"),
+      .select(col("cell"), col("i"),
         (col("ssum").cast("double") / (col("n").cast("double") * lit(1000000.0))).as("c"))
-      .groupBy("label")
+      .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         x => x.getField("c")).as("cv"))
+
+  /** Trained coarse quantizer: deterministic Lloyd's as DataFrame
+    * aggregations — seeds are the [[KmeansCells]] lowest vec_ids, every
+    * update an exact scaled-integer mean, every assignment a
+    * deterministic argmax — so the "trained" centroids are mirrored
+    * step-for-step by the oracle SQL and e03 stays hash-gated exactly. */
+  def kmeansCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+    val seeds = e.filter(col("vec_id") < KmeansCells)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+    (1 to KmeansIters).foldLeft(seeds) { (cent, _) =>
+      kmeansUpdate(kmeansAssign(cent, e), e)
+    }
+  }
+
+  /** e03: IVF-style ANN — coarse cells from the LEARNED k-means
+    * quantizer ([[kmeansCentroids]]), probe the top-3 nearest cells per
+    * query, scan only those cells. At scale the corpus is partitioned by
+    * cell id, so a query touches `probe/cells` of the data. Deterministic
+    * end-to-end, so unlike most ANN this one is oracle-gated exactly;
+    * recall vs e01 is spec-asserted (IvfRecall in LshRecallSpec). */
+  def e03IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = kmeansCentroids(s, e)
+    val cells = kmeansAssign(centroids, e)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     // Probe assignment: top-Probe cells by centroid cosine (portable
     // cosine — the centroid table is tiny; ties broken by cell id).
     val probed = q.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("label"),
+      .select(col("q_id"), col("cell"),
         round(Vec.cosine(col("qv"), col("cv")), 6).as("cscore"))
       .groupBy("q_id")
-      .agg(TopKByScore(s, struct(col("cscore"), col("label").cast("bigint")), Probe)
+      .agg(TopKByScore(s, struct(col("cscore"), col("cell").cast("bigint")), Probe)
         .as("cells"))
       .select(col("q_id"), explode(col("cells")).as("cell"))
-      .select(col("q_id"), col("cell.id").cast("int").as("label"))
+      .select(col("q_id"), col("cell.id").cast("int").as("cell"))
     // In-cell scan: score only vectors in probed cells, native cosine.
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv2"), col("label"))
-    val scored = broadcast(probed.join(q, "q_id")).join(c, Seq("label"))
+    val c = e.join(cells, "vec_id")
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv2"), col("cell"))
+    val scored = broadcast(probed.join(q, "q_id")).join(c, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv2")).as("cosine"))
     topK(s, scored)

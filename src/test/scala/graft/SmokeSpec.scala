@@ -6,11 +6,12 @@ class SmokeSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every queries key has either an oracle or a documented rows-only check") {
+  test("every queries key has an oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without a query: ${o -- q}")
-    // rows-only (no oracle) keys must be the approximate ops only
-    assert((q -- o) == Set("e02_ann_lsh"))
+    // Even the approximate LSH ops are hash-gated: their deterministic
+    // band assignments are mirrored in the oracle SQL (Oracles.rhpBandsSql).
+    assert((q -- o).isEmpty, s"query keys without an oracle: ${q -- o}")
   }
 }
