@@ -25,6 +25,14 @@ object Sources {
   /** Parquet (schema comes from the footer; pushdown/pruning free). */
   def parquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
+
+  /** JDBC read-back (validation / small-dim ingestion; for big tables
+    * supply partitioning predicates upstream via spark.read.jdbc). */
+  def readJdbc(s: SparkSession, url: String, table: String,
+               driver: Option[String] = None): DataFrame = {
+    val r = s.read
+    driver.fold(r)(d => r.option("driver", d)).jdbc(url, table, new java.util.Properties())
+  }
 }
 
 /** Writers (SURVEY §2.G) — full-replace and chunked loads
@@ -48,6 +56,22 @@ object Sinks {
   /** Append rows to an existing dataset (incremental load). */
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  /** JDBC sink — the direct analog of the reference's RDBMS load step
+    * (challenge.py:291-308: `to_sql(..., if_exists='replace'/'append',
+    * chunksize=1000000)`). `mode` "overwrite" = replace (drop and
+    * recreate the table), "append" = incremental load; `batchSize` is
+    * the chunked-load contract — rows per INSERT round-trip, so one bad
+    * batch bounds the retry unit and the DB never sees an unbounded
+    * statement. Each Spark partition opens one connection and writes its
+    * rows in `batchSize` chunks; coalesce upstream to cap concurrent
+    * connections for small target DBs. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "overwrite", batchSize: Int = 100000,
+                driver: Option[String] = None): Unit = {
+    val w = df.write.mode(mode).option("batchsize", batchSize.toString)
+    driver.fold(w)(d => w.option("driver", d)).jdbc(url, table, new java.util.Properties())
+  }
 
   /** Bucketed managed table: co-locates rows by join key at write time so
     * later joins between tables bucketed on the same key run with NO

@@ -87,6 +87,32 @@ class SinksSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("jdbc sink: replace and append semantics round-trip (embedded Derby)") {
+    // Embedded Derby stands in for the reference's PostgreSQL target
+    // (challenge.py:291-308): same df.write.jdbc path, swap the URL for a
+    // real RDBMS in production.
+    System.setProperty("derby.stream.error.file", tmp() + "/derby.log")
+    val url = s"jdbc:derby:${tmp()}/graftdb;create=true"
+    val driver = Some("org.apache.derby.jdbc.EmbeddedDriver")
+    val df = Seq((1L, "a", 10.5), (2L, "b", 20.0), (3L, "c", 30.25))
+      .toDF("id", "name", "value")
+    Sinks.writeJdbc(df, url, "movies", mode = "overwrite", batchSize = 2,
+      driver = driver)
+    assert(Sources.readJdbc(spark, url, "movies", driver).count() == 3)
+    // replace: a second overwrite must not accumulate
+    Sinks.writeJdbc(df, url, "movies", mode = "overwrite", batchSize = 2,
+      driver = driver)
+    assert(Sources.readJdbc(spark, url, "movies", driver).count() == 3)
+    // append: incremental load accumulates
+    Sinks.writeJdbc(df, url, "movies", mode = "append", batchSize = 2,
+      driver = driver)
+    val back = Sources.readJdbc(spark, url, "movies", driver)
+    assert(back.count() == 6)
+    // values survive the round trip
+    assert(back.filter(col("id") === 1L).select("value")
+      .collect().map(_.getDouble(0)).forall(_ == 10.5))
+  }
+
   test("append mode accumulates; overwrite replaces") {
     val dir = tmp() + "/modes"
     val df = Seq(1L, 2L).toDF("id")
