@@ -40,15 +40,11 @@ object EventOps {
       .select(col("user_id"), col("event_id"),
         expr("ts_ns DIV 1000").as("ts_us"), col("value")))
 
-  /** q22: as-of join — attach to every event the most recent (inclusive)
-    * purchase of the same user. Spark has no ASOF JOIN operator; the
-    * scale-correct expression is the union-and-fill pattern: tag both
-    * sides, union, ONE shuffle by user, sort by (time, side), and carry
-    * the last purchase forward with last(_, ignoreNulls). No inequality
-    * join (which would plan as a per-key cross product). Purchases are
-    * pre-reduced to one row per (user, t) so the match is deterministic;
-    * the oracle mirrors with a native ASOF LEFT JOIN. */
-  def q22AsofJoin(s: SparkSession, d: String): DataFrame = {
+  private val DayUs = 86400000000L
+
+  /** Tagged union of events (is_p=0) and per-(user, t)-reduced purchases
+    * (is_p=1) — the shared input of both as-of forms below. */
+  private def asofTagged(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.eventsWithTs(s, d)
       .select(col("event_id"), col("user_id"),
         expr("ts_ns DIV 1000").as("t"), col("event_type"), col("value"))
@@ -64,10 +60,78 @@ object EventOps {
     val right = purch.select(col("user_id"), col("t"), lit(1).as("is_p"),
       lit(null).cast("bigint").as("event_id"),
       col("p_id"), col("p_value"), col("t").as("p_t"))
+    left.unionByName(right)
+  }
+
+  /** Coarse time bucket for the skew-hardened as-of window: one week.
+    * A window partition is then bounded by one user-WEEK of events, not
+    * one user's entire history. */
+  val AsofBucketUs: Long = 7L * DayUs
+
+  /** q22: as-of join — attach to every event the most recent (inclusive)
+    * purchase of the same user. Spark has no ASOF JOIN operator; the
+    * scale-correct expression is the union-and-fill pattern: tag both
+    * sides, union, shuffle by key, sort by (time, side), and carry the
+    * last purchase forward with last(_, ignoreNulls). No inequality join
+    * (which would plan as a per-key cross product).
+    *
+    * Skew hardening: the window partitions by (user, week) — AQE cannot
+    * split a window partition, so a hot user must be pre-bucketed — and
+    * boundary stitching restores exactness: per-(user, bucket) final
+    * purchase states (one row per bucket — tiny) get a second window BY
+    * USER over buckets to compute each bucket's carry-in, and rows whose
+    * within-bucket fill is null take the carry-in. Results are identical
+    * to the single-window form (spec-asserted; the oracle states a
+    * native ASOF LEFT JOIN). */
+  def q22AsofJoin(s: SparkSession, d: String): DataFrame =
+    asofFillBucketed(asofTagged(s, d), AsofBucketUs)
+
+  /** Bucketed union-and-fill over a tagged as-of input (see
+    * [[asofTagged]] for the expected columns). */
+  def asofFillBucketed(tagged: DataFrame, bucketUs: Long): DataFrame = {
+    val all = tagged.withColumn("bkt", expr(s"t DIV $bucketUs"))
+    val w = Window.partitionBy("user_id", "bkt")
+      .orderBy(col("t"), desc("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = all
+      .withColumn("lp_id", last("p_id", ignoreNulls = true).over(w))
+      .withColumn("lp_value", last("p_value", ignoreNulls = true).over(w))
+      .withColumn("lp_t", last("p_t", ignoreNulls = true).over(w))
+    // Per-(user, bucket) final purchase state. Purchases are unique per
+    // (user, t), so max(struct(t, ...)) IS the bucket's last purchase.
+    val bucketFinal = within.filter(col("is_p") === 1)
+      .groupBy("user_id", "bkt")
+      .agg(max(struct(col("t"), col("p_id"), col("p_value"))).as("fin"))
+    // Carry-in per OBSERVED bucket: the latest prior bucket's final state.
+    // The input here is one row per (user, bucket) — orders of magnitude
+    // smaller than the event log, so the per-user window is cheap.
+    val wb = Window.partitionBy("user_id").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = all.select("user_id", "bkt").distinct()
+      .join(bucketFinal, Seq("user_id", "bkt"), "left")
+      .withColumn("ci", last("fin", ignoreNulls = true).over(wb))
+      .select(col("user_id"), col("bkt"),
+        col("ci.p_id").as("ci_id"), col("ci.p_value").as("ci_value"),
+        col("ci.t").as("ci_t"))
+    within.filter(col("is_p") === 0)
+      .join(carry, Seq("user_id", "bkt"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("lp_id"), col("ci_id")).as("last_purchase_id"),
+        coalesce(col("lp_value"), col("ci_value")).as("last_purchase_value"),
+        (col("t") - coalesce(col("lp_t"), col("ci_t"))).as("gap_us"))
+  }
+
+  /** The single-window as-of form — one shuffle, but a hot user's entire
+    * history in one task. Kept as the equality cross-check for the
+    * bucketed q22 (AsofSkewSpec). */
+  def asofJoinSingleWindow(s: SparkSession, d: String): DataFrame =
+    asofFillSingleWindow(asofTagged(s, d))
+
+  def asofFillSingleWindow(tagged: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("t"), desc("is_p"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    left.unionByName(right)
+    tagged
       .withColumn("lp_id", last("p_id", ignoreNulls = true).over(w))
       .withColumn("lp_value", last("p_value", ignoreNulls = true).over(w))
       .withColumn("lp_t", last("p_t", ignoreNulls = true).over(w))
@@ -78,7 +142,6 @@ object EventOps {
         (col("t") - col("lp_t")).as("gap_us"))
   }
 
-  private val DayUs = 86400000000L
   private val Epoch2024Us = 1704067200000000L // 2024-01-01T00:00:00Z
 
   /** q23: range (interval) join — events matched to [start, end) promo
