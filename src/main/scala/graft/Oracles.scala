@@ -377,8 +377,9 @@ object Oracles {
       "d02_ngram_jaccard" ->
         s"""WITH $shingleCte,
            |inv0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
-           |hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > ${graft.operators.Dedup.NgramMaxDf}),
-           |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
+           |inv AS (SELECT doc_id, n_sh, s FROM (
+           |          SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM inv0)
+           |        WHERE df <= ${graft.operators.Dedup.NgramMaxDf}),
            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
            |      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
            |      GROUP BY 1,2,3,4)

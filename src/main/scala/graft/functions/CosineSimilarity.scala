@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.SparkSession
 
-/** Native codegen'd cosine similarity over two `array<float>` columns —
-  * the hot-path replacement for the portable zip_with/aggregate form
+/** Native codegen'd cosine similarity over two vector columns — the
+  * hot-path replacement for the portable zip_with/aggregate form
   * ([[Vec.cosine]]): one fused loop per row (dot and both norms in a
   * single pass over the array bytes), no intermediate zipped array
-  * allocation, whole-stage-codegen friendly.
+  * allocation, whole-stage-codegen friendly. Each side may be
+  * `array<float>` or `array<double>` independently (double sides appear
+  * when one input is a computed centroid, e.g. e03's k-means cells).
   *
   * Numeric contract: accumulates in doubles in index order — bit-identical
   * to the portable form and to the DuckDB oracle mirror. A zero-norm side
@@ -22,25 +24,34 @@ import org.apache.spark.sql.SparkSession
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  private def vectorSide(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_cosine expects (array<float>, array<float>), got ($l, $r)")
-    }
+    if (vectorSide(left.dataType) && vectorSide(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects array<float|double> sides, got " +
+        s"(${left.dataType}, ${right.dataType})")
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -54,12 +65,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi"); val den = ctx.freshName("den")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = $getX;
+         |  double $yi = $getY;
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);

@@ -76,11 +76,13 @@ object Dedup {
     val exploded = sh
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
     val inv = maxDf.fold(exploded) { cap =>
-      val hot = exploded.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).select("s")
-      // Seq-key joins move the key column first; restore positional order
-      // (the sides below are renamed positionally with toDF).
-      exploded.join(broadcast(hot), Seq("s"), "left_anti")
+      // Single-pass cutoff: count(*) OVER (PARTITION BY shingle) rides the
+      // same shuffle-by-shingle the self-join needs anyway — no second
+      // shingling scan, no separate aggregate + anti-join (which doubled
+      // d02's cost when wired that way).
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+      exploded.withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= cap)
         .select("doc_id", "n_sh", "s")
     }
     val a = inv.toDF("id_a", "na", "s")
@@ -127,8 +129,14 @@ object Dedup {
           array((0 until Rows).map(r => col(s"mh_${bnd * Rows + r}")): _*)
             .as("bsig"))): _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bsig").as("bsig"))
+    // Explicit repartition: exempt from AQE input-size coalescing, which
+    // would otherwise run this pair-generating self-join in one task
+    // (band tables are small; the join output is what explodes).
+    val n = s.sessionState.conf.numShufflePartitions
     val ba = bands.toDF("id_a", "band", "bsig")
+      .repartition(n, col("band"), col("bsig"))
     val bb = bands.toDF("id_b", "band2", "bsig2")
+      .repartition(n, col("band2"), col("bsig2"))
     val cand = ba
       .join(bb, col("band") === col("band2") && col("bsig") === col("bsig2") &&
         col("id_a") < col("id_b"))
@@ -164,8 +172,13 @@ object Dedup {
       explode(array((0 until 4).map(bnd => struct(lit(bnd).as("band"),
         shiftright(col("fp"), 8 * bnd).bitwiseAND(lit(255L)).as("key"))): _*)).as("x"))
       .select(col("doc_id"), col("fp"), col("x.band").as("band"), col("x.key").as("key"))
+    // Same AQE-coalescing exemption as d03/d05: only 4×256 distinct band
+    // keys, small input, quadratic output — keep the generation parallel.
+    val n = s.sessionState.conf.numShufflePartitions
     val a = bands.toDF("id_a", "fa", "band", "key")
+      .repartition(n, col("band"), col("key"))
     val b = bands.toDF("id_b", "fb", "band2", "key2")
+      .repartition(n, col("band2"), col("key2"))
     a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
         col("id_a") < col("id_b"))
       .select("id_a", "id_b", "fa", "fb").distinct()
@@ -191,8 +204,17 @@ object Dedup {
   def d05EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val bands = Similarity.rhpBands(s, e)
+    // Pin the self-join's partitioning explicitly: the band table is tiny
+    // (ids only) but the join OUTPUT is the quadratic part, and AQE sizes
+    // partitions from shuffle INPUT bytes — left to itself it coalesces
+    // this ~MB-scale exchange to one partition and a single task emits
+    // every candidate pair. An explicit repartition is exempt from AQE
+    // coalescing, so pair generation keeps the session's parallelism.
+    val n = s.sessionState.conf.numShufflePartitions
     val a = bands.toDF("id_a", "tbl", "bkt")
+      .repartition(n, col("tbl"), col("bkt"))
     val b = bands.toDF("id_b", "tbl2", "bkt2")
+      .repartition(n, col("tbl2"), col("bkt2"))
     val cand = a.join(b, col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&
         col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

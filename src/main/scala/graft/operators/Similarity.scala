@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{CosineSimilarity, RhpBucket, TopKByScore, Vec}
+import graft.functions.{CosineSimilarity, RhpBucket, TopKByScore}
 
 /** Similarity search over the embeddings table (SURVEY §2.C).
   *
@@ -104,14 +104,18 @@ object Similarity {
 
   /** One Lloyd assignment step: nearest centroid by raw (unrounded)
     * cosine, ties to the LOWEST cell id. Scores are bit-identical across
-    * engines (sequential index-order sums), so argmax is too — max_by
-    * over (score, -cell) is order-independent because cell is unique. */
-  private def kmeansAssign(cent: DataFrame, e: DataFrame): DataFrame =
+    * engines (sequential index-order sums — the native expression loops
+    * exactly like the portable Vec.cosine, and handles the float-vector ×
+    * double-centroid sides without casts), so argmax is too — max_by over
+    * (score, -cell) is order-independent because cell is unique. */
+  private def kmeansAssign(cent: DataFrame, e: DataFrame): DataFrame = {
+    val s = e.sparkSession
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cell"),
-        Vec.cosine(col("embedding"), col("cv")).as("score"))
+        CosineSimilarity(s, col("embedding"), col("cv")).as("score"))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
+  }
 
   /** Exact per-(cell, position) centroid means: components quantized to
     * 1e-6 via floor(v·1e6) so the bigint sum is exact in any engine and
@@ -138,9 +142,22 @@ object Similarity {
     val seeds = e.filter(col("vec_id") < KmeansCells)
       .select(col("vec_id").cast("int").as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("cv"))
-    (1 to KmeansIters).foldLeft(seeds) { (cent, _) =>
-      kmeansUpdate(kmeansAssign(cent, e), e)
+    val trained = (1 to KmeansIters).foldLeft(seeds) { (cent, _) =>
+      kmeansUpdate(kmeansAssign(materializedCentroids(s, cent), e), e)
     }
+    materializedCentroids(s, trained)
+  }
+
+  /** Collect the k-row centroid table and re-create it as a local
+    * relation: Lloyd lineage otherwise NESTS — iteration i would recompute
+    * every earlier iteration at each reuse, and e03 references the final
+    * centroids three times (probe, final assignment, broadcast). k×64
+    * doubles is driver-trivial; this is the same per-iteration
+    * materialization MLlib's KMeans performs, and the values pass through
+    * bit-unchanged so oracle parity is unaffected. */
+  private def materializedCentroids(s: SparkSession, cent: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(cent.collect().toSeq.asJava, cent.schema)
   }
 
   /** e03: IVF-style ANN — coarse cells from the LEARNED k-means
@@ -155,11 +172,11 @@ object Similarity {
     val cells = kmeansAssign(centroids, e)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    // Probe assignment: top-Probe cells by centroid cosine (portable
-    // cosine — the centroid table is tiny; ties broken by cell id).
+    // Probe assignment: top-Probe cells by centroid cosine (native
+    // expression, float×double sides; ties broken by cell id).
     val probed = q.crossJoin(broadcast(centroids))
       .select(col("q_id"), col("cell"),
-        round(Vec.cosine(col("qv"), col("cv")), 6).as("cscore"))
+        round(CosineSimilarity(s, col("qv"), col("cv")), 6).as("cscore"))
       .groupBy("q_id")
       .agg(TopKByScore(s, struct(col("cscore"), col("cell").cast("bigint")), Probe)
         .as("cells"))
