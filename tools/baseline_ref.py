@@ -112,6 +112,8 @@ def main(sf):
         from collections import Counter
         inter = Counter()
         for ids in inv.values():
+            if len(ids) > 64:  # df cutoff — same semantics as the capped catalog query
+                continue
             for x in range(len(ids)):
                 for y in range(x + 1, len(ids)):
                     inter[(ids[x], ids[y])] += 1

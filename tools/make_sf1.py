@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Build an sf1-scale dataset by 10x key-shifted replication of sf0.1
+(dev tool, not shipped code — the sf generator itself is driver-side).
+
+Scaling rules (TPC-H-style):
+- fact/dim keys shift by i*max_key per replica, consistently across
+  joined tables (customer/orders/lineitem), so join selectivity is
+  preserved while row counts grow 10x;
+- events keep user_id (a fixed user base accumulating 10x the events —
+  the honest shape of growth for behavioral tables) and get +i us on the
+  timestamp so replicas aren't exact ties; ts is written as plain INT64
+  nanos (the source is parquet TIMESTAMP(NANOS), which DuckDB would
+  silently truncate to us — pyarrow preserves the exact values, and both
+  Spark (legacy nanosAsLong) and pandas (datetime64[ns].astype int64)
+  see identical integers either way);
+- documents get a per-replica token suffix (replica 0 unchanged), so the
+  corpus grows by NEW content instead of 10 identical copies of every
+  shingle (which would turn every shingle into a stop-shingle and make
+  the dedup workloads degenerate);
+- embeddings replicate exactly: vec_id shifts by 2000 (a multiple of 100,
+  so the %100 query-selection rule keeps exactly 1% of rows as queries).
+
+Usage: make_sf1.py [outDir]   (default /tmp/sf1)
+"""
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPL = 10
+SRC = "/root/testdata/sf0.1"
+
+
+def main(out):
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    def gen(table, sql):
+        con.execute(f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    for t in ["region", "nation"]:
+        gen(t, f"SELECT * FROM '{SRC}/{t}.parquet'")
+
+    rng = f"range(0, {REPL}) t(i)"
+    gen("customer",
+        f"SELECT * EXCLUDE (i) REPLACE (c_custkey + i*15000 AS c_custkey) FROM '{SRC}/customer.parquet', {rng}")
+    gen("supplier",
+        f"SELECT * EXCLUDE (i) REPLACE (s_suppkey + i*1000 AS s_suppkey) FROM '{SRC}/supplier.parquet', {rng}")
+    gen("part",
+        f"SELECT * EXCLUDE (i) REPLACE (p_partkey + i*20000 AS p_partkey) FROM '{SRC}/part.parquet', {rng}")
+    gen("orders",
+        f"SELECT * EXCLUDE (i) REPLACE (o_orderkey + i*150000 AS o_orderkey, o_custkey + i*15000 AS o_custkey) "
+        f"FROM '{SRC}/orders.parquet', {rng}")
+    gen("lineitem",
+        f"SELECT * EXCLUDE (i) REPLACE (l_orderkey + i*150000 AS l_orderkey) FROM '{SRC}/lineitem.parquet', {rng}")
+    gen("documents",
+        f"SELECT * EXCLUDE (i) REPLACE (doc_id + i*100000 AS doc_id, "
+        f"CASE WHEN i = 0 THEN text ELSE regexp_replace(text, '(\\S+)', '\\1x'||i, 'g') END AS text) "
+        f"FROM '{SRC}/documents.parquet', {rng}")
+    gen("embeddings",
+        f"SELECT * EXCLUDE (i) REPLACE (vec_id + i*2000 AS vec_id) FROM '{SRC}/embeddings.parquet', {rng}")
+
+    # events via pyarrow: preserve exact INT64 nanos.
+    ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
+    ts_ns = ev.ts.astype("int64")
+    parts = []
+    for i in range(REPL):
+        c = ev.copy()
+        c["event_id"] = c.event_id + i * 100000
+        c["ts"] = ts_ns + i * 1000  # +i us: replicas are distinct, gaps untouched
+        parts.append(c)
+    allv = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(allv, preserve_index=False),
+                   f"{out}/events.parquet")
+    print(f"events: {len(allv)} rows (ts as int64 nanos)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
