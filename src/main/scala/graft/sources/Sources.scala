@@ -73,6 +73,64 @@ object Sinks {
     driver.fold(w)(d => w.option("driver", d)).jdbc(url, table, new java.util.Properties())
   }
 
+  /** Key-based upsert (MERGE) into a parquet dataset: rows of `df`
+    * replace existing rows with matching `keys`; unmatched rows append.
+    * Parquet has no native MERGE, so this is read → anti-join → union →
+    * rewrite, STAGED through a sibling directory (Spark cannot overwrite
+    * a path it is reading) and committed by rename.
+    *
+    * With `partitionCol` set, only the partitions `df` actually touches
+    * are read (partition-pruned scan), rewritten, and swapped — the
+    * 100 TB shape: cost scales with the delta's partitions, not the
+    * table. Unpartitioned upsert rewrites the whole dataset and is for
+    * small dims only. Table formats with a real transactional MERGE
+    * (Delta/Iceberg) replace this wholesale; the operator carries the
+    * same contract.
+    */
+  def upsert(df: DataFrame, path: String, keys: Seq[String],
+             partitionCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val s = df.sparkSession
+    val hconf = s.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    def write(d: DataFrame, p: String): Unit =
+      partitionCol.fold(d.write.mode("overwrite").parquet(p))(pc =>
+        d.write.partitionBy(pc).mode("overwrite").parquet(p))
+    if (!fs.exists(target)) { write(df, path); return }
+
+    val existing = partitionCol match {
+      case Some(pc) =>
+        // prune the scan to the partitions the delta touches
+        val touched = df.select(pc).distinct().collect().map(_.get(0))
+        s.read.parquet(path).filter(col(pc).isin(touched.toIndexedSeq: _*))
+      case None => s.read.parquet(path)
+    }
+    val kept = existing.join(df.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+    val merged = kept.unionByName(df)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}-upsert-${System.nanoTime()}")
+    write(merged, staging.toString)
+    partitionCol match {
+      case Some(pc) =>
+        // swap only the rewritten partition directories
+        for (st <- fs.listStatus(staging) if st.isDirectory &&
+            st.getPath.getName.startsWith(s"$pc=")) {
+          val dest = new org.apache.hadoop.fs.Path(target, st.getPath.getName)
+          if (fs.exists(dest)) fs.delete(dest, true)
+          fs.rename(st.getPath, dest)
+        }
+        fs.delete(staging, true)
+      case None =>
+        val old = new org.apache.hadoop.fs.Path(
+          target.getParent, s".${target.getName}-upsert-old")
+        fs.rename(target, old)
+        fs.rename(staging, target)
+        fs.delete(old, true)
+    }
+  }
+
   /** Bucketed managed table: co-locates rows by join key at write time so
     * later joins between tables bucketed on the same key run with NO
     * shuffle exchange (spec-asserted). The lake-side analog of

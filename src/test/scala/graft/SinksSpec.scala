@@ -113,6 +113,36 @@ class SinksSpec extends SparkSpecBase {
       .collect().map(_.getDouble(0)).forall(_ == 10.5))
   }
 
+  test("upsert: matching keys replaced, new keys appended, misses kept") {
+    val dir = tmp() + "/ups"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.parquet(dir)
+    Sinks.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), dir, Seq("id"))
+    val got = Sources.parquet(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // idempotent re-apply
+    Sinks.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), dir, Seq("id"))
+    assert(Sources.parquet(spark, dir).count() == 4)
+  }
+
+  test("partitioned upsert rewrites only the touched partitions") {
+    val dir = tmp() + "/upsp"
+    Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2), (4L, "d", 2))
+      .toDF("id", "v", "p").write.partitionBy("p").parquet(dir)
+    val before = new java.io.File(s"$dir/p=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    Sinks.upsert(Seq((3L, "C3", 2), (5L, "e", 2)).toDF("id", "v", "p"),
+      dir, Seq("id"), partitionCol = Some("p"))
+    val got = Sources.parquet(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "C3"), (4L, "d"), (5L, "e")))
+    // untouched partition's files are bit-for-bit the originals
+    val after = new java.io.File(s"$dir/p=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == before, "p=1 must not be rewritten")
+  }
+
   test("append mode accumulates; overwrite replaces") {
     val dir = tmp() + "/modes"
     val df = Seq(1L, 2L).toDF("id")
