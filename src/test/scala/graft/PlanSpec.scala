@@ -55,4 +55,32 @@ class PlanSpec extends SparkSpecBase {
     val p = physical("d01_dedup_exact")
     assert(p.contains("HashAggregate"), p.take(2000))
   }
+
+  test("e02/d05: no shuffle ships candidate pairs with vector payloads") {
+    // The candidate dedup keys on ids only; vectors rejoin AFTER. The
+    // only exchange allowed to carry a float vector is the corpus-side
+    // rejoin (one vector per row, keyed by a single id) — never a
+    // pair-shaped row with two vector payloads (the round-2 shape that
+    // hashed and shipped ~512 B of floats per candidate).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    for (q <- Seq("e02_ann_lsh", "d05_embedding_dedup")) {
+      val exchanges = flatten(
+        Queries.production(q)(spark, sf001).queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeLike => e }
+      assert(exchanges.nonEmpty, s"$q should have shuffles to audit")
+      for (e <- exchanges) {
+        val vecCols = e.output.count(_.dataType == ArrayType(FloatType, containsNull = true)) +
+          e.output.count(_.dataType == ArrayType(FloatType, containsNull = false))
+        assert(vecCols <= 1,
+          s"$q shuffles a pair of vector payloads: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+      }
+    }
+  }
 }
