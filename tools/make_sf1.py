@@ -8,11 +8,12 @@ Scaling rules (TPC-H-style):
   preserved while row counts grow 10x;
 - events keep user_id (a fixed user base accumulating 10x the events —
   the honest shape of growth for behavioral tables) and get +i us on the
-  timestamp so replicas aren't exact ties; ts is written as plain INT64
-  nanos (the source is parquet TIMESTAMP(NANOS), which DuckDB would
-  silently truncate to us — pyarrow preserves the exact values, and both
-  Spark (legacy nanosAsLong) and pandas (datetime64[ns].astype int64)
-  see identical integers either way);
+  timestamp so replicas aren't exact ties; ts goes through pyarrow, NOT
+  DuckDB (which silently truncates TIMESTAMP(NANOS) to us on read), and
+  is written back as TIMESTAMP(NANOS) so the sf1 schema is identical to
+  the driver-generated SFs — Spark's legacy nanosAsLong read, the DuckDB
+  oracles' epoch_us(ts), and pandas' datetime64[ns] all behave exactly
+  as they do on /root/testdata;
 - documents get a per-replica token suffix (replica 0 unchanged), so the
   corpus grows by NEW content instead of 10 identical copies of every
   shingle (which would turn every shingle into a stop-shingle and make
@@ -65,19 +66,21 @@ def main(out):
     gen("embeddings",
         f"SELECT * EXCLUDE (i) REPLACE (vec_id + i*2000 AS vec_id) FROM '{SRC}/embeddings.parquet', {rng}")
 
-    # events via pyarrow: preserve exact INT64 nanos.
+    # events via pyarrow: preserve exact nanos end-to-end.
     ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
-    ts_ns = ev.ts.astype("int64")
     parts = []
     for i in range(REPL):
         c = ev.copy()
         c["event_id"] = c.event_id + i * 100000
-        c["ts"] = ts_ns + i * 1000  # +i us: replicas are distinct, gaps untouched
+        # +i us: replicas are distinct, session gaps untouched
+        c["ts"] = ev.ts + pd.to_timedelta(i * 1000, unit="ns")
         parts.append(c)
     allv = pd.concat(parts, ignore_index=True)
     pq.write_table(pa.Table.from_pandas(allv, preserve_index=False),
-                   f"{out}/events.parquet")
-    print(f"events: {len(allv)} rows (ts as int64 nanos)")
+                   f"{out}/events.parquet")  # datetime64[ns] -> TIMESTAMP(NANOS)
+    sch = pq.read_schema(f"{out}/events.parquet")
+    assert str(sch.field("ts").type) == "timestamp[ns]", sch.field("ts")
+    print(f"events: {len(allv)} rows (ts TIMESTAMP(NANOS))")
 
 
 if __name__ == "__main__":
