@@ -65,6 +65,40 @@ class AsofSkewSpec extends SparkSpecBase {
       s"hot user not split: max partition $maxPartition of $hotTotal")
   }
 
+  test("bucketed == single-window across seeded random logs with boundary ties") {
+    // Randomized (deterministic seed) logs deliberately clustered around
+    // bucket boundaries: purchases exactly ON a boundary, events at the
+    // same instant as a purchase, users with no purchases. Any stitching
+    // error — off-by-one at a bucket edge, a dropped carry-in, wrong tie
+    // order — shows up as a set difference.
+    val rnd = new scala.util.Random(42)
+    val bucket = EventOps.AsofBucketUs
+    for (_ <- 1 to 3) {
+      val rows = (0 until 3000).map { i =>
+        val u = rnd.nextInt(7).toLong
+        val base = rnd.nextInt(12).toLong * bucket
+        val t = if (rnd.nextInt(4) == 0) base // exactly on a boundary
+                else base + rnd.nextInt(2000000).toLong * 1000L
+        (u, t, i.toLong, rnd.nextInt(10) == 0)
+      }
+      val ev = rows.toDF("user_id", "t", "event_id", "is_purchase")
+      val left = ev.select(col("user_id"), col("t"), lit(0).as("is_p"),
+        col("event_id"),
+        lit(null).cast("bigint").as("p_id"), lit(null).cast("double").as("p_value"),
+        lit(null).cast("bigint").as("p_t"))
+      val right = ev.filter(col("is_purchase"))
+        .groupBy("user_id", "t")
+        .agg(max(col("event_id")).as("p_id"))
+        .select(col("user_id"), col("t"), lit(1).as("is_p"),
+          lit(null).cast("bigint").as("event_id"),
+          col("p_id"), (col("p_id") * 2).cast("double").as("p_value"),
+          col("t").as("p_t"))
+      val tagged = left.unionByName(right)
+      assert(resultSet(EventOps.asofFillBucketed(tagged, bucket)) ==
+        resultSet(EventOps.asofFillSingleWindow(tagged)))
+    }
+  }
+
   test("cataloged q22 equals the single-window form on real data") {
     val a = resultSet(graft.Queries.production("q22_asof_join")(spark, sf001))
     val b = resultSet(EventOps.asofJoinSingleWindow(spark, sf001))

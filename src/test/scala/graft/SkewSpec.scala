@@ -36,6 +36,21 @@ class SkewSpec extends SparkSpecBase {
       col("row_id"), 4, how = "left_anti").collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("df cutoff collapses the hot-shingle candidate blowup from f² to bounded") {
+    // 100 docs all share one stop-shingle (df=100), and docs (2i, 2i+1)
+    // share a distinctive shingle (df=2). Uncapped, the stop-shingle
+    // alone manufactures C(100,2)=4950 candidate pairs; with the cutoff
+    // the index keeps only the distinctive shingles and exactly the 50
+    // true partner pairs survive — the f² → bounded collapse that keeps
+    // the inverted index alive at corpus scale.
+    val sh = (0 until 100).map(i =>
+      (i.toLong, Seq("the and of", s"unique ${i / 2} marker"))).toDF("doc_id", "sh")
+    val uncapped = Dedup.ngramJaccardPairs(sh, 0.3, None).count()
+    val capped = Dedup.ngramJaccardPairs(sh, 0.3, Some(50)).count()
+    assert(uncapped == 4950L, s"every pair shares the stop-shingle: $uncapped")
+    assert(capped == 50L, s"only true partner pairs survive the cutoff: $capped")
+  }
+
   test("ngramJaccard df-cutoff drops stop-shingles but keeps true pairs") {
     val sh = Seq(
       (1L, Seq("a b c", "x y z")),
