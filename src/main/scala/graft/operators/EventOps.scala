@@ -31,14 +31,14 @@ object EventOps {
     * at µs). */
   val GapUs: Long = 1800L * 1000000L
 
-  /** s02: gap-based sessionization (batch view) — the classic two-window
-    * form: flag gap-starts with lag(), running-sum the flags into session
-    * numbers, aggregate per (user, session). Exact bigint-micros
-    * arithmetic; ties broken by event_id. */
+  /** s02: gap-based sessionization (batch view), skew-hardened like q22:
+    * local sessions within (user, week) windows, then an exact boundary
+    * merge — see [[sessionizeBucketed]]. Value-identical to the classic
+    * single-window [[sessionize]] (spec-asserted + oracle-gated). */
   def s02Sessionize(s: SparkSession, d: String): DataFrame =
-    sessionize(Tables.eventsWithTs(s, d)
+    sessionizeBucketed(Tables.eventsWithTs(s, d)
       .select(col("user_id"), col("event_id"),
-        expr("ts_ns DIV 1000").as("ts_us"), col("value")))
+        expr("ts_ns DIV 1000").as("ts_us"), col("value")), AsofBucketUs)
 
   private val DayUs = 86400000000L
 
@@ -170,8 +170,92 @@ object EventOps {
         (col("t") - col("start_us")).as("offset_us"))
   }
 
+  /** Skew-hardened sessionization: the single-window form concentrates a
+    * hot user's entire history in one task (AQE cannot split window
+    * partitions), so the heavy windows here partition by (user, week
+    * bucket) and an EXACT merge stitches sessions that straddle bucket
+    * edges:
+    *
+    *  1. local sessions within each (user, bucket) — the only windows
+    *     that see event-scale data, each bounded by one user-week;
+    *  2. only a bucket's FIRST and LAST local session can merge across a
+    *     boundary (interior sessions are fenced by > gap on both sides),
+    *     so chain detection runs on ≤ 2 rows per occupied bucket — the
+    *     per-user chain window is bounded by the time range, not the
+    *     event count. The same gap rule applied to these boundary
+    *     sessions finds exactly the cross-boundary merges: within-bucket
+    *     consecutive sessions are > gap apart by construction, and
+    *     non-adjacent occupied buckets are >= a bucket width apart.
+    *  3. session numbers (per user, by start time) come from per-bucket
+    *     final-session counts prefix-summed over the tiny bucket axis —
+    *     no event-scale per-user window anywhere.
+    *
+    * Per-chain value sums stay in exact DECIMAL until the final cast, so
+    * results are bit-identical to [[sessionize]] (spec + oracle). */
+  def sessionizeBucketed(events: DataFrame, bucketUs: Long): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val ev = events.withColumn("bkt", expr(s"ts_us DIV $bucketUs"))
+    val w1 = Window.partitionBy("user_id", "bkt").orderBy("ts_us", "event_id")
+    val flagged = ev
+      .withColumn("new_sess",
+        when(lag("ts_us", 1).over(w1).isNull ||
+          col("ts_us") - lag("ts_us", 1).over(w1) > GapUs, 1L).otherwise(0L))
+      .withColumn("local_no", sum("new_sess")
+        .over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ls = flagged.groupBy("user_id", "bkt", "local_no")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        sum(col("value").cast(dec)).as("dec_sum"))
+    val nloc = ls.groupBy("user_id", "bkt").agg(max("local_no").as("n_local"))
+    val lsf = ls.join(nloc, Seq("user_id", "bkt"))
+      .withColumn("is_first", col("local_no") === 1)
+      .withColumn("is_last", col("local_no") === col("n_local"))
+    // chain detection over boundary sessions only (bounded per user)
+    val wb = Window.partitionBy("user_id").orderBy("bkt", "local_no")
+    val chained = lsf.filter(col("is_first") || col("is_last"))
+      .withColumn("new_chain",
+        when(lag("end_us", 1).over(wb).isNull ||
+          col("start_us") - lag("end_us", 1).over(wb) > GapUs, 1L).otherwise(0L))
+      .withColumn("chain_id", sum("new_chain")
+        .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val chains = chained.groupBy("user_id", "chain_id")
+      .agg(sum("n_events").as("n_events"),
+        min("start_us").as("start_us"), max("end_us").as("end_us"),
+        sum("dec_sum").as("dec_sum"),
+        min(struct(col("bkt"), col("local_no"))).as("fm"))
+    // numbering: final sessions starting in a bucket = local sessions
+    // minus the first one when it merged backward into an earlier chain
+    val mb = chained.filter(col("is_first") && col("new_chain") === 0)
+      .select(col("user_id"), col("bkt"), lit(1L).as("mb"))
+    val bucketInfo = nloc.join(mb, Seq("user_id", "bkt"), "left")
+      .select(col("user_id"), col("bkt"), coalesce(col("mb"), lit(0L)).as("mb"),
+        (col("n_local") - coalesce(col("mb"), lit(0L))).as("c"))
+    val wo = Window.partitionBy("user_id").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketInfo
+      .withColumn("offset", coalesce(sum("c").over(wo), lit(0L)))
+      .select("user_id", "bkt", "mb", "offset")
+    val interior = lsf.filter(!col("is_first") && !col("is_last"))
+      .join(offsets, Seq("user_id", "bkt"))
+      .select(col("user_id"),
+        (col("offset") + col("local_no") - col("mb")).as("sess_no"),
+        col("n_events"), col("start_us"), col("end_us"), col("dec_sum"))
+    val merged = chains
+      .select(col("user_id"), col("fm.bkt").as("bkt"), col("fm.local_no").as("local_no"),
+        col("n_events"), col("start_us"), col("end_us"), col("dec_sum"))
+      .join(offsets, Seq("user_id", "bkt"))
+      .select(col("user_id"),
+        (col("offset") + col("local_no") - col("mb")).as("sess_no"),
+        col("n_events"), col("start_us"), col("end_us"), col("dec_sum"))
+    interior.unionByName(merged)
+      .select(col("user_id"), col("sess_no"), col("n_events"),
+        col("start_us"), col("end_us"), col("dec_sum").cast("double").as("sum_value"))
+  }
+
   /** Sessionization transform over (user_id, event_id, ts_us, value) —
-    * shared shape with the streaming variant. */
+    * the classic single-window form (one shuffle, but a hot user's whole
+    * history in one task); kept as the equality cross-check for
+    * [[sessionizeBucketed]] and for the streaming-parity specs. */
   def sessionize(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     events

@@ -7,6 +7,42 @@ import graft.operators.EventOps
 class EventOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  private def sessSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_no"),
+      r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+      r.getAs[Long]("end_us"), r.getAs[Double]("sum_value"))).toSet
+
+  test("bucketed sessionize == single-window on seeded logs straddling buckets") {
+    // Sessions deliberately CROSSING bucket edges (events within gap on
+    // both sides of a boundary), sessions exactly fenced at the gap,
+    // multi-bucket-spanning chains, single-session buckets mid-chain —
+    // the merge/renumber machinery must reproduce the single-window
+    // result exactly, sum_value included (both sides sum in decimal).
+    val rnd = new scala.util.Random(7)
+    val bucket = EventOps.AsofBucketUs
+    for (_ <- 1 to 3) {
+      val rows = (0 until 4000).map { i =>
+        val u = rnd.nextInt(5).toLong
+        val base = rnd.nextInt(10).toLong * bucket
+        // cluster half the events tightly around boundaries so sessions straddle
+        val t = if (rnd.nextBoolean()) base + rnd.nextInt(7200).toLong * 1000000L - 3600L * 1000000L
+                else base + rnd.nextInt(2000000).toLong * 1000L
+        (u, i.toLong, math.max(0L, t), rnd.nextInt(100) / 10.0)
+      }
+      val ev = rows.toDF("user_id", "event_id", "ts_us", "value")
+      assert(sessSet(EventOps.sessionizeBucketed(ev, bucket)) ==
+        sessSet(EventOps.sessionize(ev)))
+    }
+  }
+
+  test("cataloged s02 equals the single-window form on real data") {
+    val a = sessSet(Queries.production("s02_sessionize")(spark, sf001))
+    val b = sessSet(EventOps.sessionize(
+      Tables.eventsWithTs(spark, sf001).select(col("user_id"), col("event_id"),
+        expr("ts_ns DIV 1000").as("ts_us"), col("value"))))
+    assert(a == b)
+  }
+
   test("sessionize: gap exactly at the threshold stays in-session, one past splits") {
     val g = EventOps.GapUs
     val ev = Seq(
