@@ -31,14 +31,22 @@ object EventOps {
     * at µs). */
   val GapUs: Long = 1800L * 1000000L
 
-  /** s02: gap-based sessionization (batch view), skew-hardened like q22:
-    * local sessions within (user, week) windows, then an exact boundary
-    * merge — see [[sessionizeBucketed]]. Value-identical to the classic
-    * single-window [[sessionize]] (spec-asserted + oracle-gated). */
+  /** s02: gap-based sessionization (batch view) — the classic two-window
+    * form: flag gap-starts with lag(), running-sum the flags into session
+    * numbers, aggregate per (user, session). Exact bigint-micros
+    * arithmetic; ties broken by event_id.
+    *
+    * Skew note: this windows by user, so a pathologically hot user lands
+    * in one task. [[sessionizeBucketed]] is the exact (spec-proven
+    * identical) hot-user variant — (user, week) local sessions + boundary
+    * chain merge — but costs ~6× in scheduling floor at bench SF, so the
+    * catalog defaults to this form; deep-history/low-cardinality corpora
+    * swap in the bucketed one (and the STREAMING s02 is state-based per
+    * key, shuffling no window at all). */
   def s02Sessionize(s: SparkSession, d: String): DataFrame =
-    sessionizeBucketed(Tables.eventsWithTs(s, d)
+    sessionize(Tables.eventsWithTs(s, d)
       .select(col("user_id"), col("event_id"),
-        expr("ts_ns DIV 1000").as("ts_us"), col("value")), AsofBucketUs)
+        expr("ts_ns DIV 1000").as("ts_us"), col("value")))
 
   private val DayUs = 86400000000L
 
