@@ -26,7 +26,7 @@ object Skew {
     * a left row meets exactly one replica of its partner). Semi/anti are
     * safe because they only test existence against the replica set. */
   private val saltableJoinTypes =
-    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
 
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltSource: Column, buckets: Int,

@@ -94,41 +94,67 @@ object Sinks {
     val hconf = s.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(hconf)
+    // FileSystem.rename/delete report failure by RETURNING FALSE (HDFS/
+    // S3A do not throw) — a swap step that "fails quietly" must abort
+    // loudly or it can drop a partition on the floor.
+    def mustRename(from: org.apache.hadoop.fs.Path,
+                   to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"upsert: rename $from -> $to failed")
+    def mustDelete(p: org.apache.hadoop.fs.Path): Unit =
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new java.io.IOException(s"upsert: delete $p failed")
     def write(d: DataFrame, p: String): Unit =
       partitionCol.fold(d.write.mode("overwrite").parquet(p))(pc =>
         d.write.partitionBy(pc).mode("overwrite").parquet(p))
     if (!fs.exists(target)) { write(df, path); return }
 
-    val existing = partitionCol match {
-      case Some(pc) =>
-        // prune the scan to the partitions the delta touches
-        val touched = df.select(pc).distinct().collect().map(_.get(0))
-        s.read.parquet(path).filter(col(pc).isin(touched.toIndexedSeq: _*))
-      case None => s.read.parquet(path)
-    }
-    val kept = existing.join(df.select(keys.map(col): _*).distinct(),
-      keys, "left_anti")
-    val merged = kept.unionByName(df)
-    val staging = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}-upsert-${System.nanoTime()}")
-    write(merged, staging.toString)
-    partitionCol match {
-      case Some(pc) =>
-        // swap only the rewritten partition directories
-        for (st <- fs.listStatus(staging) if st.isDirectory &&
-            st.getPath.getName.startsWith(s"$pc=")) {
-          val dest = new org.apache.hadoop.fs.Path(target, st.getPath.getName)
-          if (fs.exists(dest)) fs.delete(dest, true)
-          fs.rename(st.getPath, dest)
-        }
-        fs.delete(staging, true)
-      case None =>
-        val old = new org.apache.hadoop.fs.Path(
-          target.getParent, s".${target.getName}-upsert-old")
-        fs.rename(target, old)
-        fs.rename(staging, target)
-        fs.delete(old, true)
-    }
+    // The delta feeds the touched-partition collect, the anti-join, and
+    // the union — persist so an expensive upstream runs once, not thrice.
+    val delta = df.persist()
+    try {
+      val existing = partitionCol match {
+        case Some(pc) =>
+          // Prune the scan to the partitions the delta touches. CONTRACT:
+          // a key's partition value must be stable across upserts (as in
+          // Hive dynamic-partition overwrite) — a key that MOVES partition
+          // would leave its old row in an untouched partition. Moving keys
+          // requires the unpartitioned (full-table) form.
+          val touched = delta.select(pc).distinct().collect().map(_.get(0))
+          val nonNull = touched.filter(_ != null)
+          val cond = if (nonNull.length == touched.length)
+            col(pc).isin(nonNull.toIndexedSeq: _*)
+          else col(pc).isin(nonNull.toIndexedSeq: _*) || col(pc).isNull
+          s.read.parquet(path).filter(cond)
+        case None => s.read.parquet(path)
+      }
+      val kept = existing.join(delta.select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+      val merged = kept.unionByName(delta)
+      val stamp = System.nanoTime()
+      val staging = new org.apache.hadoop.fs.Path(
+        target.getParent, s".${target.getName}-upsert-$stamp")
+      write(merged, staging.toString)
+      partitionCol match {
+        case Some(pc) =>
+          // swap only the rewritten partition directories
+          for (st <- fs.listStatus(staging) if st.isDirectory &&
+              st.getPath.getName.startsWith(s"$pc=")) {
+            val dest = new org.apache.hadoop.fs.Path(target, st.getPath.getName)
+            mustDelete(dest)
+            mustRename(st.getPath, dest)
+          }
+          mustDelete(staging)
+        case None =>
+          // unique backup name: residue from a crashed earlier run can
+          // never block (or be destroyed by) this swap
+          val old = new org.apache.hadoop.fs.Path(
+            target.getParent, s".${target.getName}-upsert-old-$stamp")
+          mustRename(target, old)
+          mustRename(staging, target)
+          mustDelete(old)
+      }
+    } finally delta.unpersist()
   }
 
   /** Bucketed managed table: co-locates rows by join key at write time so
