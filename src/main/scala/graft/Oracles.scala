@@ -551,5 +551,32 @@ object Oracles {
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
-  def all: Map[String, String] = core ++ text ++ dedup ++ similarity ++ eventsAndMedia
+  /** Curation block (SURVEY §2.H): deterministic md5-derived sampling
+    * and packing — randomness-free, so exactly mirrorable. */
+  val curation: Map[String, String] = Map(
+    "x01_hash_sample" ->
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang,
+         |    ${h60(11, "CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+         |    CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 800 ELSE 1000 END AS rate
+         |  FROM documents)
+         |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+
+    "x02_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |    ${h60(13, "CAST(doc_id AS VARCHAR)")} % ${graft.operators.Sampling.PackShards} AS shard
+         |  FROM documents),
+         |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+         |p AS (SELECT shard, CAST((cum - n_tokens) // ${graft.operators.Sampling.PackTokens} AS BIGINT) AS pack_no,
+         |        n_tokens, doc_id FROM c)
+         |SELECT shard, pack_no, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM p GROUP BY shard, pack_no ORDER BY shard, pack_no""".stripMargin
+  )
+
+  def all: Map[String, String] =
+    core ++ text ++ dedup ++ similarity ++ eventsAndMedia ++ curation
 }

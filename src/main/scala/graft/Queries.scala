@@ -63,7 +63,9 @@ object Queries {
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
-    "s02_sessionize"       -> (EventOps.s02Sessionize _)
+    "s02_sessionize"       -> (EventOps.s02Sessionize _),
+    "x01_hash_sample"      -> (Sampling.x01HashSample _),
+    "x02_seq_pack"         -> (Sampling.x02SeqPack _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -107,7 +109,9 @@ object Queries {
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
-    "s02_sessionize"       -> Seq("user_id", "sess_no")
+    "s02_sessionize"       -> Seq("user_id", "sess_no"),
+    "x01_hash_sample"      -> Seq("doc_id"),
+    "x02_seq_pack"         -> Seq("shard", "pack_no")
   )
 
   /** Verification view: production plan + canonical output order. */
