@@ -13,12 +13,16 @@ import graft.functions.{CosineSimilarity, RhpBucket, TopKByScore}
   *
   * Scale notes:
   *  - e01 broadcasts the (small) query set, so scoring is map-side only —
-  *    the only shuffle is the per-query top-k window over the scored
-  *    (n_queries × corpus) frame.
-  *  - e02 buckets both sides with L=4 deterministic random-hyperplane
-  *    tables (6 bits each) and scores only within-bucket candidates —
-  *    the shuffle key is (table, bucket), never all-pairs. Recall vs e01
-  *    is spec-tested (LshRecallSpec).
+  *    the only shuffle is the bounded per-query top-k aggregate over the
+  *    scored (n_queries × corpus) frame.
+  *  - e02 buckets both sides with [[RhpTables]] deterministic
+  *    random-hyperplane tables of [[RhpBits]] sign bits and scores only
+  *    within-bucket candidates — the shuffle key is (table, bucket),
+  *    never all-pairs, and the candidate dedup keys on ids only. Recall
+  *    vs e01 is spec-tested (LshRecallSpec); the deterministic bands are
+  *    mirrored in the oracle, so the result is still hash-gated.
+  *  - e03 trains its coarse quantizer in-query (deterministic Lloyd's)
+  *    and probes the top-3 learned cells — also exactly oracle-gated.
   */
 object Similarity {
 
