@@ -557,15 +557,17 @@ object Oracles {
     "x01_hash_sample" ->
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT doc_id, lang,
-         |    ${h60(11, "CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
-         |    CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 800 ELSE 1000 END AS rate
+         |    ${h60(graft.operators.Sampling.SampleSeed, "CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+         |    CASE WHEN lang = 'en' THEN ${graft.operators.Sampling.RateEn}
+         |         WHEN lang = 'zh' THEN ${graft.operators.Sampling.RateZh}
+         |         ELSE ${graft.operators.Sampling.RateDefault} END AS rate
          |  FROM documents)
          |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
 
     "x02_seq_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
-         |    ${h60(13, "CAST(doc_id AS VARCHAR)")} % ${graft.operators.Sampling.PackShards} AS shard
+         |    ${h60(graft.operators.Sampling.ShardSeed, "CAST(doc_id AS VARCHAR)")} % ${graft.operators.Sampling.PackShards} AS shard
          |  FROM documents),
          |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |        ROWS UNBOUNDED PRECEDING) AS cum FROM t),

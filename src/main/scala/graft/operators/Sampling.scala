@@ -17,11 +17,18 @@ object Sampling {
 
   /** Per-stratum sampling rates out of 1000, by document language —
     * downsample the dominant stratum, keep the scarce ones (the usual
-    * language-rebalancing move). */
+    * language-rebalancing move). Shared with the oracle mirror and the
+    * spec, so a rate change updates all three atomically. */
+  val RateEn = 500
+  val RateZh = 800
+  val RateDefault = 1000
+  val SampleSeed = 11
+  val ShardSeed = 13
+
   private def rateOf: org.apache.spark.sql.Column =
-    when(col("lang") === "en", 500)
-      .when(col("lang") === "zh", 800)
-      .otherwise(1000)
+    when(col("lang") === "en", RateEn)
+      .when(col("lang") === "zh", RateZh)
+      .otherwise(RateDefault)
 
   /** x01: deterministic stratified hash-sample — a document is kept iff
     * md5-bucket(doc_id) mod 1000 falls under its stratum's rate. Unlike
@@ -32,7 +39,7 @@ object Sampling {
   def x01HashSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        pmod(Text.hash60(col("doc_id").cast("string"), 11), lit(1000)).as("bucket"),
+        pmod(Text.hash60(col("doc_id").cast("string"), SampleSeed), lit(1000)).as("bucket"),
         rateOf.as("rate"))
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("lang"), col("bucket"))
@@ -54,7 +61,7 @@ object Sampling {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("bigint").as("n_tokens"),
-        pmod(Text.hash60(col("doc_id").cast("string"), 13), lit(PackShards)).as("shard"))
+        pmod(Text.hash60(col("doc_id").cast("string"), ShardSeed), lit(PackShards)).as("shard"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
