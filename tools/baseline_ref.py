@@ -172,6 +172,24 @@ def main(sf):
         d.text.map(meta)
     res["m01_multimodal_meta"] = timed(m01)
 
+    def x01():
+        d = pd.read_parquet(P("documents"))
+        bucket = d.doc_id.map(lambda i: int(hashlib.md5(f"11:{i}".encode()).hexdigest()[:15], 16) % 1000)
+        rate = d.lang.map(lambda l: 500 if l == "en" else (800 if l == "zh" else 1000))
+        d[bucket < rate]
+    res["x01_hash_sample"] = timed(x01)
+
+    def x02():
+        d = pd.read_parquet(P("documents"))
+        n = d.text.str.split().map(len)
+        shard = d.doc_id.map(lambda i: int(hashlib.md5(f"13:{i}".encode()).hexdigest()[:15], 16) % 8)
+        f = pd.DataFrame({"doc_id": d.doc_id, "n": n, "shard": shard}).sort_values(["shard", "doc_id"])
+        cum = f.groupby("shard").n.cumsum()
+        f["pack"] = (cum - f.n) // 2048
+        f.groupby(["shard", "pack"]).agg(n_docs=("doc_id", "size"), tokens=("n", "sum"),
+                                         first=("doc_id", "min"), last=("doc_id", "max"))
+    res["x02_seq_pack"] = timed(x02)
+
     total = round(sum(res.values()), 3)
     print(json.dumps({"metric": "baseline_total", "value": total,
                       "unit": "sec", "queries": res, "sf": sf}))
