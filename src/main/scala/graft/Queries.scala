@@ -65,7 +65,8 @@ object Queries {
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "x01_hash_sample"      -> (Sampling.x01HashSample _),
-    "x02_seq_pack"         -> (Sampling.x02SeqPack _)
+    "x02_seq_pack"         -> (Sampling.x02SeqPack _),
+    "x03_kmv_distinct"     -> (Sampling.x03KmvDistinct _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -111,7 +112,8 @@ object Queries {
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "x01_hash_sample"      -> Seq("doc_id"),
-    "x02_seq_pack"         -> Seq("shard", "pack_no")
+    "x02_seq_pack"         -> Seq("shard", "pack_no"),
+    "x03_kmv_distinct"     -> Seq("lang")
   )
 
   /** Verification view: production plan + canonical output order. */

@@ -44,6 +44,50 @@ object Sampling {
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("lang"), col("bucket"))
 
+  /** KMV sketch size (k minimum values) and hash seed for x03. */
+  val KmvK = 256
+  val KmvSeed = 17
+
+  /** 2^60: the hash60 value space, exactly representable as a double
+    * (power of two), so the KMV estimator divides identically in any
+    * engine. */
+  private val Hash60Space = math.pow(2, 60)
+
+  /** x03: per-language distinct-token cardinality via a KMV (k-minimum-
+    * values) sketch — the deterministic alternative to HLL: the sketch
+    * state is the k smallest md5-derived hashes of the distinct tokens,
+    * so the SAME estimate reproduces on any engine/partitioning and the
+    * operator is hash-gated like everything else (HLL implementations
+    * differ across engines and can't be mirrored). Estimator: with the
+    * k-th smallest hash at fraction F = kth/2^60 of the space, distinct
+    * ≈ (k-1)/F; when a stratum has fewer than k distinct tokens the
+    * sketch IS the exact answer. The exact count is emitted alongside, so
+    * the sketch error is visible in-row (spec bounds it). At scale the
+    * sketch state is k values per stratum regardless of corpus size; the
+    * per-stratum window runs over the DISTINCT-token set, which is
+    * vocabulary-bounded, not corpus-bounded. */
+  def x03KmvDistinct(s: SparkSession, d: String): DataFrame =
+    kmvDistinct(Tables.documents(s, d).select(col("lang"), col("text")))
+
+  /** KMV over any (lang, text) frame — split out so specs can feed a
+    * synthetic corpus with a known cardinality. */
+  def kmvDistinct(docs: DataFrame): DataFrame = {
+    val hashes = docs
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("lang"), Text.hash60(col("tok"), KmvSeed).as("h"))
+      .distinct()
+    val w = Window.partitionBy("lang").orderBy("h")
+    val sketch = hashes
+      .withColumn("rn", row_number().over(w))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_exact"),
+        max(when(col("rn") === KmvK, col("h"))).as("kth"))
+    sketch.select(col("lang"), col("n_exact"),
+      round(when(col("kth").isNull, col("n_exact").cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * lit(Hash60Space) / col("kth").cast("double")), 6)
+        .as("kmv_estimate"))
+  }
+
   /** Tokens per pack (context-window budget) and shard count for x02. */
   val PackTokens = 2048
   val PackShards = 8

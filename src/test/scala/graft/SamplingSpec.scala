@@ -22,6 +22,24 @@ class SamplingSpec extends SparkSpecBase {
     assert(kept.filter(col("lang") === "fr").count() == fr)
   }
 
+  test("x03: KMV estimate is exact under k and within 20% on a 20k-token corpus") {
+    import spark.implicits._
+    // synthetic stratum with KNOWN cardinality far above k=256: 20k
+    // distinct tokens spread over 200 docs -> estimator error ~1/sqrt(k)
+    val docs = (0 until 200).map { d =>
+      ("syn", (0 until 100).map(t => s"tok_${d}_$t").mkString(" "))
+    }.toDF("lang", "text")
+    val row = Sampling.kmvDistinct(docs).collect()(0)
+    assert(row.getAs[Long]("n_exact") == 20000L)
+    val est = row.getAs[Double]("kmv_estimate")
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.2, s"KMV estimate $est")
+    // under k the sketch IS the exact answer
+    val small = Sampling.kmvDistinct(Seq(("s", "a b c a")).toDF("lang", "text"))
+      .collect()(0)
+    assert(small.getAs[Long]("n_exact") == 3L)
+    assert(small.getAs[Double]("kmv_estimate") == 3.0)
+  }
+
   test("x02: packs cover every doc once, in order, overflowing only by a straddling doc") {
     val packs = Queries.production("x02_seq_pack")(spark, sf001)
     // complete coverage: every document lands in exactly one pack
