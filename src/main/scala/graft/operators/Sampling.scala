@@ -72,8 +72,12 @@ object Sampling {
   /** KMV over any (lang, text) frame — split out so specs can feed a
     * synthetic corpus with a known cardinality. */
   def kmvDistinct(docs: DataFrame): DataFrame = {
+    // dedup tokens BEFORE hashing: md5 runs once per vocabulary entry,
+    // not once per occurrence (the result set is identical either way —
+    // the second distinct only collapses rare hash collisions)
     val hashes = docs
       .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      .distinct()
       .select(col("lang"), Text.hash60(col("tok"), KmvSeed).as("h"))
       .distinct()
     val w = Window.partitionBy("lang").orderBy("h")
