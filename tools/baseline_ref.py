@@ -190,6 +190,17 @@ def main(sf):
                                          first=("doc_id", "min"), last=("doc_id", "max"))
     res["x02_seq_pack"] = timed(x02)
 
+    def x03():
+        d = pd.read_parquet(P("documents"))
+        K, SPACE = 256, 1 << 60
+        out = {}
+        for lang, texts in d.groupby("lang").text:
+            vocab = set()
+            for t in texts: vocab.update(t.split())
+            hs = sorted({int(hashlib.md5(f"17:{w}".encode()).hexdigest()[:15], 16) for w in vocab})
+            out[lang] = (len(hs), len(hs) if len(hs) < K else round((K - 1) * SPACE / hs[K - 1], 6))
+    res["x03_kmv_distinct"] = timed(x03)
+
     total = round(sum(res.values()), 3)
     print(json.dumps({"metric": "baseline_total", "value": total,
                       "unit": "sec", "queries": res, "sf": sf}))
