@@ -582,18 +582,19 @@ object Oracles {
   /** x03 mirror: 2^60 (the hash60 space) is a power of two, hence exactly
     * representable as a double — the estimator division is bit-identical. */
   private val x03Sql: Map[String, String] = {
-    import graft.operators.Sampling.{KmvK, KmvSeed}
+    import graft.operators.Sampling.{KmvK, KmvSalts, KmvSeed}
     Map("x03_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT lang, ${h60(KmvSeed, "tok")} AS h
          |  FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)),
-         |r AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
-         |sk AS (SELECT lang, COUNT(*) AS n_exact,
-         |         MAX(CASE WHEN rn = $KmvK THEN h END) AS kth
-         |       FROM r GROUP BY lang)
-         |SELECT lang, n_exact,
+         |s1 AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang, h % $KmvSalts ORDER BY h) AS rn FROM h),
+         |cand AS (SELECT lang, h FROM s1 WHERE rn <= $KmvK),
+         |r AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM cand),
+         |sk AS (SELECT lang, MAX(CASE WHEN rn = $KmvK THEN h END) AS kth FROM r GROUP BY lang),
+         |n AS (SELECT lang, COUNT(*) AS n_exact FROM h GROUP BY lang)
+         |SELECT n.lang, n_exact,
          |  ROUND(CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
          |    ELSE ${(KmvK - 1).toDouble} * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 6) AS kmv_estimate
-         |FROM sk ORDER BY lang""".stripMargin)
+         |FROM n JOIN sk USING (lang) ORDER BY n.lang""".stripMargin)
   }
 
   def all: Map[String, String] =

@@ -44,9 +44,12 @@ object Sampling {
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("lang"), col("bucket"))
 
-  /** KMV sketch size (k minimum values) and hash seed for x03. */
+  /** KMV sketch size (k minimum values), hash seed, and the salt fan-out
+    * of the two-level min-k (stage-1 windows run per (lang, salt), so no
+    * single task ever sorts a whole language's vocabulary). */
   val KmvK = 256
   val KmvSeed = 17
+  val KmvSalts = 64
 
   /** 2^60: the hash60 value space, exactly representable as a double
     * (power of two), so the KMV estimator divides identically in any
@@ -80,16 +83,28 @@ object Sampling {
       .distinct()
       .select(col("lang"), Text.hash60(col("tok"), KmvSeed).as("h"))
       .distinct()
-    val w = Window.partitionBy("lang").orderBy("h")
-    val sketch = hashes
-      .withColumn("rn", row_number().over(w))
+    // Two-level exact min-k: stage 1 keeps each (lang, salt) group's k
+    // smallest hashes — every global minimum is among its salt group's
+    // top-k (pigeonhole), so the union of <= salts·k candidates per
+    // language provably contains the true k minima; stage 2 ranks that
+    // BOUNDED candidate set. A language's whole vocabulary is never
+    // sorted in one task, whatever the stratum skew.
+    val w1 = Window.partitionBy(col("lang"), pmod(col("h"), lit(KmvSalts))).orderBy("h")
+    val cand = hashes
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= KmvK)
+      .drop("rn")
+    val w2 = Window.partitionBy("lang").orderBy("h")
+    val kth = cand
+      .withColumn("rn", row_number().over(w2))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_exact"),
-        max(when(col("rn") === KmvK, col("h"))).as("kth"))
-    sketch.select(col("lang"), col("n_exact"),
-      round(when(col("kth").isNull, col("n_exact").cast("double"))
-        .otherwise(lit((KmvK - 1).toDouble) * lit(Hash60Space) / col("kth").cast("double")), 6)
-        .as("kmv_estimate"))
+      .agg(max(when(col("rn") === KmvK, col("h"))).as("kth"))
+    val counts = hashes.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    counts.join(kth, Seq("lang"))
+      .select(col("lang"), col("n_exact"),
+        round(when(col("kth").isNull, col("n_exact").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(Hash60Space) / col("kth").cast("double")), 6)
+          .as("kmv_estimate"))
   }
 
   /** Tokens per pack (context-window budget) and shard count for x02. */

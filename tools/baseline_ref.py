@@ -181,7 +181,7 @@ def main(sf):
 
     def x02():
         d = pd.read_parquet(P("documents"))
-        n = d.text.str.split().map(len)
+        n = d.text.map(lambda t: len(re.split(r"\s+", t)))  # \s+ split, as the Spark plan
         shard = d.doc_id.map(lambda i: int(hashlib.md5(f"13:{i}".encode()).hexdigest()[:15], 16) % 8)
         f = pd.DataFrame({"doc_id": d.doc_id, "n": n, "shard": shard}).sort_values(["shard", "doc_id"])
         cum = f.groupby("shard").n.cumsum()
@@ -196,7 +196,7 @@ def main(sf):
         out = {}
         for lang, texts in d.groupby("lang").text:
             vocab = set()
-            for t in texts: vocab.update(t.split())
+            for t in texts: vocab.update(re.split(r"\s+", t))  # \s+ split, as the Spark plan
             hs = sorted({int(hashlib.md5(f"17:{w}".encode()).hexdigest()[:15], 16) for w in vocab})
             out[lang] = (len(hs), len(hs) if len(hs) < K else round((K - 1) * SPACE / hs[K - 1], 6))
     res["x03_kmv_distinct"] = timed(x03)
