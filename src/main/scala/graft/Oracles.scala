@@ -586,11 +586,13 @@ object Oracles {
     Map("x03_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT lang, ${h60(KmvSeed, "tok")} AS h
          |  FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)),
-         |s1 AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang, h % $KmvSalts ORDER BY h) AS rn FROM h),
-         |cand AS (SELECT lang, h FROM s1 WHERE rn <= $KmvK),
+         |s1 AS (SELECT lang, h,
+         |         ROW_NUMBER() OVER (PARTITION BY lang, h % $KmvSalts ORDER BY h) AS rn,
+         |         COUNT(*) OVER (PARTITION BY lang, h % $KmvSalts) AS cnt FROM h),
+         |cand AS (SELECT lang, h, rn, cnt FROM s1 WHERE rn <= $KmvK),
          |r AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM cand),
          |sk AS (SELECT lang, MAX(CASE WHEN rn = $KmvK THEN h END) AS kth FROM r GROUP BY lang),
-         |n AS (SELECT lang, COUNT(*) AS n_exact FROM h GROUP BY lang)
+         |n AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_exact FROM cand WHERE rn = 1 GROUP BY lang)
          |SELECT n.lang, n_exact,
          |  ROUND(CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
          |    ELSE ${(KmvK - 1).toDouble} * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 6) AS kmv_estimate

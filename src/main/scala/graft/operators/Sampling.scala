@@ -88,18 +88,22 @@ object Sampling {
     // top-k (pigeonhole), so the union of <= salts·k candidates per
     // language provably contains the true k minima; stage 2 ranks that
     // BOUNDED candidate set. A language's whole vocabulary is never
-    // sorted in one task, whatever the stratum skew.
-    val w1 = Window.partitionBy(col("lang"), pmod(col("h"), lit(KmvSalts))).orderBy("h")
-    val cand = hashes
-      .withColumn("rn", row_number().over(w1))
+    // sorted in one task, whatever the stratum skew. The per-group COUNT
+    // rides the same stage-1 exchange (count-over-partition, no order),
+    // so the exact cardinality costs no extra scan: n_exact = sum of the
+    // group sizes carried by each group's rank-1 row.
+    val w1p = Window.partitionBy(col("lang"), pmod(col("h"), lit(KmvSalts)))
+    val s1 = hashes
+      .withColumn("rn", row_number().over(w1p.orderBy("h")))
+      .withColumn("cnt", count(lit(1)).over(w1p))
       .filter(col("rn") <= KmvK)
-      .drop("rn")
+    val counts = s1.filter(col("rn") === 1)
+      .groupBy("lang").agg(sum("cnt").as("n_exact"))
     val w2 = Window.partitionBy("lang").orderBy("h")
-    val kth = cand
+    val kth = s1.select(col("lang"), col("h"))
       .withColumn("rn", row_number().over(w2))
       .groupBy("lang")
       .agg(max(when(col("rn") === KmvK, col("h"))).as("kth"))
-    val counts = hashes.groupBy("lang").agg(count(lit(1)).as("n_exact"))
     counts.join(kth, Seq("lang"))
       .select(col("lang"), col("n_exact"),
         round(when(col("kth").isNull, col("n_exact").cast("double"))
