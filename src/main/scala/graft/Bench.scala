@@ -25,7 +25,11 @@ object Bench {
         None
       }
     }
-    val names = Queries.production.keys.toSeq.sorted
+    // Optional args are key filters (dev loop: bench one query while
+    // iterating); the driver passes none and gets the full catalog.
+    val names =
+      if (args.isEmpty) Queries.production.keys.toSeq.sorted
+      else Queries.production.keys.toSeq.filter(args.contains(_)).sorted
     names.foreach(materialize) // warmup: codegen + JIT + file-footer caches
     // two timed passes, keep the min — steady-state time with scheduler
     // noise suppressed (single-pass jitter is ±20-30% at toy SFs). A query

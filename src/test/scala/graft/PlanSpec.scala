@@ -51,6 +51,13 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("x03: KMV min-k is the bounded partial aggregate — no window, no sort") {
+    val p = physical("x03_kmv_distinct")
+    assert(p.contains("graft_mink"), s"x03 should aggregate with graft_mink:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"x03 must not shuffle-sort the vocabulary through a window:\n${p.take(2000)}")
+    assert(!p.contains("Sort ["), s"x03 plan must be sort-free:\n${p.take(2000)}")
+  }
+
   test("d01: exact dedup is a single hash aggregate with map-side partials") {
     val p = physical("d01_dedup_exact")
     assert(p.contains("HashAggregate"), p.take(2000))
