@@ -31,22 +31,19 @@ object EventOps {
     * at µs). */
   val GapUs: Long = 1800L * 1000000L
 
-  /** s02: gap-based sessionization (batch view) — the classic two-window
-    * form: flag gap-starts with lag(), running-sum the flags into session
-    * numbers, aggregate per (user, session). Exact bigint-micros
-    * arithmetic; ties broken by event_id.
-    *
-    * Skew note: this windows by user, so a pathologically hot user lands
-    * in one task. [[sessionizeBucketed]] is the exact (spec-proven
-    * identical) hot-user variant — (user, week) local sessions + boundary
-    * chain merge — but costs ~6× in scheduling floor at bench SF, so the
-    * catalog defaults to this form; deep-history/low-cardinality corpora
-    * swap in the bucketed one (and the STREAMING s02 is state-based per
-    * key, shuffling no window at all). */
+  /** s02: gap-based sessionization (batch view). The cataloged plan is
+    * the skew-hardened [[sessionizeBucketed]] — (user, week) local
+    * sessions + exact boundary-chain merge — because a window by bare
+    * user_id concentrates a hot user's entire history in one task and
+    * AQE cannot split window partitions; q22 makes the same call. The
+    * ~0.3 s scheduling-floor premium at bench SF is the price of the
+    * plan that survives 100×. ([[sessionize]] remains the equality
+    * cross-check, and the STREAMING s02 is state-based per key, no
+    * window at all.) */
   def s02Sessionize(s: SparkSession, d: String): DataFrame =
-    sessionize(Tables.eventsWithTs(s, d)
+    sessionizeBucketed(Tables.eventsWithTs(s, d)
       .select(col("user_id"), col("event_id"),
-        expr("ts_ns DIV 1000").as("ts_us"), col("value")))
+        expr("ts_ns DIV 1000").as("ts_us"), col("value")), AsofBucketUs)
 
   private val DayUs = 86400000000L
 

@@ -35,11 +35,11 @@ class EventOpsSpec extends SparkSpecBase {
     }
   }
 
-  test("bucketed sessionize equals the cataloged s02 on real data") {
+  test("cataloged s02 (bucketed) equals the single-window form on real data") {
     val ev = Tables.eventsWithTs(spark, sf001).select(col("user_id"),
       col("event_id"), expr("ts_ns DIV 1000").as("ts_us"), col("value"))
     val a = sessSet(Queries.production("s02_sessionize")(spark, sf001))
-    val b = sessSet(EventOps.sessionizeBucketed(ev, EventOps.AsofBucketUs))
+    val b = sessSet(EventOps.sessionize(ev))
     assert(a == b)
   }
 
