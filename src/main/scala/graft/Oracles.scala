@@ -443,14 +443,18 @@ object Oracles {
         s" * sqrt(list_sum(list_transform(range(1,65), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))))"
     // One Lloyd assignment CTE pair (a$n/m$n): nearest centroid from
     // cent$prev by raw cosine, ties to the lowest cell id — the mirror of
-    // Similarity.kmeansAssign's max_by over (score, -cell).
-    def assignCte(n: Int, cent: String): String =
+    // Similarity.kmeansAssign's max_by over (score, -cell). `src` is
+    // `trainset` for the Lloyd iterations (sampled training) and
+    // `embeddings` for the final index-build assignment.
+    def assignCte(n: Int, cent: String, src: String): String =
       s"""a$n AS (SELECT e.vec_id, c.cell, ${cosRaw("e.embedding", "c.cv")} AS score
-         |        FROM embeddings e, $cent c),
+         |        FROM $src e, $cent c),
          |m$n AS (SELECT vec_id, cell FROM (
          |          SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rr
          |          FROM a$n) WHERE rr = 1)""".stripMargin
     // Exact scaled-integer centroid means — Similarity.kmeansUpdate.
+    // (Joining full embeddings by vec_id is already trainset-restricted:
+    // m$n only contains sampled ids.)
     def updateCte(n: Int): String =
       s"""comp$n AS (SELECT cell, i,
          |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
@@ -458,17 +462,19 @@ object Oracles {
          |  FROM embeddings JOIN m$n USING (vec_id), range(1, 65) t(i)
          |  GROUP BY cell, i),
          |cent$n AS (SELECT cell, list(c ORDER BY i) AS cv FROM comp$n GROUP BY cell)""".stripMargin
-    import graft.operators.Similarity.{KmeansCells, KmeansIters}
+    import graft.operators.Similarity.{KmeansCells, KmeansIters, KmeansSampleSeed, KmeansTrainPermille}
     val lloyd = (1 to KmeansIters).map(n =>
-      assignCte(n, s"cent${n - 1}") + ",\n" + updateCte(n)).mkString(",\n")
+      assignCte(n, s"cent${n - 1}", "trainset") + ",\n" + updateCte(n)).mkString(",\n")
     Map(
       "e03_ivf_ann" ->
         s"""WITH cent0 AS (
            |  SELECT CAST(vec_id AS INT) AS cell,
            |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
            |  FROM embeddings WHERE vec_id < $KmeansCells),
+           |trainset AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
            |$lloyd,
-           |${assignCte(KmeansIters + 1, s"cent$KmeansIters")},
+           |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
            |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
            |probed AS (
            |  SELECT q_id, cell FROM (

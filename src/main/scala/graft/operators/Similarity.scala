@@ -106,6 +106,19 @@ object Similarity {
   val KmeansIters = 2
   private val Probe = 3
 
+  /** Quantizer TRAINING sample: deterministic md5-membership (the same
+    * machinery as x01) keeping ~1/4 of the corpus — real IVF trains its
+    * coarse quantizer on a sample, not the full corpus, and at 100 TB the
+    * difference is each Lloyd iteration scanning 25 TB instead of 100.
+    * Hash-membership (not `sample()`) keeps it reproducible on any
+    * engine/partitioning, so training stays oracle-mirrored. */
+  val KmeansTrainPermille = 250
+  val KmeansSampleSeed = 23
+
+  private def trainSample(e: DataFrame): DataFrame =
+    e.filter(pmod(graft.functions.Text.hash60(col("vec_id").cast("string"),
+      KmeansSampleSeed), lit(1000)) < KmeansTrainPermille)
+
   /** One Lloyd assignment step: nearest centroid by raw (unrounded)
     * cosine, ties to the LOWEST cell id. Scores are bit-identical across
     * engines (sequential index-order sums — the native expression loops
@@ -141,13 +154,15 @@ object Similarity {
     * aggregations — seeds are the [[KmeansCells]] lowest vec_ids, every
     * update an exact scaled-integer mean, every assignment a
     * deterministic argmax — so the "trained" centroids are mirrored
-    * step-for-step by the oracle SQL and e03 stays hash-gated exactly. */
+    * step-for-step by the oracle SQL and e03 stays hash-gated exactly.
+    * Lloyd iterations run on [[trainSample]], not the full corpus. */
   def kmeansCentroids(s: SparkSession, e: DataFrame): DataFrame = {
     val seeds = e.filter(col("vec_id") < KmeansCells)
       .select(col("vec_id").cast("int").as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("cv"))
+    val train = trainSample(e)
     val trained = (1 to KmeansIters).foldLeft(seeds) { (cent, _) =>
-      kmeansUpdate(kmeansAssign(materializedCentroids(s, cent), e), e)
+      kmeansUpdate(kmeansAssign(materializedCentroids(s, cent), train), train)
     }
     materializedCentroids(s, trained)
   }
