@@ -262,19 +262,28 @@ object Oracles {
     * string_split_regex(text,'\s+'); hash60 as
     * CAST('0x'||substr(md5(seed||':'||s),1,15) AS BIGINT). */
   val text: Map[String, String] = Map(
-    "t01_lang_id" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
-        |s AS (SELECT doc_id,
-        |  CAST(len(list_filter(toks, x -> x IN ('window','batch','stream'))) AS BIGINT) AS s_de,
-        |  CAST(len(list_filter(toks, x -> x IN ('the','a','fast','slow'))) AS BIGINT) AS s_en,
-        |  CAST(len(list_filter(toks, x -> x IN ('data','table','row'))) AS BIGINT) AS s_es,
-        |  CAST(len(list_filter(toks, x -> x IN ('query','join','merge'))) AS BIGINT) AS s_fr
-        | FROM t)
-        |SELECT doc_id, s_de, s_en, s_es, s_fr,
-        |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-        |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS best_lang
-        |FROM s ORDER BY doc_id""".stripMargin,
+    // t01 is GENERATED from TextAnalysis.langMarkers so both engines
+    // embed the identical 10-language function-word tables; best_lang is
+    // the same greatest() + priority-order CASE cascade as the plan.
+    "t01_lang_id" -> {
+      import graft.operators.TextAnalysis.langMarkers
+      val scoreDefs = langMarkers.map { case (l, m) =>
+        s"  CAST(len(list_filter(toks, x -> x IN (${m.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l"
+      }.mkString(",\n")
+      val scoreNames = langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+      val gmax = s"GREATEST(${scoreNames})"
+      val cascade = langMarkers.init.map { case (l, _) =>
+        s"WHEN s_$l = m THEN '$l'"
+      }.mkString("\n       ") + s" ELSE '${langMarkers.last._1}'"
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |$scoreDefs
+         | FROM t),
+         |g AS (SELECT *, $gmax AS m FROM s)
+         |SELECT doc_id, $scoreNames,
+         |  CASE $cascade END AS best_lang
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
 
     "t02_quality_score" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS toks FROM documents),

@@ -16,31 +16,60 @@ import graft.functions.Text
   */
 object TextAnalysis {
 
-  /** Deterministic marker lexicons. Real language ID swaps in real n-gram
-    * tables; the operator shape (map-side score + argmax) is identical. */
+  /** Function-word marker lexicons for 10 languages — the standard
+    * stopword/function-word approach to language ID: function words are
+    * the highest-frequency tokens of every natural language and almost
+    * never shared verbatim across languages (where they are — "de" in
+    * es/fr/pt — the OTHER markers break the tie). Wordlists are the
+    * common public stopword sets, truncated to 12 high-frequency entries
+    * per language; plan-time literals, shared with the oracle SQL so
+    * both engines embed identical tables. Listed in tie-break priority
+    * order. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("window", "batch", "stream"),
-    "en" -> Seq("the", "a", "fast", "slow"),
-    "es" -> Seq("data", "table", "row"),
-    "fr" -> Seq("query", "join", "merge"))
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "was", "that", "for", "it", "with", "as"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "que", "dans", "pour", "qui"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "eine", "den", "zu"),
+    "it" -> Seq("il", "di", "che", "e", "un", "una", "per", "non", "sono", "con", "del", "si"),
+    "pt" -> Seq("o", "os", "as", "de", "que", "e", "um", "uma", "para", "com", "por", "mais"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "niet", "met", "op", "voor", "zijn"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "ett", "av", "för", "inte", "med", "på", "han"),
+    "pl" -> Seq("i", "w", "na", "z", "do", "się", "jest", "nie", "to", "jak", "po", "co"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这", "中", "大"))
 
-  /** t01: per-language marker-token counts + argmax label.
-    * Tie-break = fixed priority order (en, es, fr, de) via the CASE chain,
-    * mirrored verbatim in the oracle. */
-  def t01LangId(s: SparkSession, d: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val scoreCols: Seq[Column] = langMarkers.map { case (l, m) =>
-      Text.markerCount(toks, m).cast("bigint").as(s"s_$l")
+  /** Language scores + argmax over any (doc_id, text) frame — split out
+    * so the fixture spec can feed real multilingual sentences. Ties go
+    * to the earlier language in [[langMarkers]] (fixed priority),
+    * mirrored in the oracle as the same CASE cascade over greatest().
+    *
+    * Shape: explode → codegen'd isin projection → HashAggregate, NOT
+    * 10 `filter(toks, _.isin(...))` lambdas — higher-order lambdas
+    * evaluate interpreted per element, and 10 passes × 12 string
+    * equality checks per token measurably doubled t01 (0.35 → 0.7 s at
+    * sf0.1). The relational form scans each token once through one
+    * generated projection; the shuffle partial-aggregates to one row
+    * per document map-side. */
+  def langScores(docs: DataFrame): DataFrame = {
+    val indicators = langMarkers.map { case (l, m) =>
+      when(col("tok").isin(m.map(lit(_)): _*), 1L).otherwise(0L).as(s"i_$l")
     }
-    Tables.documents(s, d)
-      .select(col("doc_id") +: scoreCols: _*)
-      .withColumn("best_lang",
-        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
-          col("s_en") >= col("s_de"), lit("en"))
-        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), lit("es"))
-        .when(col("s_fr") >= col("s_de"), lit("fr"))
-        .otherwise(lit("de")))
+    val sums = langMarkers.map { case (l, _) => sum(s"i_$l").as(s"s_$l") }
+    val gmax = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val best = langMarkers.init.foldRight(lit(langMarkers.last._1): Column) {
+      case ((l, _), rest) => when(col(s"s_$l") === gmax, lit(l)).otherwise(rest)
+    }
+    docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id") +: indicators: _*)
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("best_lang", best)
   }
+
+  /** t01: per-language function-word counts + argmax label over the
+    * documents table. One codegen'd map-side pass, no shuffle. */
+  def t01LangId(s: SparkSession, d: String): DataFrame =
+    langScores(Tables.documents(s, d))
 
   /** t02: document quality score from length, stopword ratio, and
     * lexical diversity — the length/punct/stopword heuristics of LLM data

@@ -108,4 +108,27 @@ class TextFunSpec extends SparkSpecBase {
         call_function("graft_cosine", col("va"), col("vb")).as("native"))
     assert(both.filter(col("portable") =!= col("native")).count() == 0)
   }
+
+  test("t01 lexicons identify real multilingual sentences") {
+    // One natural sentence per language, built from everyday function
+    // words — the capability the 10-language marker tables exist for.
+    val fixtures = Seq(
+      1L -> ("en", "the cat sat on the mat and it was happy that the sun is out"),
+      2L -> ("es", "el perro corre por la calle y los niños juegan en un parque"),
+      3L -> ("fr", "le chien est dans les rues et une dame marche pour le plaisir"),
+      4L -> ("de", "der hund ist nicht mit der katze und das haus ist von den leuten"),
+      5L -> ("it", "il gatto che dorme non è un problema per il cane del vicino"),
+      6L -> ("pt", "o gato dorme mais que o cão e um pássaro canta para a lua"),
+      7L -> ("nl", "de kat slaapt niet in het huis en een hond is met de kinderen"),
+      8L -> ("sv", "det är en katt och en hund som inte sover för de leker med han"),
+      9L -> ("pl", "to jest kot i pies w domu ale nie na dworze jak po deszczu"),
+      10L -> ("zh", "这 是 我 的 猫 和 他 的 狗 在 大 房 子 里 人 不 多"))
+    val df = fixtures.map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.langScores(df)
+      .select("doc_id", "best_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (id, (lang, _)) =>
+      assert(got(id) == lang, s"doc $id expected $lang got ${got(id)}")
+    }
+  }
 }
