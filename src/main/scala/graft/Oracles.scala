@@ -529,14 +529,16 @@ object Oracles {
   /** Multimodal + streaming blocks (SURVEY §2.E/F). m01's fake decode is
     * md5-derived so the byte-level fields are SQL-expressible. */
   val eventsAndMedia: Map[String, String] = Map(
+    // m01's oracle is the GENERATION rule (dimensions/format/length the
+    // payload headers were synthesized from) — the independent ground
+    // truth the byte-level header parser must round-trip exactly.
     "m01_multimodal_meta" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
-        |SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes,
-        |  CAST(('0x'||substr(hx,1,4)) AS BIGINT) AS width,
-        |  CAST(('0x'||substr(hx,5,4)) AS BIGINT) AS height,
-        |  CASE CAST(('0x'||substr(hx,9,2)) AS BIGINT) % 3
-        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
-        |FROM h ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 41 END AS BIGINT) AS n_bytes,
+        |  CAST(64 + doc_id % 1920 AS BIGINT) AS width,
+        |  CAST(64 + n_chars % 1080 AS BIGINT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m02_frame_sample" ->
       """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),

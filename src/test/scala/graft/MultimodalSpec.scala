@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal.HeaderDecode
+
+/** Byte-level semantics of the container-header decoder, independent of
+  * the payload generator (hand-assembled arrays, not the generation
+  * expressions — a generator bug can't self-certify). */
+class MultimodalSpec extends SparkSpecBase {
+
+  private def be4(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be2(v: Long): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("PNG IHDR decode: signature check + big-endian dims") {
+    val png = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452") ++
+      be4(640) ++ be4(480) ++ hexBytes("080600000012345678")
+    assert(HeaderDecode.decode(png) == ((640L, 480L, "png")))
+  }
+
+  test("JPEG SOF decode walks variable-length segments before the frame header") {
+    // SOI, a COM segment of unusual length (9), APP0, then SOF2
+    // (progressive) — offsets differ from the generator's fixed layout,
+    // so a fixed-offset cheat would fail here.
+    val jpeg = hexBytes("FFD8" + "FFFE0009" + "00112233445566") ++
+      hexBytes("FFE000104A46494600010100000100010000") ++
+      hexBytes("FFC2001108") ++ be2(1080) ++ be2(1920) ++
+      hexBytes("03012200021101031101" + "FFD9")
+    assert(HeaderDecode.decode(jpeg) == ((1920L, 1080L, "jpeg")))
+  }
+
+  test("non-media bytes fall through to unknown, not an exception") {
+    assert(HeaderDecode.decode("plain text".getBytes("UTF-8"))._3 == "unknown")
+    assert(HeaderDecode.decode(Array[Byte]())._3 == "unknown")
+    // JPEG SOI but truncated before any SOF
+    assert(HeaderDecode.decode(hexBytes("FFD8FFFE"))._3 == "unknown")
+  }
+
+  test("m01 payloads round-trip: decoded dims equal the generation rule") {
+    val out = Queries.production("m01_multimodal_meta")(spark, sf001)
+    val bad = out.filter(
+      col("width") =!= (lit(64) + col("doc_id") % 1920) ||
+      col("format").isin("unknown")).count()
+    assert(bad == 0)
+    assert(out.filter(col("format") === "png").count() > 0)
+    assert(out.filter(col("format") === "jpeg").count() > 0)
+  }
+}
