@@ -26,6 +26,44 @@ object Sources {
   def parquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Name of the audit column carrying the raw text of rows that failed
+    * to parse. */
+  val CorruptCol = "_corrupt_record"
+
+  /** CSV/JSON read with corrupt-record CAPTURE — the audit half of the
+    * PERMISSIVE posture: parse failures still null out instead of
+    * killing the job, but the offending raw line is RETAINED in
+    * [[CorruptCol]] so a pipeline can quarantine and inspect it (the
+    * reference's try/except-log posture, challenge.py:129-227, made
+    * queryable). Use [[splitCorrupt]] to fork the audit stream. */
+  def csvCaptureCorrupt(s: SparkSession, path: String, schema: StructType,
+                        header: Boolean = true): DataFrame =
+    s.read.schema(schema.add(CorruptCol, "string"))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+
+  def jsonCaptureCorrupt(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema.add(CorruptCol, "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** (good rows without the audit column, bad rows as (raw line)).
+    * The input is cached first: Spark (correctly) refuses queries that
+    * filter ONLY on the internal corrupt-record column of a raw
+    * file scan (SPARK-21610 — the pushed-down filter would change which
+    * rows parse), and a cache materializes the parse once for both
+    * forks anyway. Caller unpersists when done. */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val cached = df.cache()
+    val good = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val bad = cached.filter(col(CorruptCol).isNotNull).select(col(CorruptCol))
+    (good, bad)
+  }
+
   /** JDBC read-back (validation / small-dim ingestion; for big tables
     * supply partitioning predicates upstream via spark.read.jdbc). */
   def readJdbc(s: SparkSession, url: String, table: String,

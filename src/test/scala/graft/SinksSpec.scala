@@ -24,6 +24,38 @@ class SinksSpec extends SparkSpecBase {
     assert(df.filter(col("price").isNull).count() == 2) // coerce, don't fail
   }
 
+  test("corrupt-record capture: bad rows quarantined with raw text, good rows unaffected") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"id":1,"price":10.5}
+        |{"id":2,"price":}
+        |{"id":3,"price":7.25}
+        |not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType)))
+    val (good, bad) = Sources.splitCorrupt(
+      Sources.jsonCaptureCorrupt(spark, s"$dir/in.json", schema))
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(good.columns.toSeq == Seq("id", "price")) // audit col dropped
+    val raw = bad.collect().map(_.getString(0)).toSet
+    assert(raw == Set("""{"id":2,"price":}""", "not json at all"))
+  }
+
+  test("corrupt-record capture on csv: unparseable numeric cell keeps its raw line") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,price\n1,10.5\n2,not_a_number\n3,7.25\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType)))
+    val (good, bad) = Sources.splitCorrupt(
+      Sources.csvCaptureCorrupt(spark, s"$dir/in.csv", schema))
+    // a row with ANY unparseable cell is quarantined whole (raw line),
+    // not silently half-nulled into the clean stream
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(bad.collect().map(_.getString(0)).toSeq == Seq("2,not_a_number"))
+  }
+
   test("json-lines with ragged keys resolves to null columns") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
