@@ -62,8 +62,102 @@ object Similarity {
         (col("pos") + 1).cast("bigint").as("rnk"))
 
   /** e01: brute-force cosine top-k — every corpus vector scored against
-    * every query (queries = vec_id % 100 == 0), exact ranking. */
+    * every query (queries = vec_id % 100 == 0), exact ranking.
+    *
+    * Batched form: the query set is collected (it is the broadcast-small
+    * side by construction — same size assumption the expression form's
+    * broadcast join makes) and each partition scores its corpus slice
+    * against all queries in one primitive-array loop, keeping only the
+    * k best (score DESC, id ASC) per query per partition — so the
+    * (n_queries × corpus) scored relation is never materialized as rows:
+    * at most k·n_queries rows per partition reach the final [[topK]]
+    * merge. This is the distributed analog of the one-matmul BLAS
+    * approach; arithmetic (index-order double sums, HALF_UP rounding)
+    * is bit-identical to [[CosineSimilarity]]+round, so the result stays
+    * oracle-gated. The expression form survives as the parity
+    * cross-check ([[e01KnnExpr]], BatchedKnnSpec). */
   def e01KnnBrute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qb = s.sparkContext.broadcast(queries)
+    val scored = e.as[(Long, Array[Float])].mapPartitions { it =>
+      val qs = qb.value
+      val nq = qs.length
+      // Query norms hoisted: na is the same index-order sum wherever it
+      // is computed, so factoring it out of the pair loop changes no bit.
+      val qnorm = qs.map { case (_, qv) =>
+        var na = 0.0; var i = 0
+        while (i < qv.length) { val x = qv(i).toDouble; na += x * x; i += 1 }
+        math.sqrt(na)
+      }
+      // per (query, partition): k best as parallel primitive arrays,
+      // worst slot tracked by linear scan (k is small; a losing
+      // candidate costs one compare against the current worst minimum)
+      val scores = Array.fill(nq)(Array.fill(K)(Double.NegativeInfinity))
+      val ids = Array.fill(nq)(new Array[Long](K))
+      val sizes = new Array[Int](nq)
+      val wmin = Array.fill(nq)(Double.NegativeInfinity) // min retained score once full
+      it.foreach { case (cId, cv) =>
+        var nb = 0.0
+        var i = 0
+        while (i < cv.length) { val y = cv(i).toDouble; nb += y * y; i += 1 }
+        val cn = math.sqrt(nb)
+        var qi = 0
+        while (qi < nq) {
+          val (qId, qv) = qs(qi)
+          if (qId != cId) {
+            // index-order dot, exactly Vec.cosine / CosineSimilarity
+            var dot = 0.0
+            i = 0
+            while (i < qv.length) { dot += qv(i).toDouble * cv(i).toDouble; i += 1 }
+            val raw = dot / (qnorm(qi) * cn)
+            // HALF_UP-rounding via BigDecimal is the per-pair hot cost;
+            // |round(x)-x| <= 5e-7, so a raw score below the retained
+            // minimum by more than that margin can neither beat nor tie
+            // any kept entry after rounding — skip rounding AND insert.
+            if (raw >= wmin(qi) - 5e-7) {
+              val score = BigDecimal(raw)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val ss = scores(qi); val is = ids(qi)
+              if (sizes(qi) < K) {
+                ss(sizes(qi)) = score; is(sizes(qi)) = cId; sizes(qi) += 1
+                if (sizes(qi) == K) {
+                  var m = ss(0); var j = 1
+                  while (j < K) { if (ss(j) < m) m = ss(j); j += 1 }
+                  wmin(qi) = m
+                }
+              } else {
+                // replace the worst (lowest score, ties to HIGHEST id —
+                // the mirror of keep-best (score DESC, id ASC))
+                var w = 0; var j = 1
+                while (j < K) {
+                  if (ss(j) < ss(w) || (ss(j) == ss(w) && is(j) > is(w))) w = j
+                  j += 1
+                }
+                if (score > ss(w) || (score == ss(w) && cId < is(w))) {
+                  ss(w) = score; is(w) = cId
+                  var m = ss(0); j = 1
+                  while (j < K) { if (ss(j) < m) m = ss(j); j += 1 }
+                  wmin(qi) = m
+                }
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      (0 until nq).iterator.flatMap { qi =>
+        (0 until sizes(qi)).iterator.map(j => (qs(qi)._1, ids(qi)(j), scores(qi)(j)))
+      }
+    }.toDF("q_id", "c_id", "cosine")
+    topK(s, scored)
+  }
+
+  /** The pure-expression e01 (broadcast join + codegen'd cosine over the
+    * full scored relation) — parity cross-check for the batched form. */
+  def e01KnnExpr(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") % 100 === 0).toDF("q_id", "qv")
     val c = e.toDF("c_id", "cv")

@@ -36,11 +36,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("e01: scoring runs through the native codegen'd graft_cosine") {
+  test("e01: batched scoring — no join materializes the scored relation") {
+    // The batched form scores inside mapPartitions with partition-local
+    // top-k, so the (queries × corpus) relation never exists as rows:
+    // no join of any kind, and the only exchange is the final bounded
+    // graft_topk merge keyed by query.
     val p = physical("e01_knn_brute")
-    assert(p.contains("graft_cosine"), p.take(2000))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "query set must broadcast")
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert(!p.contains("Join"), s"scored relation must not materialize via a join:\n${p.take(2000)}")
+    assert(p.contains("graft_topk"), p.take(2000))
   }
 
   test("e01/e02: top-k is the bounded partial aggregate, not a window sort") {
