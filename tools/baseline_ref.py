@@ -164,12 +164,34 @@ def main(sf):
     res["s02_sessionize"] = timed(s02)
 
     def m01():
+        # round-4 semantics: synthesize real PNG/JPEG headers, then parse
+        # them back with byte arithmetic (struct), as a pandas user would
+        # handle a binary payload column (per-row Python, no vectorization
+        # for byte parsing)
+        import struct
         d = pd.read_parquet(P("documents"))
-        def meta(t):
-            b = hashlib.md5(t.encode()).digest()
-            return (len(b), (b[0] << 8) | b[1], (b[2] << 8) | b[3],
-                    ["png", "jpeg", "webp"][b[4] % 3])
-        d.text.map(meta)
+        PNG_PRE = bytes.fromhex("89504E470D0A1A0A0000000D49484452")
+        PNG_POST = bytes.fromhex("0806000000AA5500FF")
+        JPG_PRE = bytes.fromhex("FFD8FFE000104A46494600010100000100010000FFC0001108")
+        JPG_POST = bytes.fromhex("03012200021101031101FFD9")
+        def build(row):
+            w = 64 + row.doc_id % 1920
+            h = 64 + row.n_chars % 1080
+            if row.doc_id % 2 == 0:
+                return PNG_PRE + struct.pack(">II", w, h) + PNG_POST
+            return JPG_PRE + struct.pack(">HH", h, w) + JPG_POST
+        def parse(b):
+            if b[:8] == PNG_PRE[:8] and b[12:16] == b"IHDR":
+                return (len(b),) + struct.unpack(">II", b[16:24]) + ("png",)
+            if b[0] == 0xFF and b[1] == 0xD8:
+                i = 2
+                while i + 9 <= len(b) and b[i] == 0xFF:
+                    if b[i + 1] in (0xC0, 0xC1, 0xC2):
+                        h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                        return (len(b), w, h, "jpeg")
+                    i += 2 + struct.unpack(">H", b[i + 2:i + 4])[0]
+            return (len(b), 0, 0, "unknown")
+        d.apply(build, axis=1).map(parse)
     res["m01_multimodal_meta"] = timed(m01)
 
     def x01():
