@@ -56,9 +56,9 @@ object Queries {
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
     "d04_simhash"          -> (Dedup.d04Simhash _),
-    "d05_embedding_dedup"  -> (Dedup.d05EmbeddingDedup _),
+    "d05_embedding_dedup"  -> ((s, d) => Dedup.d05EmbeddingDedup(s, d)),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
-    "e02_ann_lsh"          -> (Similarity.e02AnnLsh _),
+    "e02_ann_lsh"          -> ((s, d) => Similarity.e02AnnLsh(s, d)),
     "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),

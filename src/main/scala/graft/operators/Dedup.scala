@@ -200,10 +200,17 @@ object Dedup {
     * vs the all-pairs exact form ([[d05ExactPairs]], kept as the small-SF
     * cross-check) is spec-asserted; at the gate threshold each qualifying
     * pair collides in >= 1 of the 16 tables with p ≈ 0.96, and rising
-    * sharply with cosine — raise L for a tighter floor at scale. */
-  def d05EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
+    * sharply with cosine — raise L for a tighter floor at scale.
+    *
+    * `bits` MUST grow with the corpus ([[Similarity.scaledRhpBits]]):
+    * the catalog default (4) is sized for the oracle-gate SFs, and at
+    * 200k vectors its 16-buckets-per-table occupancy OOMs the candidate
+    * join (measured, BENCH.md sf10). */
+  def d05EmbeddingDedup(s: SparkSession, d: String,
+                        bits: Int = Similarity.RhpBits,
+                        tables: Int = Similarity.RhpTables): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val bands = Similarity.rhpBands(s, e)
+    val bands = Similarity.rhpBands(s, e, bits, tables)
     // Pin the self-join's partitioning explicitly: the band table is tiny
     // (ids only) but the join OUTPUT is the quadratic part, and AQE sizes
     // partitions from shuffle INPUT bytes — left to itself it coalesces

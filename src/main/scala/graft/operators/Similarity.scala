@@ -30,11 +30,34 @@ object Similarity {
 
   /** Shared RHP banding config: L tables × `bits` hyperplane sign bits,
     * seeds 1000 + t·bits. e02 (ANN top-k) and d05 (near-dup pairs) read
-    * the SAME bands, so a real pipeline computes the bucketing once. */
+    * the SAME bands, so a real pipeline computes the bucketing once.
+    * These are the CATALOG constants, sized for the oracle-gate SFs and
+    * mirrored literally in the oracle SQL; scale deployments pass
+    * [[scaledRhpBits]] instead — see its scaladoc for why fixed band
+    * width cannot survive corpus growth. */
   val RhpTables = 16
   val RhpBits = 4
   val RhpSeedBase = 1000
   private val EmbeddingDim = 64
+
+  /** Band width calibrated to corpus size: expected bucket occupancy is
+    * n/2^bits, so FIXED bits means per-bucket candidate pairs grow as
+    * (n/2^bits)² — quadratically in n. Measured consequence: the sf10
+    * bench (200k vectors) OOMed the d05 band join at the catalog's
+    * bits=4 (12.5k occupants/bucket ≈ 10^10 candidate pairs), where
+    * bits=12 runs it in ~90 s. Keep occupancy roughly constant:
+    * bits = ceil(log2(n / perBucket)), floored at the catalog default.
+    * The default target (50/bucket) is deliberately tight — measured at
+    * sf10, occupancy ~200 (bits=10) still generated enough candidate
+    * volume to spill past 75 GB of local disk; candidate rows scale as
+    * occupancy² × buckets = occupancy × n × L. Raising bits lowers
+    * per-table recall (a qualifying pair must agree on more sign bits),
+    * so L should rise with the recall target — recall@cos τ across L
+    * tables is 1 − (1 − p(τ)^bits)^L with p(τ) = 1 − θ/π. */
+  def scaledRhpBits(n: Long, perBucket: Int = 50): Int = {
+    val target = math.max(1L, n / perBucket)
+    math.max(RhpBits, 64 - java.lang.Long.numberOfLeadingZeros(target - 1))
+  }
 
   private def rounded(s: SparkSession, a: Column, b: Column): Column =
     round(CosineSimilarity(s, a, b), 6)
@@ -43,11 +66,12 @@ object Similarity {
     * Deliberately id-only: vectors are projected away before any
     * candidate shuffle, so downstream distincts key on 16 bytes of ids
     * instead of hashing and shipping 64-float payloads. */
-  def rhpBands(s: SparkSession, e: DataFrame): DataFrame =
+  def rhpBands(s: SparkSession, e: DataFrame,
+               bits: Int = RhpBits, tables: Int = RhpTables): DataFrame =
     e.select(col("vec_id"),
-      explode(array((0 until RhpTables).map(t => struct(lit(t).as("tbl"),
-        RhpBucket(s, col("embedding"), RhpBits, EmbeddingDim,
-          RhpSeedBase + t * RhpBits).as("bkt"))): _*)).as("x"))
+      explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
+        RhpBucket(s, col("embedding"), bits, EmbeddingDim,
+          RhpSeedBase + t * bits).as("bkt"))): _*)).as("x"))
       .select(col("vec_id"), col("x.tbl").as("tbl"), col("x.bkt").as("bkt"))
 
   /** Per-query top-k via the bounded [[TopKByScore]] aggregate: map-side
@@ -179,9 +203,10 @@ object Similarity {
     * broadcast: it is 1% of the corpus; corpus side an equi-join on
     * c_id). The earlier form deduped on (q_id, qv, c_id, cv), hashing
     * and shipping ~512 B of float payload per candidate row. */
-  def e02AnnLsh(s: SparkSession, d: String): DataFrame = {
+  def e02AnnLsh(s: SparkSession, d: String,
+                bits: Int = RhpBits, tables: Int = RhpTables): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val bands = rhpBands(s, e)
+    val bands = rhpBands(s, e, bits, tables)
     val q = bands.filter(col("vec_id") % 100 === 0).toDF("q_id", "tbl", "bkt")
     val c = bands.toDF("c_id", "tbl2", "bkt2")
     val cand = broadcast(q)

@@ -16,6 +16,22 @@ class LshRecallSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall@10 = $recall")
   }
 
+  test("scaled-bits d05 stays exact-precision (output is a subset of the all-pairs truth)") {
+    // The scale calibration (Similarity.scaledRhpBits) changes CANDIDATE
+    // generation only; the exact-cosine verify means any band config has
+    // perfect precision — wider bands can only lose recall, never invent
+    // pairs. bits=6 on the 5k-vector gate SF is the occupancy the
+    // calibration would pick around 13k vectors.
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = pairSet(graft.operators.Dedup.d05ExactPairs(spark, sf001))
+    val scaled = pairSet(graft.operators.Dedup.d05EmbeddingDedup(spark, sf001, bits = 6))
+    assert(scaled.subsetOf(exact))
+    assert(scaled.nonEmpty)
+    assert(graft.operators.Similarity.scaledRhpBits(200000L) == 12)
+    assert(graft.operators.Similarity.scaledRhpBits(200L) == 4) // floored at catalog default
+  }
+
   test("e03 IVF recall@10 vs e01 beats its scan fraction on learned cells") {
     // Probing 3 of 16 LEARNED cells on near-orthogonal synthetic vectors
     // is IVF's worst case (cell membership barely correlates with
