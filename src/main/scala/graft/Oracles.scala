@@ -526,27 +526,52 @@ object Oracles {
     )
   }
 
-  /** Multimodal + streaming blocks (SURVEY §2.E/F). m01's fake decode is
-    * md5-derived so the byte-level fields are SQL-expressible. */
+  /** Multimodal + streaming blocks (SURVEY §2.E/F). m01/m02 oracles are
+    * the GENERATION rule (dimensions, segment layout, byte-sums the
+    * payloads were synthesized from) — independent ground truth the
+    * byte-level parsers must round-trip exactly. Payload layout: PNG =
+    * sig + IHDR + 4 tEXt(8 data bytes) + IEND = 125 bytes; JPEG = SOI +
+    * APP0 + 4 COM(8) + SOF0 + EOI = 89 bytes. */
+  /** Byte-sum of the 8 big-endian bytes of bigint v (oracle helper). */
+  private val BS = "((v>>56)&255)+((v>>48)&255)+((v>>40)&255)+((v>>32)&255)+((v>>24)&255)+((v>>16)&255)+((v>>8)&255)+(v&255)"
+
   val eventsAndMedia: Map[String, String] = Map(
-    // m01's oracle is the GENERATION rule (dimensions/format/length the
-    // payload headers were synthesized from) — the independent ground
-    // truth the byte-level header parser must round-trip exactly.
     "m01_multimodal_meta" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 41 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 125 ELSE 89 END AS BIGINT) AS n_bytes,
         |  CAST(64 + doc_id % 1920 AS BIGINT) AS width,
         |  CAST(64 + n_chars % 1080 AS BIGINT) AS height,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Per-segment byte-sums in closed form: the k-th metadata segment
+    // carries the 8 big-endian bytes of v = doc_id*4096 + k; IHDR data
+    // is w4 h4 + [8,6,0,0,0] (sum 14); APP0 data sums to 291; SOF0 data
+    // is 8 + h2 w2 + component bytes (sum 79).
     "m02_frame_sample" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
-        |f AS (SELECT doc_id, i AS frame_no,
-        |        CAST(('0x'||substr(hx, CAST(8*i+1 AS INT), 8)) AS BIGINT) AS checksum
-        |      FROM h, range(0,4) t(i))
-        |SELECT doc_id, frame_no, checksum, checksum % 5 = 0 AS is_keyframe
-        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+      s"""WITH base AS (SELECT doc_id, 64 + doc_id % 1920 AS w, 64 + n_chars % 1080 AS h FROM documents),
+        |meta AS (SELECT doc_id, k, doc_id*4096 + k AS v FROM base, range(1, 5) t(k)),
+        |seg AS (
+        |  SELECT doc_id, 0 AS frame_no, 'IHDR' AS marker, 13 AS seg_len,
+        |    w//256 + w%256 + h//256 + h%256 + 14 AS checksum, TRUE AS is_keyframe
+        |  FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, k, 'tEXt', 8, $BS, FALSE FROM meta WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 5, 'IEND', 0, 0, FALSE FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 0, 'APP0', 14, 291, FALSE FROM base WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id, k, 'COM', 8, $BS, FALSE FROM meta WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 5, 'SOF0', 15, 87 + h//256 + h%256 + w//256 + w%256, TRUE
+        |  FROM base WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 6, 'EOI', 0, 0, FALSE FROM base WHERE doc_id % 2 = 1)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, marker,
+        |  CAST(seg_len AS BIGINT) AS seg_len, CAST(checksum AS BIGINT) AS checksum,
+        |  is_keyframe
+        |FROM seg ORDER BY doc_id, frame_no""".stripMargin,
 
     "s01_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,

@@ -11,9 +11,9 @@ case class MediaRow(doc_id: Long, payload: Array[Byte])
 case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
                      format: String)
 
-/** One sampled frame of a media payload. */
-case class FrameRow(doc_id: Long, frame_no: Long, checksum: Long,
-                    is_keyframe: Boolean)
+/** One container segment/chunk of a media payload. */
+case class FrameRow(doc_id: Long, frame_no: Long, marker: String,
+                    seg_len: Long, checksum: Long, is_keyframe: Boolean)
 
 /** Multimodal column handling (SURVEY §2.E): media as opaque `binary`
   * columns + typed decode metadata.
@@ -22,12 +22,14 @@ case class FrameRow(doc_id: Long, frame_no: Long, checksum: Long,
   * per-partition imperative decode via mapPartitions (the shape a real
   * codec integration needs: the decoder is driven once per partition, so
   * a native library handle could be initialized per-partition, not
-  * per-row). m01's payloads are REAL PNG/JPEG headers (signature + IHDR
-  * chunk / JFIF + SOF0 segment, synthesized deterministically since the
-  * container ships no image files) and [[HeaderDecode]] is a real
-  * fixed-offset/marker-walk parser that works on any actual PNG or
-  * baseline JPEG. Only m02's frame EXTRACTION remains a declared stub
-  * (true frame decode needs a codec library).
+  * per-row). The payloads are REAL byte-valid PNG/JPEG container files
+  * (PNG signature + IHDR/tEXt/IEND chunks; JFIF APP0 + COM segments +
+  * SOF0, synthesized deterministically since the container ships no
+  * image files); [[HeaderDecode]] is a real fixed-offset/marker-walk
+  * header parser and [[SegmentWalk]] a real chunk/segment iterator —
+  * both work on any actual PNG or baseline JPEG. (PIXEL decode would
+  * need a codec library; everything at the container-structure level
+  * is real byte parsing.)
   */
 object Multimodal {
 
@@ -69,32 +71,112 @@ object Multimodal {
     }
   }
 
+  /** Real container-structure iteration: one row per PNG chunk or JPEG
+    * marker segment — (marker, payload length, byte-sum checksum). This
+    * is the metadata/structure pass a media pipeline runs before any
+    * pixel decode (find EXIF, count frames, locate SOF): pure byte
+    * arithmetic over any actual PNG or baseline JPEG. */
+  object SegmentWalk {
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be16(b: Array[Byte], i: Int): Int =
+      (((b(i) & 0xff) << 8) | (b(i + 1) & 0xff))
+    private def byteSum(b: Array[Byte], from: Int, len: Int): Long = {
+      var s = 0L; var i = from
+      val end = math.min(from + len, b.length)
+      while (i < end) { s += b(i) & 0xff; i += 1 }
+      s
+    }
+    private def jpegMarkerName(m: Int): String = m match {
+      case 0xe0 => "APP0"
+      case 0xfe => "COM"
+      case 0xc0 => "SOF0"
+      case 0xc2 => "SOF2"
+      case 0xd9 => "EOI"
+      case x => f"M$x%02X"
+    }
+
+    /** (marker, segLen, checksum, isKeyframe) per segment; empty for
+      * non-media bytes. */
+    def walk(b: Array[Byte]): Seq[(String, Long, Long, Boolean)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Boolean)]()
+      if (b.length >= 16 && (b(0) & 0xff) == 0x89 && b(1) == 'P') {
+        // PNG: chunks of len(4) type(4) data(len) crc(4) from offset 8
+        var i = 8
+        while (i + 8 <= b.length) {
+          val len = be32(b, i).toInt
+          val typ = new String(b.slice(i + 4, i + 8), "US-ASCII")
+          out += ((typ, len.toLong, byteSum(b, i + 8, len), typ == "IHDR"))
+          i += 12 + len
+        }
+      } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        // JPEG: FF mm [len2 payload] segments from offset 2; EOI and the
+        // restart/TEM markers are standalone (no length field)
+        var i = 2
+        var done = false
+        while (!done && i + 2 <= b.length && (b(i) & 0xff) == 0xff) {
+          val m = b(i + 1) & 0xff
+          if (m == 0xd9 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+            out += ((jpegMarkerName(m), 0L, 0L, false))
+            if (m == 0xd9) done = true
+            i += 2
+          } else if (i + 4 <= b.length) {
+            val segLen = be16(b, i + 2)
+            val dataLen = segLen - 2
+            out += ((jpegMarkerName(m), dataLen.toLong, byteSum(b, i + 4, dataLen),
+              m == 0xc0 || m == 0xc1 || m == 0xc2))
+            i += 2 + segLen
+          } else done = true
+        }
+      }
+      out.toSeq
+    }
+  }
+
   /** Deterministic media dimensions per document — the generation rule
     * the oracle mirrors as its ground truth. */
   private def widthCol = (lit(64) + col("doc_id") % 1920).cast("bigint")
   private def heightCol = (lit(64) + col("n_chars") % 1080).cast("bigint")
 
-  /** 4-/2-byte big-endian encodings of an integer column. */
+  /** 8-/4-/2-byte big-endian encodings of an integer column. */
+  private def be8(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 16, "0"))
   private def be4(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
   private def be2(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 4, "0"))
 
-  /** Synthesized payload: even doc_ids get a PNG (8-byte signature +
-    * IHDR chunk with real big-endian dims; CRC bytes are fixed filler —
-    * header parsers don't checksum), odd doc_ids a baseline JPEG
-    * (SOI + 16-byte JFIF APP0 + SOF0 with real dims + EOI). These are
-    * byte-valid container headers: [[HeaderDecode]] does no
+  /** Metadata-segment payload values: 8 big-endian bytes per segment k,
+    * a pure function of (doc_id, k) so the oracle can state each
+    * segment's byte-sum in closed form. */
+  val MetaSegments = 4
+  private def segValue(k: Int) = (col("doc_id") * 4096 + lit(k)).cast("bigint")
+
+  /** Synthesized payload: even doc_ids get a PNG — signature, IHDR with
+    * real big-endian dims, [[MetaSegments]] tEXt chunks carrying 8 data
+    * bytes each, IEND (CRC bytes are fixed filler — structure parsers
+    * don't checksum). Odd doc_ids a baseline JPEG — SOI, JFIF APP0,
+    * [[MetaSegments]] COM segments, SOF0 with real dims, EOI. Byte-valid
+    * container files: [[HeaderDecode]]/[[SegmentWalk]] do no
     * generation-specific shortcuts. */
-  private def payloadCol = when(col("doc_id") % 2 === 0,
-    concat(
-      unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/type
-      be4(widthCol), be4(heightCol),
-      unhex(lit("0806000000AA5500FF")))               // depth/color/comp/filter/interlace + CRC filler
-  ).otherwise(
-    concat(
-      unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")), // SOI + APP0 + SOF0 head
-      be2(heightCol), be2(widthCol),
-      unhex(lit("03012200021101031101")),             // 3 components
-      unhex(lit("FFD9"))))                            // EOI
+  private def payloadCol = {
+    val pngChunks = (1 to MetaSegments).map(k =>
+      concat(unhex(lit("0000000874455874")), be8(segValue(k)), unhex(lit("AA5500FF"))))
+    val jpegComs = (1 to MetaSegments).map(k =>
+      concat(unhex(lit("FFFE000A")), be8(segValue(k))))
+    when(col("doc_id") % 2 === 0,
+      concat(Seq(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/type
+        be4(widthCol), be4(heightCol),
+        unhex(lit("0806000000AA5500FF"))) ++              // depth..interlace + CRC filler
+        pngChunks :+
+        unhex(lit("0000000049454E44AA5500FF")): _*)       // IEND
+    ).otherwise(
+      concat(Seq(
+        unhex(lit("FFD8FFE000104A46494600010100000100010000")) // SOI + APP0
+      ) ++ jpegComs ++ Seq(
+        unhex(lit("FFC0001108")), be2(heightCol), be2(widthCol),
+        unhex(lit("03012200021101031101")),               // 3 components
+        unhex(lit("FFD9"))): _*))                         // EOI
+  }
 
   /** m01: attach a binary media payload and decode its metadata from the
     * container header bytes. */
@@ -113,22 +195,20 @@ object Multimodal {
       .toDF()
   }
 
-  /** m02: frame sampling — one payload row fans out to N frame rows via
-    * a typed flatMap (the row-multiplying shape a video/audio sampler
-    * needs). The frame extraction is the same clearly-marked stub:
-    * fixed 4-byte "frames" of the md5 payload, checksummed. */
+  /** m02: container-segment sampling — one payload row fans out to one
+    * row per PNG chunk / JPEG marker segment via a typed flatMap (the
+    * row-multiplying shape a frame sampler needs), with each segment's
+    * marker, length, and byte-sum checksum parsed from the actual
+    * bytes by [[SegmentWalk]]. The keyframe flag marks the frame-header
+    * segments (IHDR / SOF). */
   def m02FrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .select(col("doc_id"), payloadCol.as("payload"))
       .as[MediaRow]
       .flatMap { r =>
-        // a real codec seeks keyframe boundaries here
-        val b = r.payload
-        (0 until 4).iterator.map { i =>
-          val cs = ((b(4 * i) & 0xffL) << 24) | ((b(4 * i + 1) & 0xffL) << 16) |
-            ((b(4 * i + 2) & 0xffL) << 8) | (b(4 * i + 3) & 0xffL)
-          FrameRow(r.doc_id, i.toLong, cs, cs % 5 == 0)
+        SegmentWalk.walk(r.payload).iterator.zipWithIndex.map {
+          case ((m, len, cs, kf), i) => FrameRow(r.doc_id, i.toLong, m, len, cs, kf)
         }
       }
       .toDF()

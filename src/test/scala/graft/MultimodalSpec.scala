@@ -38,6 +38,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(HeaderDecode.decode(hexBytes("FFD8FFFE"))._3 == "unknown")
   }
 
+  test("PNG chunk walk: every chunk surfaced with type, length, byte-sum") {
+    import graft.operators.Multimodal.SegmentWalk
+    val png = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452") ++
+      be4(640) ++ be4(480) ++ hexBytes("080600000012345678") ++
+      hexBytes("00000003" + "74455874" + "010203" + "00000000") ++ // tEXt, 3 data bytes
+      hexBytes("00000000" + "49454E44" + "AE426082")
+    val segs = SegmentWalk.walk(png)
+    assert(segs.map(_._1) == Seq("IHDR", "tEXt", "IEND"))
+    assert(segs(0)._4 && !segs(1)._4) // IHDR is the keyframe segment
+    assert(segs(1) == (("tEXt", 3L, 6L, false))) // 1+2+3
+  }
+
+  test("JPEG segment walk handles standalone markers and stops at EOI") {
+    import graft.operators.Multimodal.SegmentWalk
+    val jpeg = hexBytes("FFD8" + "FFFE0004" + "0A0B" + "FFC00007" + "08") ++
+      be2(9) ++ be2(7) ++ hexBytes("FFD9")
+    val segs = SegmentWalk.walk(jpeg)
+    assert(segs.map(_._1) == Seq("COM", "SOF0", "EOI"))
+    assert(segs(0) == (("COM", 2L, 21L, false)))   // 0x0A + 0x0B
+    assert(segs(1)._4)                             // SOF is the keyframe
+    assert(segs(1)._3 == 8L + 9L + 7L)             // precision + dim bytes
+    assert(SegmentWalk.walk("not media".getBytes("UTF-8")).isEmpty)
+  }
+
   test("m01 payloads round-trip: decoded dims equal the generation rule") {
     val out = Queries.production("m01_multimodal_meta")(spark, sf001)
     val bad = out.filter(
