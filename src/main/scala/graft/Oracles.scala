@@ -375,6 +375,21 @@ object Oracles {
       """list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))))""".stripMargin
+    // d03's candidate + verified-pair CTE chain, shared by d03 itself and
+    // d06's component resolution over the same pair graph.
+    val d03Ctes =
+      s"""$shingleCte,
+         |hbt AS (SELECT doc_id, sh, list_transform(sh, s -> ${h60(0, "s")} % $M) AS hb FROM sh),
+         |sig AS (SELECT doc_id, sh, [$minhashes] AS sig FROM hbt),
+         |bands AS (SELECT doc_id, b, sig[b*4+1:b*4+4] AS bsig FROM sig, range(0,4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |d03pairs AS (SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) AS jaccard
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |WHERE jaccard >= 0.5)""".stripMargin
     Map(
       "d01_dedup_exact" ->
         """WITH doubled AS (
@@ -397,18 +412,25 @@ object Oracles {
            |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
       "d03_minhash_lsh" ->
-        s"""WITH $shingleCte,
-           |hbt AS (SELECT doc_id, sh, list_transform(sh, s -> ${h60(0, "s")} % $M) AS hb FROM sh),
-           |sig AS (SELECT doc_id, sh, [$minhashes] AS sig FROM hbt),
-           |bands AS (SELECT doc_id, b, sig[b*4+1:b*4+4] AS bsig FROM sig, range(0,4) t(b)),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |         FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b, jaccard FROM (
-           |  SELECT id_a, id_b,
-           |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-           |          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) AS jaccard
-           |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
-           |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+        s"""WITH $d03Ctes
+           |SELECT id_a, id_b, jaccard FROM d03pairs ORDER BY id_a, id_b""".stripMargin,
+
+      // Connected components as a recursive CTE: reach(rid, lbl) holds
+      // "vertex lbl reaches vertex rid"; UNION (set semantics) bounds the
+      // recursion, and MIN(lbl) per rid is exactly the component-min
+      // labelling the Spark loop converges to.
+      "d06_dup_groups" ->
+        s"""WITH RECURSIVE $d03Ctes,
+           |edges AS (SELECT id_a AS ea, id_b AS eb FROM d03pairs
+           |          UNION ALL SELECT id_b, id_a FROM d03pairs),
+           |reach(rid, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON r.rid = e.ea),
+           |lab AS (SELECT rid AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY rid),
+           |gs AS (SELECT canonical_id AS cid, COUNT(*) AS group_size FROM lab GROUP BY 1)
+           |SELECT doc_id, canonical_id, group_size, doc_id = canonical_id AS is_keeper
+           |FROM lab JOIN gs ON canonical_id = cid ORDER BY doc_id""".stripMargin,
 
       "d04_simhash" ->
         s"""WITH $shingleCte,

@@ -231,6 +231,74 @@ object Dedup {
       .filter(col("cosine") >= 0.45)
   }
 
+  /** d06: near-dup GROUP RESOLUTION. Pair lists (d02–d05) don't dedup a
+    * corpus by themselves — near-duplication is transitive in practice
+    * (A≈B, B≈C ⇒ drop two of three), so the pipeline step a real curation
+    * run needs is: connected components over the pair graph, then one
+    * canonical representative per component. Output: every document with
+    * its component's canonical id (= min doc_id in the component), the
+    * component size, and the keep/drop verdict.
+    *
+    * Edges are d03's verified MinHash-LSH pairs (the unconditional scale
+    * path among the pair generators); the resolution is generic over any
+    * of them ([[connectedComponents]]). */
+  def d06DupGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = d03MinhashLsh(s, d).select(col("id_a"), col("id_b"))
+    val verts = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val labels = connectedComponents(verts, pairs)
+    val sizes = labels.groupBy(col("lbl").as("cid"))
+      .agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, col("lbl") === col("cid"))
+      .select(col("id").as("doc_id"), col("lbl").as("canonical_id"),
+        col("group_size"), (col("id") === col("lbl")).as("is_keeper"))
+  }
+
+  /** Connected components by iterative min-label propagation with path
+    * compression — the Pregel/GraphX CC shape, kept relational:
+    *
+    *  - hop: l(v) ← min(l(v), min over neighbours u of l(u)) — one
+    *    shuffle by vertex id per round;
+    *  - compress: l(v) ← l(l(v)) — labels are vertex ids, so compression
+    *    is a self-equi-join; with it the label tree halves in depth each
+    *    round and convergence is O(log diameter) instead of O(diameter).
+    *
+    * Each round materializes via localCheckpoint (lineage cut — without
+    * it round k replays rounds 1..k−1; on a cluster use a reliable
+    * checkpoint dir). The one driver-side value per round is the changed
+    * count (the convergence test, same pattern as MLlib iterations). The
+    * result is the exact component-min labelling: deterministic,
+    * partitioning-independent, engine-mirrorable (the oracle computes the
+    * same fixpoint as a recursive CTE).
+    *
+    * `verts`: one `id` column containing every vertex; `edges`:
+    * (id_a, id_b) pairs over those ids. */
+  def connectedComponents(verts: DataFrame, edges: DataFrame): DataFrame = {
+    val bidir = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaEdges = bidir.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("elbl"))
+      val hop = labels.select(col("id"), col("lbl").as("olbl"))
+        .join(viaEdges, col("id") === col("dst"), "left")
+        .select(col("id"), col("olbl"),
+          least(col("olbl"), coalesce(col("elbl"), col("olbl"))).as("hlbl"))
+      // Compression: l(v) ≤ v is invariant (labels start at v and only
+      // shrink), so l(l(v)) ≤ l(v) and the inner join always matches.
+      val next = hop
+        .join(hop.select(col("id").as("pid"), col("hlbl").as("plbl")),
+          col("hlbl") === col("pid"))
+        .select(col("id"), col("olbl"), col("plbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("olbl")).count()
+      labels = next.select(col("id"), col("lbl"))
+    }
+    labels
+  }
+
   /** The all-pairs exact form of d05 — quadratic by construction, kept
     * ONLY as the small-SF recall cross-check for the bucketed catalog
     * entry (DedupSpec); never registered in the production catalog. */
