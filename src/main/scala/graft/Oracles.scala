@@ -340,13 +340,16 @@ object Oracles {
     * [[graft.functions.Vec.rhpSign]]) embedded as ±1 literals — the exact
     * arrays [[graft.functions.RhpBucket]] builds at plan time, summed in
     * the same index order, so bucket ids match the Spark plan
-    * bit-for-bit and the "approximate" queries are hash-gated exactly. */
-  private lazy val rhpBandsSql: String = {
-    import graft.operators.Similarity.{RhpBits, RhpSeedBase, RhpTables}
+    * bit-for-bit and the "approximate" queries are hash-gated exactly.
+    * `rhpBits` is the CALIBRATED band width (Similarity.scaledRhpBits of
+    * the corpus count) — [[graft.Verify]] threads the same count both
+    * engines see, so plan and mirror always agree. */
+  private def rhpBandsSql(rhpBits: Int): String = {
+    import graft.operators.Similarity.{RhpSeedBase, RhpTables}
     (0 until RhpTables).map { t =>
-      val bits = (0 until RhpBits).map { j =>
+      val bits = (0 until rhpBits).map { j =>
         val w = (0 until 64).map(i =>
-          if (graft.functions.Vec.rhpSign(RhpSeedBase + t * RhpBits + j, i) > 0)
+          if (graft.functions.Vec.rhpSign(RhpSeedBase + t * rhpBits + j, i) > 0)
             "1" else "-1").mkString("[", ",", "]")
         s"(CASE WHEN list_sum(list_transform(range(1,65), i -> CAST(embedding[i] AS DOUBLE) * ($w)[i])) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
@@ -363,7 +366,7 @@ object Oracles {
       |  WHERE len(toks) >= 3)""".stripMargin
 
   /** Dedup block (SURVEY §2.B). */
-  val dedup: Map[String, String] = {
+  def dedup(rhpBits: Int = graft.operators.Similarity.RhpBits): Map[String, String] = {
     import graft.functions.Text.{minhashA, minhashB, MinhashMod => M}
     val minhashes = (0 until 16)
       .map(j => s"list_min(list_transform(hb, h -> (h * ${minhashA(j)} + ${minhashB(j)}) % $M))")
@@ -444,7 +447,7 @@ object Oracles {
 
       "d05_embedding_dedup" ->
         s"""WITH bands AS (
-           |$rhpBandsSql),
+           |${rhpBandsSql(rhpBits)}),
            |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
            |         FROM bands x JOIN bands y
            |         ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
@@ -460,7 +463,7 @@ object Oracles {
     * so its oracle mirrors the bucketing exactly (rhpBandsSql) and even
     * the "approximate" query is hash-gated; its recall vs e01 is
     * additionally spec-tested. */
-  val similarity: Map[String, String] = {
+  def similarity(rhpBits: Int = graft.operators.Similarity.RhpBits): Map[String, String] = {
     val cosQC =
       """list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)))
         |   / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE))))
@@ -534,7 +537,7 @@ object Oracles {
 
       "e02_ann_lsh" ->
         s"""WITH bands AS (
-           |$rhpBandsSql),
+           |${rhpBandsSql(rhpBits)}),
            |cand AS (SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS c_id
            |         FROM bands x JOIN bands y
            |         ON x.tbl = y.tbl AND x.bkt = y.bkt
@@ -661,6 +664,10 @@ object Oracles {
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
-  def all: Map[String, String] =
-    core ++ text ++ dedup ++ similarity ++ eventsAndMedia ++ curation ++ x03Sql
+  /** Full oracle map. `rhpBits` must match the band width the cataloged
+    * d05/e02 plans will actually use at the SF being verified —
+    * [[graft.Verify]] passes Similarity.calibratedRhpBits(sfDir). */
+  def all(rhpBits: Int = graft.operators.Similarity.RhpBits): Map[String, String] =
+    core ++ text ++ dedup(rhpBits) ++ similarity(rhpBits) ++
+      eventsAndMedia ++ curation ++ x03Sql
 }

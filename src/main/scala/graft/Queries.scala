@@ -56,9 +56,16 @@ object Queries {
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
     "d04_simhash"          -> (Dedup.d04Simhash _),
-    "d05_embedding_dedup"  -> ((s, d) => Dedup.d05EmbeddingDedup(s, d)),
+    // d05/e02 size their RHP band width from the corpus count
+    // (Similarity.calibratedRhpBits): fixed bits=4 OOMs at 200k vectors
+    // (measured, BENCH.md sf10). Verify threads the SAME count into the
+    // oracle SQL, so the gate stays hash-exact at every SF.
+    "d05_embedding_dedup"  -> ((s, d) =>
+      Dedup.d05EmbeddingDedup(s, d, bits = Similarity.calibratedRhpBits(s, d))),
+    "d06_dup_groups"       -> (Dedup.d06DupGroups _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
-    "e02_ann_lsh"          -> ((s, d) => Similarity.e02AnnLsh(s, d)),
+    "e02_ann_lsh"          -> ((s, d) =>
+      Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
@@ -104,6 +111,7 @@ object Queries {
     "d03_minhash_lsh"      -> Seq("id_a", "id_b"),
     "d04_simhash"          -> Seq("id_a", "id_b"),
     "d05_embedding_dedup"  -> Seq("id_a", "id_b"),
+    "d06_dup_groups"       -> Seq("doc_id"),
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),

@@ -17,5 +17,14 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.all
+  def oracleSql: Map[String, String] = Oracles.all()
+
+  /** SF-aware oracle: d05/e02 size their RHP band width from the corpus
+    * count (Queries catalog ↔ Similarity.calibratedRhpBits), so the
+    * mirror SQL must embed the hyperplanes for the SAME width. Verify
+    * dumps this form; the no-arg [[oracleSql]] keeps the contract shape
+    * (and equals this one at the gate SFs, where calibration floors at
+    * the catalog default). */
+  def oracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    Oracles.all(operators.Similarity.calibratedRhpBits(spark, sfDir))
 }

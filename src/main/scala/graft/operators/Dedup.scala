@@ -272,13 +272,22 @@ object Dedup {
     *
     * `verts`: one `id` column containing every vertex; `edges`:
     * (id_a, id_b) pairs over those ids. */
-  def connectedComponents(verts: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(verts: DataFrame, edges: DataFrame): DataFrame =
+    connectedComponentsWithRounds(verts, edges)._1
+
+  /** [[connectedComponents]] plus the number of hop+compress rounds it
+    * took to converge (including the final no-change round) — the
+    * O(log diameter) claim is spec-asserted against this counter on an
+    * adversarial long-chain graph, not just stated. */
+  def connectedComponentsWithRounds(verts: DataFrame,
+                                    edges: DataFrame): (DataFrame, Int) = {
     val bidir = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     var labels = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val viaEdges = bidir.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("elbl"))
@@ -295,8 +304,9 @@ object Dedup {
         .localCheckpoint()
       changed = next.filter(col("lbl") =!= col("olbl")).count()
       labels = next.select(col("id"), col("lbl"))
+      rounds += 1
     }
-    labels
+    (labels, rounds)
   }
 
   /** The all-pairs exact form of d05 — quadratic by construction, kept

@@ -59,6 +59,18 @@ object Similarity {
     math.max(RhpBits, 64 - java.lang.Long.numberOfLeadingZeros(target - 1))
   }
 
+  /** [[scaledRhpBits]] from the ACTUAL corpus: one parquet count at plan
+    * time (metadata-cheap, memoized per dir — Bench's warmup+2 passes and
+    * a d05+e02 pipeline share it). This is what the CATALOG entries use,
+    * so the production d05/e02 run the band width the corpus needs
+    * instead of the gate-SF constant; [[graft.Verify]] feeds the same
+    * count to the oracle generator, keeping the gate hash-exact. The
+    * count is deterministic per SF, so so is the plan. */
+  private val bitsCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  def calibratedRhpBits(s: SparkSession, d: String): Int =
+    bitsCache.getOrElseUpdate(d,
+      scaledRhpBits(Tables.embeddings(s, d).count()))
+
   private def rounded(s: SparkSession, a: Column, b: Column): Column =
     round(CosineSimilarity(s, a, b), 6)
 

@@ -50,4 +50,66 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh.subsetOf(exact), "LSH-verified pairs must be true pairs")
     assert(lsh == exact, s"missed: ${exact -- lsh}")
   }
+
+  test("connectedComponents: known fixture resolves to component minima") {
+    import spark.implicits._
+    // chain {1,2,3}, pair {10,11}, singletons {20, 21}
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = operators.Dedup.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("connectedComponents: 64-vertex chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // Adversarial for plain label propagation: one path of diameter 63,
+    // where hop-only needs 63 rounds. With path compression the label
+    // tree halves in depth each round — assert the log bound holds in
+    // practice, not just in the scaladoc.
+    val n = 64
+    val verts = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = operators.Dedup.connectedComponentsWithRounds(verts, edges)
+    assert(labels.filter(col("lbl") =!= 0L).count() == 0,
+      "every chain vertex must resolve to the minimum (0)")
+    assert(rounds <= 10, s"expected O(log 63) ≈ 6-8 rounds, took $rounds")
+  }
+
+  test("d06 catalog entry: labels are transitive over d03 pairs, keepers are minima") {
+    val out = Queries.production("d06_dup_groups")(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"),
+        r.getAs[Long]("group_size"), r.getAs[Boolean]("is_keeper")))
+    val nDocs = Tables.documents(spark, sf001).count()
+    assert(out.length == nDocs, "every document gets a group verdict")
+    val lbl = out.map(t => t._1 -> t._2).toMap
+    // every d03 pair must land in one group (near-dup transitivity)
+    val pairs = Queries.production("d03_minhash_lsh")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty, "fixture needs real near-dup pairs to resolve")
+    for ((a, b) <- pairs) assert(lbl(a) == lbl(b), s"pair ($a,$b) split across groups")
+    // canonical = component minimum; keeper flag consistent; sizes add up
+    for ((id, c, _, keep) <- out) {
+      assert(c <= id, s"canonical $c above member $id")
+      assert(keep == (id == c))
+    }
+    val bySize = out.groupBy(_._2)
+    for ((c, members) <- bySize; (_, _, sz, _) <- members)
+      assert(sz == members.length, s"group $c size column disagrees with membership")
+    assert(out.count(_._4) == bySize.size, "exactly one keeper per group")
+  }
+
+  test("d06-style resolution is generic: resolves d05 embedding pairs too") {
+    import spark.implicits._
+    val pairs = Queries.production("d05_embedding_dedup")(spark, sf001)
+      .select(col("id_a"), col("id_b"))
+    val verts = Tables.embeddings(spark, sf001).select(col("vec_id").as("id"))
+    val lbl = operators.Dedup.connectedComponents(verts, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgeList = pairs.as[(Long, Long)].collect()
+    assert(edgeList.nonEmpty)
+    for ((a, b) <- edgeList) assert(lbl(a) == lbl(b))
+    assert(lbl.values.toSet.forall(c => lbl(c) == c), "component roots label themselves")
+  }
 }

@@ -32,6 +32,25 @@ class LshRecallSpec extends SparkSpecBase {
     assert(graft.operators.Similarity.scaledRhpBits(200L) == 4) // floored at catalog default
   }
 
+  test("scaled-config recall floor: wider bands recover recall by raising L") {
+    // The trade scaledRhpBits documents — recall across L tables is
+    // 1−(1−p^bits)^L, so each extra bit multiplies per-table recall by
+    // p < 1 and L must rise to compensate — asserted with measured
+    // numbers, not formula faith. At bits=6 (the calibration's pick
+    // around 3k vectors): L=16 measured 0.60 here, L=48 measured 0.92.
+    val exact = pairs("e01_knn_brute")
+    def recallAt(bits: Int, l: Int): Double = {
+      val got = operators.Similarity.e02AnnLsh(spark, sf001, bits = bits, tables = l)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val narrow = recallAt(6, 16)
+    val wide = recallAt(6, 48)
+    assert(wide >= 0.85, s"recall@10 = $wide at bits=6/L=48 — scaled config below floor")
+    assert(wide > narrow,
+      s"raising L must recover recall lost to wider bands ($narrow -> $wide)")
+  }
+
   test("e03 IVF recall@10 vs e01 beats its scan fraction on learned cells") {
     // Probing 3 of 16 LEARNED cells on near-orthogonal synthetic vectors
     // is IVF's worst case (cell membership barely correlates with
