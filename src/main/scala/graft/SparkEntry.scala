@@ -16,7 +16,17 @@ object SparkEntry {
     Queries.verified
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * BOUND: this no-arg form embeds the CATALOG-DEFAULT RHP band width
+    * (Similarity.RhpBits = 4) in d05/e02's mirrors, while the cataloged
+    * plans calibrate width from the corpus count. The two agree exactly
+    * while calibration floors at the default — i.e. embeddings count
+    * n with floor(n / perBucket=50) <= 2^RhpBits = 16, so n <= 849
+    * (sf0.001 = 50, sf0.01 = 500: both safely under). At larger
+    * corpora use the
+    * SF-aware overload, as [[Verify]] (the only gate consumer) does;
+    * OracleContractSpec asserts both facts. */
   def oracleSql: Map[String, String] = Oracles.all()
 
   /** SF-aware oracle: d05/e02 size their RHP band width from the corpus

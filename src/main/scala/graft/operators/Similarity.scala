@@ -60,16 +60,29 @@ object Similarity {
   }
 
   /** [[scaledRhpBits]] from the ACTUAL corpus: one parquet count at plan
-    * time (metadata-cheap, memoized per dir — Bench's warmup+2 passes and
-    * a d05+e02 pipeline share it). This is what the CATALOG entries use,
+    * time (metadata-cheap, memoized — Bench's warmup+2 passes and a
+    * d05+e02 pipeline share it). This is what the CATALOG entries use,
     * so the production d05/e02 run the band width the corpus needs
     * instead of the gate-SF constant; [[graft.Verify]] feeds the same
     * count to the oracle generator, keeping the gate hash-exact. The
-    * count is deterministic per SF, so so is the plan. */
+    * count is deterministic per SF, so so is the plan.
+    *
+    * The memo key is (dir, file-listing fingerprint), not the bare path:
+    * if the embeddings table at a path is REGENERATED mid-session (test
+    * fixtures, a long-lived driver rebuilding data), the listing changes
+    * and the count re-runs — a path-keyed cache would silently keep the
+    * stale band width while a freshly generated oracle counted anew,
+    * desyncing plan and mirror. */
   private val bitsCache = scala.collection.concurrent.TrieMap.empty[String, Int]
-  def calibratedRhpBits(s: SparkSession, d: String): Int =
-    bitsCache.getOrElseUpdate(d,
+  def calibratedRhpBits(s: SparkSession, d: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing = fs.listStatus(p).map(f =>
+      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString(",")
+    bitsCache.getOrElseUpdate(s"$d|${listing.hashCode}",
       scaledRhpBits(Tables.embeddings(s, d).count()))
+  }
 
   private def rounded(s: SparkSession, a: Column, b: Column): Column =
     round(CosineSimilarity(s, a, b), 6)
