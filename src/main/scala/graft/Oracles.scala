@@ -357,13 +357,22 @@ object Oracles {
     }.mkString("\n  UNION ALL\n")
   }
 
+  /** Distinct word-k-gram shingles CTE (mirrors Text.shingles /
+    * GraftShingles at any k): range upper bound len(toks)-(k-2) makes
+    * exactly n-k+1 windows, and the len >= k guard mirrors the Spark
+    * side's empty-set-for-short-docs rule. */
+  private def shingleCteK(name: String, k: Int): String = {
+    val terms = (0 until k)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString("||' '||")
+    s"""$name AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-${k - 2}),
+       |    i -> $terms)) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text,'\\s+') AS toks FROM documents)
+       |  WHERE len(toks) >= $k)""".stripMargin
+  }
+
   /** Distinct word-3-gram shingles CTE (mirrors Text.shingles). */
-  private val shingleCte =
-    """sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-      |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(text,'\s+') AS toks FROM documents)
-      |  WHERE len(toks) >= 3)""".stripMargin
+  private val shingleCte = shingleCteK("sh", 3)
 
   /** Dedup block (SURVEY §2.B). */
   def dedup(rhpBits: Int = graft.operators.Similarity.RhpBits): Map[String, String] = {
@@ -444,6 +453,25 @@ object Oracles {
            |         FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
            |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM cand
            |WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+      "d07_decontaminate" -> {
+        import graft.operators.Dedup.{DecontamN, DecontamSeed, DecontamBenchMod}
+        val benchMark = s"${h60(DecontamSeed, "CAST(doc_id AS VARCHAR)")} % $DecontamBenchMod"
+        s"""WITH ${shingleCteK("sh8", DecontamN)},
+           |marked AS (SELECT doc_id, sh, $benchMark = 0 AS is_bench FROM sh8),
+           |grams AS (SELECT doc_id, is_bench, ${h60(DecontamSeed, "g")} AS gh
+           |          FROM (SELECT doc_id, is_bench, unnest(sh) AS g FROM marked)),
+           |bench AS (SELECT DISTINCT gh, doc_id AS bench_id FROM grams WHERE is_bench),
+           |hits AS (SELECT doc_id, COUNT(DISTINCT gh) AS n_hit_ngrams,
+           |                COUNT(DISTINCT bench_id) AS n_bench_docs
+           |         FROM (SELECT DISTINCT doc_id, gh FROM grams WHERE NOT is_bench) t
+           |         JOIN bench USING (gh) GROUP BY doc_id),
+           |alltrain AS (SELECT doc_id FROM documents WHERE $benchMark <> 0)
+           |SELECT doc_id, COALESCE(n_hit_ngrams, 0) AS n_hit_ngrams,
+           |  COALESCE(n_bench_docs, 0) AS n_bench_docs,
+           |  COALESCE(n_hit_ngrams, 0) > 0 AS contaminated
+           |FROM alltrain LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+      },
 
       "d05_embedding_dedup" ->
         s"""WITH bands AS (

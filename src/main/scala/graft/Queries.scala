@@ -63,6 +63,7 @@ object Queries {
     "d05_embedding_dedup"  -> ((s, d) =>
       Dedup.d05EmbeddingDedup(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "d06_dup_groups"       -> (Dedup.d06DupGroups _),
+    "d07_decontaminate"    -> (Dedup.d07Decontaminate _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
@@ -112,6 +113,7 @@ object Queries {
     "d04_simhash"          -> Seq("id_a", "id_b"),
     "d05_embedding_dedup"  -> Seq("id_a", "id_b"),
     "d06_dup_groups"       -> Seq("doc_id"),
+    "d07_decontaminate"    -> Seq("doc_id"),
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),

@@ -51,6 +51,29 @@ object ShingleUtil {
     while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
     new GenericArrayData(out)
   }
+
+  /** NON-distinct k-gram list in sequence order — the repetition-metric
+    * sibling of [[shingles]] (which dedups): every window is kept, so
+    * duplicate-gram fractions can be computed from occurrence counts. */
+  def ngrams(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split("\\s+", -1)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Native codegen'd shingle expression — the hot-path replacement for the
@@ -90,5 +113,41 @@ object GraftShingles {
   def apply(spark: SparkSession, text: Column, k: Int = 3): Column = {
     register(spark)
     call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(k))
+  }
+}
+
+/** Native codegen'd NON-distinct k-gram expression (sequence order, every
+  * window kept) — feeds occurrence-count repetition metrics where
+  * [[GraftShingles]]' set semantics would erase the signal. */
+case class GraftNgrams(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_ngrams expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.ngrams(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.ngrams($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftNgrams =
+    copy(child = newChild)
+}
+
+object GraftNgrams {
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams",
+      exprs => GraftNgrams(exprs(0), ExprArgs.int(exprs(1))), "built-in")
+
+  /** Column-API entry. */
+  def apply(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_ngrams", text, org.apache.spark.sql.functions.lit(k))
   }
 }

@@ -309,6 +309,65 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Word-n-gram width for benchmark decontamination: 8 tokens is the
+    * usual contamination window (13-gram in GPT-3's cleanup, 8–10 in
+    * open reproductions) — long enough that random overlap is ~zero,
+    * short enough to catch paraphrase-free copying. */
+  val DecontamN = 8
+  val DecontamSeed = 19
+  /** 1-in-20 of the corpus plays the held-out benchmark. */
+  val DecontamBenchMod = 20
+
+  /** d07: benchmark DECONTAMINATION — the training-data hygiene step the
+    * dedup family feeds: flag every training document that shares any
+    * [[DecontamN]]-gram with a held-out benchmark/eval set, so eval
+    * leakage is dropped before training. Here the "benchmark" is a
+    * deterministic 1-in-[[DecontamBenchMod]] md5-slice of the corpus
+    * (the synthetic stand-in for a real eval suite); the overlap
+    * machinery is the real thing.
+    *
+    * Shape: one [[GraftShingles]] pass per side, n-grams reduced to
+    * 60-bit hashes BEFORE the shuffle (16 bytes shipped per gram, not
+    * the 8-token string), distinct-per-side, then an equi-join on the
+    * gram hash — never doc×doc. Output: every training doc with its
+    * distinct-hit count, matched-benchmark-doc count, and the verdict
+    * (zero-hit docs included: the common case, and what makes the result
+    * a drop-list you can anti-join on).
+    *
+    * At 100 TB: a REAL benchmark set is tiny and fixed (MBs), so the
+    * gram-hash join's build side broadcasts and the whole check is one
+    * map-side pass over the corpus; with a corpus-sized slice as here it
+    * degrades gracefully to a shuffle join on the gram hash. */
+  def d07Decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminate(s, Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (pmod(Text.hash60(col("doc_id").cast("string"), DecontamSeed),
+          lit(DecontamBenchMod)) === 0).as("is_bench")))
+
+  /** [[d07Decontaminate]] over any (doc_id, text, is_bench) frame — split
+    * out so specs can plant known contamination. */
+  def decontaminate(s: SparkSession, docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("is_bench"),
+        explode(GraftShingles(s, col("text"), DecontamN)).as("g"))
+      .select(col("doc_id"), col("is_bench"),
+        Text.hash60(col("g"), DecontamSeed).as("gh"))
+    val bench = grams.filter(col("is_bench"))
+      .select(col("gh"), col("doc_id").as("bench_id")).distinct()
+    val hits = grams.filter(!col("is_bench"))
+      .select(col("doc_id"), col("gh")).distinct()
+      .join(bench, "gh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("n_hit_ngrams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+    docs.filter(!col("is_bench")).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        (coalesce(col("n_hit_ngrams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** The all-pairs exact form of d05 — quadratic by construction, kept
     * ONLY as the small-SF recall cross-check for the bucketed catalog
     * entry (DedupSpec); never registered in the production catalog. */

@@ -112,4 +112,24 @@ class DedupSpec extends SparkSpecBase {
     for ((a, b) <- edgeList) assert(lbl(a) == lbl(b))
     assert(lbl.values.toSet.forall(c => lbl(c) == c), "component roots label themselves")
   }
+
+  test("d07: planted benchmark overlap is flagged, clean and short docs are not") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"w$i").mkString(" ") // one full 8-gram
+    val docs = Seq(
+      (1L, s"benchmark prefix $span benchmark suffix", true),   // bench doc
+      (2L, s"training copies the span $span and more text here", false), // contaminated
+      (3L, "completely unrelated training text with no overlap at all whatsoever", false),
+      (4L, "too short for grams", false),                        // < 8 tokens
+      (5L, s"another train doc also embedding $span yes", false) // contaminated
+    ).toDF("doc_id", "text", "is_bench")
+    val out = operators.Dedup.decontaminate(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(2L, 3L, 4L, 5L), "every training doc appears exactly once")
+    assert(out(2L)._3 && out(2L)._1 == 1 && out(2L)._2 == 1)
+    assert(out(5L)._3 && out(5L)._1 == 1 && out(5L)._2 == 1)
+    assert(out(3L) == ((0L, 0L, false)))
+    assert(out(4L) == ((0L, 0L, false)))
+  }
 }
