@@ -321,6 +321,26 @@ object Oracles {
         |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
         |FROM built ORDER BY c_custkey""".stripMargin,
 
+    "t06_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS toks FROM documents),
+        |t1 AS (SELECT doc_id, unnest(toks) AS g FROM toks),
+        |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM t1 GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tok_n, MAX(c) AS tok_top,
+        |              COUNT(*) AS tok_distinct FROM tc GROUP BY 1),
+        |b1 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |              i -> toks[i]||' '||toks[i+1])) AS g
+        |       FROM toks WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b1 GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bg_n, MAX(c) AS bg_top,
+        |              COUNT(*) AS bg_distinct FROM bc GROUP BY 1)
+        |SELECT ts.doc_id, tok_n AS n_tokens,
+        |  ROUND(CAST(tok_top AS DOUBLE)/tok_n, 6) AS top_tok_frac,
+        |  ROUND(CAST(tok_n - tok_distinct AS DOUBLE)/tok_n, 6) AS dup_tok_frac,
+        |  COALESCE(bg_n, 0) AS n_2grams,
+        |  COALESCE(ROUND(CAST(bg_top AS DOUBLE)/bg_n, 6), 0.0) AS top_2gram_frac,
+        |  COALESCE(ROUND(CAST(bg_n - bg_distinct AS DOUBLE)/bg_n, 6), 0.0) AS dup_2gram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""".stripMargin,
+
     "t04_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
         |SELECT doc_id,
@@ -658,6 +678,17 @@ object Oracles {
          |         ELSE ${graft.operators.Sampling.RateDefault} END AS rate
          |  FROM documents)
          |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+
+    "x04_quota_sample" -> {
+      import graft.operators.Sampling.{QuotaPerSource, QuotaSeed}
+      s"""WITH h AS (SELECT doc_id, source,
+         |    ${h60(QuotaSeed, "CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |r AS (SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS pick_rank
+         |  FROM h)
+         |SELECT source, doc_id, pick_rank FROM r
+         |WHERE pick_rank <= $QuotaPerSource ORDER BY source, doc_id""".stripMargin
+    },
 
     "x02_seq_pack" ->
       s"""WITH t AS (SELECT doc_id,

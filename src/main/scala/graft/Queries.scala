@@ -52,6 +52,7 @@ object Queries {
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
     "t04_fingerprint"      -> (TextAnalysis.t04Fingerprint _),
     "t05_pii_mask"         -> (TextAnalysis.t05PiiMask _),
+    "t06_repetition"       -> (TextAnalysis.t06Repetition _),
     "d01_dedup_exact"      -> (Dedup.d01DedupExact _),
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
@@ -73,6 +74,7 @@ object Queries {
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "x01_hash_sample"      -> (Sampling.x01HashSample _),
+    "x04_quota_sample"     -> (Sampling.x04QuotaSample _),
     "x02_seq_pack"         -> (Sampling.x02SeqPack _),
     "x03_kmv_distinct"     -> (Sampling.x03KmvDistinct _)
   )
@@ -107,6 +109,7 @@ object Queries {
     "t03_token_count"      -> Seq("doc_id"),
     "t04_fingerprint"      -> Seq("doc_id"),
     "t05_pii_mask"         -> Seq("c_custkey"),
+    "t06_repetition"       -> Seq("doc_id"),
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d02_ngram_jaccard"    -> Seq("id_a", "id_b"),
     "d03_minhash_lsh"      -> Seq("id_a", "id_b"),
@@ -122,6 +125,7 @@ object Queries {
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "x01_hash_sample"      -> Seq("doc_id"),
+    "x04_quota_sample"     -> Seq("source", "doc_id"),
     "x02_seq_pack"         -> Seq("shard", "pack_no"),
     "x03_kmv_distinct"     -> Seq("lang")
   )

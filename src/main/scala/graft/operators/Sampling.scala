@@ -108,6 +108,42 @@ object Sampling {
           .as("kmv_estimate"))
   }
 
+  /** Per-source document quota and hash seed for x04. */
+  val QuotaPerSource = 50
+  val QuotaSeed = 23
+
+  /** x04: per-source QUOTA sampling — the domain-cap move of web-corpus
+    * curation (bound any one crawl domain / source's share of the
+    * training set): keep at most [[QuotaPerSource]] documents per source,
+    * chosen as the ones with the smallest md5 hash of their id — a
+    * deterministic uniform draw that reproduces on any engine or
+    * partitioning, unlike rand()-based reservoir sampling.
+    *
+    * The selection is a bounded [[graft.functions.MinKPairs]] aggregate:
+    * each partition ships at most quota (hash, id) pairs per source to
+    * the merge, so a source with a billion documents costs the shuffle
+    * 50 pairs per partition — the row_number-window form would shuffle
+    * and SORT the full billion in one task (few distinct sources = few
+    * window partitions; AQE cannot split a window partition). Output is
+    * every kept doc with its pick rank (= row_number over (hash, id),
+    * oracle-mirrored). */
+  def x04QuotaSample(s: SparkSession, d: String): DataFrame =
+    quotaSample(s, Tables.documents(s, d).select(col("doc_id"), col("source")),
+      QuotaPerSource)
+
+  /** [[x04QuotaSample]] over any (doc_id, source) frame with an explicit
+    * quota — split out so specs can exercise quota boundaries. */
+  def quotaSample(s: SparkSession, docs: DataFrame, quota: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        Text.hash60(col("doc_id").cast("string"), QuotaSeed).as("h"))
+      .groupBy("source")
+      .agg(graft.functions.MinKPairs(s, struct(col("h"), col("doc_id")), quota)
+        .as("picks"))
+      .select(col("source"), posexplode(col("picks")).as(Seq("pos", "p")))
+      .select(col("source"), col("p.id").as("doc_id"),
+        (col("pos") + 1).cast("bigint").as("pick_rank"))
+
   /** Tokens per pack (context-window budget) and shard count for x02. */
   val PackTokens = 2048
   val PackShards = 8

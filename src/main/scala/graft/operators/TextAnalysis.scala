@@ -127,6 +127,50 @@ object TextAnalysis {
           .as("n_phones"))
   }
 
+  /** t06: REPETITION metrics — the Gopher-family quality filters that
+    * catch boilerplate and degenerate generation loops, which
+    * length/stopword heuristics (t02) miss entirely:
+    *
+    *  - `top_tok_frac` / `top_2gram_frac`: share of the most frequent
+    *    token / word-bigram (a doc that is one phrase looping scores ~1);
+    *  - `dup_tok_frac` / `dup_2gram_frac`: share of occurrences beyond
+    *    each distinct value's first (direct duplicate-mass fraction).
+    *
+    * Shape: one [[graft.functions.GraftNgrams]] pass per granularity
+    * (NON-distinct windows — set-semantics shingles would erase the
+    * counts), explode → two-level HashAggregate ((doc, gram) counts,
+    * then per-doc max/sum/count). Both aggregates partial-combine
+    * map-side; no window, no sort, no lambda. Only the max COUNT is
+    * emitted (never "the most frequent gram" itself), so output needs no
+    * tie-break and is partitioning-independent. Single-token docs have
+    * no bigram; their bigram fractions are defined 0. */
+  def t06Repetition(s: SparkSession, d: String): DataFrame =
+    repetitionMetrics(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[t06Repetition]] over any (doc_id, text) frame — split out so the
+    * spec can feed docs with known repetition structure. */
+  def repetitionMetrics(s: SparkSession, docs: DataFrame): DataFrame = {
+    def stats(k: Int, pfx: String): DataFrame = docs
+      .select(col("doc_id"), explode(graft.functions.GraftNgrams(s, col("text"), k)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as(s"${pfx}_n"), max("c").as(s"${pfx}_top"),
+        count(lit(1)).as(s"${pfx}_distinct"))
+    val t = stats(1, "tok")
+    val b = stats(2, "bg")
+    t.join(b, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("tok_n").as("n_tokens"),
+        round(col("tok_top").cast("double") / col("tok_n"), 6).as("top_tok_frac"),
+        round((col("tok_n") - col("tok_distinct")).cast("double") / col("tok_n"), 6)
+          .as("dup_tok_frac"),
+        coalesce(col("bg_n"), lit(0L)).as("n_2grams"),
+        coalesce(round(col("bg_top").cast("double") / col("bg_n"), 6), lit(0.0))
+          .as("top_2gram_frac"),
+        coalesce(round((col("bg_n") - col("bg_distinct")).cast("double") / col("bg_n"), 6),
+          lit(0.0)).as("dup_2gram_frac"))
+  }
+
   /** t04: order-sensitive polynomial rolling-hash fingerprint per doc.
     * Relational form of [[Text.rollingFingerprint]]: posexplode tokens →
     * codegen'd md5 term projection → one hash aggregate. The term sum runs

@@ -73,4 +73,32 @@ class SamplingSpec extends SparkSpecBase {
     assert(worst < Sampling.PackTokens + maxDoc,
       s"pack of $worst tokens exceeds budget+straddle bound")
   }
+
+  test("x04: quota binds per source, under-quota sources keep everything") {
+    import spark.implicits._
+    // source A: 10 docs with quota 4 -> exactly the 4 smallest hashes;
+    // source B: 2 docs under quota -> all kept, ranks dense from 1.
+    val docs = ((1L to 10L).map(i => (i, "A")) ++ Seq((100L, "B"), (101L, "B")))
+      .toDF("doc_id", "source")
+    val out = Sampling.quotaSample(spark, docs, quota = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val a = out.filter(_._1 == "A")
+    val b = out.filter(_._1 == "B")
+    assert(a.length == 4 && b.length == 2)
+    assert(a.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(b.map(_._3).sorted.toSeq == Seq(1L, 2L))
+    // picks are exactly the quota smallest (hash, id) — mirror the rule
+    val hashes = docs.filter(col("source") === "A")
+      .select(col("doc_id"),
+        graft.functions.Text.hash60(col("doc_id").cast("string"),
+          Sampling.QuotaSeed).as("h"))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).sorted
+    assert(a.sortBy(_._3).map(_._2).toSeq == hashes.take(4).map(_._2).toSeq,
+      "pick set and rank order must follow ascending (hash, id)")
+    // the cataloged key respects the production quota on real data
+    val full = Queries.production("x04_quota_sample")(spark, sf001)
+    val maxPer = full.groupBy("source").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPer <= Sampling.QuotaPerSource)
+  }
 }

@@ -131,4 +131,33 @@ class TextFunSpec extends SparkSpecBase {
       assert(got(id) == lang, s"doc $id expected $lang got ${got(id)}")
     }
   }
+
+  test("t06 repetition metrics on docs with known structure") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),          // pure loop: all fracs maximal
+      (2L, "w1 w2 w3 w4"),      // fully diverse: zero duplicate mass
+      (3L, "x"),                // single token: bigram fracs defined 0
+      (4L, "b c b c b c")       // phrase loop: top bigram "b c" 3 of 5
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionMetrics(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+         r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got(1L) == ((4L, 1.0, 0.75, 3L, 1.0, 0.666667)))
+    assert(got(2L) == ((4L, 0.25, 0.0, 3L, 0.333333, 0.0)))
+    assert(got(3L) == ((1L, 1.0, 0.0, 0L, 0.0, 0.0)))
+    assert(got(4L) == ((6L, 0.5, 0.666667, 5L, 0.6, 0.6)))
+  }
+
+  test("graft_ngrams keeps every window; graft_shingles is its distinct set") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val ng = df.select(graft.functions.GraftNgrams(spark, col("text"), 2))
+      .collect()(0).getSeq[String](0)
+    assert(ng == Seq("a b", "b a", "a b", "b a"))
+    val sh = df.select(graft.functions.GraftShingles(spark, col("text"), 2))
+      .collect()(0).getSeq[String](0)
+    assert(sh == ng.distinct)
+  }
 }
