@@ -646,6 +646,37 @@ object Oracles {
         |  is_keyframe
         |FROM seg ORDER BY doc_id, frame_no""".stripMargin,
 
+    "m03_audio_meta" ->
+      """WITH g AS (SELECT doc_id,
+        |    1 + doc_id % 2 AS ch,
+        |    8000 + (doc_id % 5) * 8000 AS sr,
+        |    8 * (1 + doc_id % 3) AS bits,
+        |    2 * (8 + n_chars % 32) AS ns
+        |  FROM documents),
+        |x AS (SELECT doc_id, ch, sr, bits, ns, ch * (bits // 8) AS block FROM g)
+        |SELECT doc_id,
+        |  CAST(12 + 24 + 8 + ns * block AS BIGINT) AS n_bytes,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(bits AS BIGINT) AS bits_per_sample,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST((ns * block * 1000) // (sr * block) AS BIGINT) AS duration_ms,
+        |  'wav' AS format
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "s03_stream_dedup" -> {
+      import graft.operators.EventOps.DupIdShift
+      s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+         |            FROM events),
+         |dbl AS (SELECT * FROM ev
+         |        UNION ALL
+         |        SELECT event_id + $DupIdShift, user_id, event_type, ts_us FROM ev)
+         |SELECT user_id, event_type, ts_us,
+         |  MIN(event_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM dbl GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, ts_us""".stripMargin
+    },
+
     "s01_window_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
         |  COUNT(*) AS n,
@@ -678,6 +709,18 @@ object Oracles {
          |         ELSE ${graft.operators.Sampling.RateDefault} END AS rate
          |  FROM documents)
          |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+
+    "x05_strat_split" -> {
+      import graft.operators.Sampling.{SplitSeed, TrainPct, ValPct}
+      s"""SELECT doc_id, lang, bucket,
+         |  CASE WHEN bucket < $TrainPct THEN 'train'
+         |       WHEN bucket < ${TrainPct + ValPct} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |        ${h60(SplitSeed, "CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "x04_quota_sample" -> {
       import graft.operators.Sampling.{QuotaPerSource, QuotaSeed}

@@ -71,10 +71,13 @@ object Queries {
     "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
+    "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
+    "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
     "x01_hash_sample"      -> (Sampling.x01HashSample _),
     "x04_quota_sample"     -> (Sampling.x04QuotaSample _),
+    "x05_strat_split"      -> (Sampling.x05StratSplit _),
     "x02_seq_pack"         -> (Sampling.x02SeqPack _),
     "x03_kmv_distinct"     -> (Sampling.x03KmvDistinct _)
   )
@@ -122,10 +125,13 @@ object Queries {
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
+    "m03_audio_meta"       -> Seq("doc_id"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
+    "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),
     "x01_hash_sample"      -> Seq("doc_id"),
     "x04_quota_sample"     -> Seq("source", "doc_id"),
+    "x05_strat_split"      -> Seq("doc_id"),
     "x02_seq_pack"         -> Seq("shard", "pack_no"),
     "x03_kmv_distinct"     -> Seq("lang")
   )

@@ -45,6 +45,36 @@ object EventOps {
       .select(col("user_id"), col("event_id"),
         expr("ts_ns DIV 1000").as("ts_us"), col("value")), AsofBucketUs)
 
+  /** Shift applied to the planted duplicate copies in s03 (the raw
+    * synthetic stream has no duplicates, like d01's corpus). */
+  val DupIdShift = 10000000L
+
+  /** Exact-dedup transform shared by batch s03 and the streaming parity
+    * spec: collapse rows that agree on (user_id, event_type, ts_us) to
+    * one survivor — min event_id, deterministic — with the copy count
+    * for audit. One hash shuffle on the dedup key with map-side partial
+    * aggregation; the streaming form is `dropDuplicatesWithinWatermark`
+    * over the same key (state bounded by the watermark horizon), parity
+    * spec-asserted on the surviving key set. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id", "event_type", "ts_us")
+      .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** s03: exact STREAM dedup (batch view) — the at-least-once-delivery
+    * cleanup every event pipeline runs before analytics: the input is
+    * the events table plus an id-shifted duplicate of every row (planted,
+    * as in d01), the output one row per true event keyed by
+    * (user, type, time) keeping the minimum event_id. */
+  def s03StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsWithTs(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("ts_us"))
+    dedupEvents(ev.unionByName(
+      ev.select((col("event_id") + DupIdShift).as("event_id"),
+        col("user_id"), col("event_type"), col("ts_us"))))
+  }
+
   private val DayUs = 86400000000L
 
   /** Tagged union of events (is_p=0) and per-(user, t)-reduced purchases

@@ -15,6 +15,11 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
 case class FrameRow(doc_id: Long, frame_no: Long, marker: String,
                     seg_len: Long, checksum: Long, is_keyframe: Boolean)
 
+/** Decoded audio-container metadata. */
+case class AudioMeta(doc_id: Long, n_bytes: Long, channels: Long,
+                     sample_rate: Long, bits_per_sample: Long,
+                     n_samples: Long, duration_ms: Long, format: String)
+
 /** Multimodal column handling (SURVEY §2.E): media as opaque `binary`
   * columns + typed decode metadata.
   *
@@ -134,6 +139,47 @@ object Multimodal {
     }
   }
 
+  /** Real RIFF/WAVE container parse — the audio sibling of
+    * [[HeaderDecode]]: verify the RIFF/WAVE signature, then walk the
+    * little-endian chunk list (id(4) size(4le) data, odd sizes padded to
+    * even per the RIFF spec) collecting the PCM `fmt ` fields and the
+    * `data` chunk size. Duration falls out as data_size·1000 / byte_rate
+    * (integer division — deterministic, oracle-mirrorable). Works on any
+    * actual PCM WAV file; no audio library, no sample decode. */
+  object RiffDecode {
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b.slice(i, i + 4), "US-ASCII")
+
+    /** (channels, sampleRate, bitsPerSample, dataSize, durationMs,
+      * format); zeros + "unknown" for non-RIFF bytes. */
+    def decode(b: Array[Byte]): (Long, Long, Long, Long, Long, String) = {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        return (0L, 0L, 0L, 0L, 0L, "unknown")
+      var (ch, sr, bits, byteRate, dataSize) = (0L, 0L, 0L, 0L, 0L)
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = tag(b, i)
+        val size = le32(b, i + 4)
+        if (id == "fmt " && i + 24 <= b.length) {
+          ch = le16(b, i + 10)
+          sr = le32(b, i + 12)
+          byteRate = le32(b, i + 16)
+          bits = le16(b, i + 22)
+        } else if (id == "data") {
+          dataSize = size
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
+      }
+      val dur = if (byteRate > 0) dataSize * 1000L / byteRate else 0L
+      (ch, sr, bits, dataSize, dur, "wav")
+    }
+  }
+
   /** Deterministic media dimensions per document — the generation rule
     * the oracle mirrors as its ground truth. */
   private def widthCol = (lit(64) + col("doc_id") % 1920).cast("bigint")
@@ -190,6 +236,60 @@ object Multimodal {
         it.map { r =>
           val (w, h, fmt) = HeaderDecode.decode(r.payload)
           MediaMeta(r.doc_id, r.payload.length.toLong, w, h, fmt)
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic audio parameters per document — the generation rule
+    * the m03 oracle mirrors as ground truth. n_samples is kept even so
+    * the data chunk size is always even (no RIFF pad byte needed). */
+  private def chCol = (lit(1) + col("doc_id") % 2).cast("bigint")
+  private def srCol = (lit(8000) + (col("doc_id") % 5) * 8000).cast("bigint")
+  private def bitsCol = (lit(8) * (lit(1) + col("doc_id") % 3)).cast("bigint")
+  // bits is a multiple of 8, so bits/8 is an exact shift (Column `/` on
+  // integers would silently produce a double).
+  private def blockCol = chCol * shiftright(bitsCol, 3)
+  private def nSamplesCol = (lit(2) * (lit(8) + col("n_chars") % 32)).cast("bigint")
+
+  /** Little-endian byte encoding of an integer column, n bytes. */
+  private def leN(c: org.apache.spark.sql.Column, n: Int) =
+    unhex(concat((0 until n).map(k =>
+      lpad(hex(shiftright(c, 8 * k).bitwiseAND(lit(255L))), 2, "0")): _*))
+
+  /** Synthesized byte-valid PCM WAV payload: RIFF header, canonical
+    * 16-byte `fmt ` chunk (PCM, real channel/rate/width fields, derived
+    * byte_rate/block_align), and a `data` chunk with its actual bytes
+    * (0x41 filler — structure parsers never read samples). */
+  private def wavPayloadCol = {
+    val dataSize = (nSamplesCol * blockCol).cast("bigint")
+    val byteRate = srCol * blockCol
+    concat(
+      lit("RIFF").cast("binary"), leN(lit(4L + 24L + 8L) + dataSize, 4),
+      lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"), leN(lit(16L), 4),
+      leN(lit(1L), 2), leN(chCol, 2), leN(srCol, 4), leN(byteRate, 4),
+      leN(blockCol, 2), leN(bitsCol, 2),
+      lit("data").cast("binary"), leN(dataSize, 4),
+      repeat(lit("A"), dataSize.cast("int")).cast("binary"))
+  }
+
+  /** m03: audio modality — attach a binary WAV payload and decode its
+    * PCM metadata (channels, rate, sample width, duration) from the
+    * container bytes via [[RiffDecode]]; same per-partition typed decode
+    * shape as m01, same oracle strategy (the deterministic generation
+    * rule is the independent ground truth the SQL mirror recomputes). */
+  def m03AudioMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), wavPayloadCol.as("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (ch, sr, bits, dataSize, dur, fmt) = RiffDecode.decode(r.payload)
+          val nSamples = if (ch > 0 && bits > 0) dataSize / (ch * bits / 8) else 0L
+          AudioMeta(r.doc_id, r.payload.length.toLong, ch, sr, bits,
+            nSamples, dur, fmt)
         }
       }
       .toDF()

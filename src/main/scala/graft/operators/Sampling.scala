@@ -144,6 +144,31 @@ object Sampling {
       .select(col("source"), col("p.id").as("doc_id"),
         (col("pos") + 1).cast("bigint").as("pick_rank"))
 
+  /** x05 split fractions (percent) and hash seed. */
+  val SplitSeed = 29
+  val TrainPct = 90
+  val ValPct = 5 // test = the remainder
+
+  /** x05: deterministic train/val/test SPLIT assignment — the last step
+    * before export: every document lands in exactly one split, decided by
+    * its md5 bucket (train 90 / val 5 / test 5). Membership is a pure
+    * function of doc_id, so the split is stable under reruns, engine
+    * changes, and repartitioning — and adding documents later never moves
+    * an existing document between splits (the property rand()-based
+    * splitting cannot give you, and the one that prevents silent
+    * val→train leakage across pipeline versions). Hash-bucketing is
+    * per-stratum unbiased, so each language's 90/5/5 holds in
+    * expectation; map-side only, no shuffle. */
+  def x05StratSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        pmod(Text.hash60(col("doc_id").cast("string"), SplitSeed), lit(100))
+          .as("bucket"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test").as("split"))
+
   /** Tokens per pack (context-window budget) and shard count for x02. */
   val PackTokens = 2048
   val PackShards = 8

@@ -71,4 +71,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.filter(col("format") === "png").count() > 0)
     assert(out.filter(col("format") === "jpeg").count() > 0)
   }
+
+  private def le4(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def le2(v: Long): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+
+  test("RIFF/WAV decode: hand-assembled PCM file, odd-size chunk padding") {
+    import graft.operators.Multimodal.RiffDecode
+    // 2ch 44.1kHz 16-bit, 100 samples -> data 400 bytes, byteRate 176400.
+    // A LIST chunk with ODD size (3, padded to 4) sits before fmt so a
+    // walker that skips padding lands mid-chunk and fails.
+    val data = Array.fill(400)(0x41.toByte)
+    val wav = "RIFF".getBytes ++ le4(4 + 12 + 24 + 8 + 400) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le4(3) ++ Array[Byte](1, 2, 3, 0) ++
+      "fmt ".getBytes ++ le4(16) ++ le2(1) ++ le2(2) ++ le4(44100) ++
+      le4(176400) ++ le2(4) ++ le2(16) ++
+      "data".getBytes ++ le4(400) ++ data
+    assert(RiffDecode.decode(wav) == ((2L, 44100L, 16L, 400L, 2L, "wav")))
+    assert(RiffDecode.decode("not audio at all".getBytes("UTF-8"))._6 == "unknown")
+    assert(RiffDecode.decode(Array[Byte]())._6 == "unknown")
+  }
+
+  test("m03 payloads round-trip: decoded audio fields equal the generation rule") {
+    val out = Queries.production("m03_audio_meta")(spark, sf001)
+    assert(out.filter(col("format") =!= "wav").count() == 0,
+      "every generated payload must parse as a RIFF/WAVE container")
+    val bad = out.filter(
+      col("channels") =!= (lit(1) + col("doc_id") % 2) ||
+      col("sample_rate") =!= (lit(8000) + (col("doc_id") % 5) * 8000) ||
+      col("bits_per_sample") =!= (lit(8) * (lit(1) + col("doc_id") % 3)) ||
+      col("duration_ms") =!= expr("n_samples * 1000 DIV sample_rate")).count()
+    assert(bad == 0)
+    assert(out.count() == Tables.documents(spark, sf001).count())
+  }
 }

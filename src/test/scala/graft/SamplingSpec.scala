@@ -101,4 +101,22 @@ class SamplingSpec extends SparkSpecBase {
       .agg(max("count")).collect()(0).getLong(0)
     assert(maxPer <= Sampling.QuotaPerSource)
   }
+
+  test("x05: every doc gets exactly one split, by its bucket, stable across runs") {
+    val out = Queries.production("x05_strat_split")(spark, sf001)
+    assert(out.count() == Tables.documents(spark, sf001).count(),
+      "a split is a partition of the corpus: nothing dropped, nothing doubled")
+    assert(out.select("doc_id").distinct().count() == out.count())
+    // the split label is exactly the bucket rule
+    assert(out.filter(
+      (col("bucket") < Sampling.TrainPct && col("split") =!= "train") ||
+      (col("bucket") >= Sampling.TrainPct &&
+        col("bucket") < Sampling.TrainPct + Sampling.ValPct && col("split") =!= "val") ||
+      (col("bucket") >= Sampling.TrainPct + Sampling.ValPct && col("split") =!= "test"))
+      .count() == 0)
+    assert(out.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+    // determinism: a second evaluation assigns identical splits
+    val again = Queries.production("x05_strat_split")(spark, sf001)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+  }
 }

@@ -134,4 +134,44 @@ class StreamingParitySpec extends SparkSpecBase {
       assert(math.abs(sums - expSum) < 1e-9)
     } finally q.stop()
   }
+
+  test("s03 dedup: streaming dropDuplicatesWithinWatermark yields the batch key set") {
+    // at-least-once delivery: events 2/4 arrive twice (new event_id, same
+    // (user, type, ts) identity), split across micro-batches within the
+    // watermark horizon.
+    val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime * 1000L
+    val evs = Seq(
+      (1L, 1L, "view", base + 1000000L),
+      (2L, 1L, "view", base + 2000000L),
+      (3L, 2L, "purchase", base + 2000000L),
+      (4L, 2L, "view", base + 3000000L))
+    val dups = Seq((12L, 1L, "view", base + 2000000L),
+      (14L, 2L, "view", base + 3000000L))
+
+    val batchDf = (evs ++ dups).map { case (id, u, t, us) => (id, u, t, us) }
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val expected = EventOps.dedupEvents(batchDf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(expected.size == 4, "duplicates must collapse in batch")
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = stream.toDF.toDF("event_id", "user_id", "event_type", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+      .writeStream.format("memory").queryName("s03_par").outputMode("append").start()
+    try {
+      def ts(us: Long) = new Timestamp(us / 1000L)
+      stream.addData(evs.map { case (id, u, t, us) => (id, u, t, ts(us)) })
+      q.processAllAvailable()
+      // the re-deliveries arrive a micro-batch later, still in state horizon
+      stream.addData(dups.map { case (id, u, t, us) => (id, u, t, ts(us)) })
+      q.processAllAvailable()
+      val got = spark.table("s03_par").collect()
+        .map(r => (r.getLong(1), r.getString(2),
+          r.getTimestamp(3).getTime * 1000L)).toSet
+      assert(got == expected, "surviving (user, type, ts) keys must match batch")
+      assert(spark.table("s03_par").count() == 4, "each key emitted exactly once")
+    } finally q.stop()
+  }
 }
