@@ -255,7 +255,21 @@ object Oracles {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus IN ('O','F','P')
         |GROUP BY c_mktsegment, priority_class
-        |ORDER BY c_mktsegment, priority_class""".stripMargin
+        |ORDER BY c_mktsegment, priority_class""".stripMargin,
+
+    // GROUPING(a, b) packs a as the high bit exactly like Spark's
+    // grouping_id(); fact columns are non-null so 'ALL' is unambiguous.
+    "q24_rollup" ->
+      s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+         |  COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  $dsumQty AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_discount), 6) AS avg_disc,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY lvl, returnflag, linestatus""".stripMargin
   )
 
   /** Text-analysis block (SURVEY §2.D). Tokenization is mirrored as
@@ -442,6 +456,23 @@ object Oracles {
            |SELECT id_a, id_b, jaccard FROM (
            |  SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE), 6) AS jaccard FROM p)
            |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      // d08: same inverted index as d02; containment divides by the
+      // SMALLER set instead of the union (integer/integer → identical
+      // doubles on both engines).
+      "d08_containment" ->
+        s"""WITH $shingleCte,
+           |inv0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+           |inv AS (SELECT doc_id, n_sh, s FROM (
+           |          SELECT *, COUNT(*) OVER (PARTITION BY s) AS df FROM inv0)
+           |        WHERE df <= ${graft.operators.Dedup.NgramMaxDf}),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+           |      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+           |      GROUP BY 1,2,3,4)
+           |SELECT id_a, id_b, n_a, n_b, containment FROM (
+           |  SELECT id_a, id_b, na AS n_a, nb AS n_b,
+           |    ROUND(CAST(inter AS DOUBLE)/CAST(LEAST(na, nb) AS DOUBLE), 6) AS containment FROM p)
+           |WHERE containment >= ${graft.operators.Dedup.ContainTau} ORDER BY id_a, id_b""".stripMargin,
 
       "d03_minhash_lsh" ->
         s"""WITH $d03Ctes
@@ -745,7 +776,24 @@ object Oracles {
          |SELECT shard, pack_no, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         |FROM p GROUP BY shard, pack_no ORDER BY shard, pack_no""".stripMargin
+         |FROM p GROUP BY shard, pack_no ORDER BY shard, pack_no""".stripMargin,
+
+    // x06: the keep decision is exact-integer (HUGEINT here, DECIMAL(38,0)
+    // in Spark): h·W·n < 2^60·wt·T — no float rate, no rounding boundary.
+    "x06_source_mix" -> {
+      import graft.operators.Sampling.MixSeed
+      s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         |cw AS (SELECT source, n,
+         |    CAST(1 + (CAST(regexp_extract(source, '(\\d+)$$', 1) AS INT) % 3) AS BIGINT) AS wt
+         |  FROM c),
+         |tw AS (SELECT SUM(wt) AS W FROM cw),
+         |tt AS (SELECT MIN((n * W) // wt) AS T FROM cw, tw)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN cw USING (source), tw, tt
+         |WHERE CAST(${h60(MixSeed, "CAST(d.doc_id AS VARCHAR)")} AS HUGEINT) * W * n
+         |    < CAST(1152921504606846976 AS HUGEINT) * wt * T
+         |ORDER BY d.doc_id""".stripMargin
+    }
   )
 
   /** x03 mirror: 2^60 (the hash60 space) is a power of two, hence exactly

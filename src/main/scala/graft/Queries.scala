@@ -47,6 +47,7 @@ object Queries {
     "q21_suffix_merge"     -> (Reshape.q21SuffixMerge _),
     "q22_asof_join"        -> (EventOps.q22AsofJoin _),
     "q23_range_join"       -> (EventOps.q23RangeJoin _),
+    "q24_rollup"           -> (EtlCore.q24Rollup _),
     "t01_lang_id"          -> (TextAnalysis.t01LangId _),
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
@@ -65,6 +66,7 @@ object Queries {
       Dedup.d05EmbeddingDedup(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "d06_dup_groups"       -> (Dedup.d06DupGroups _),
     "d07_decontaminate"    -> (Dedup.d07Decontaminate _),
+    "d08_containment"      -> (Dedup.d08Containment _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
@@ -78,6 +80,7 @@ object Queries {
     "x01_hash_sample"      -> (Sampling.x01HashSample _),
     "x04_quota_sample"     -> (Sampling.x04QuotaSample _),
     "x05_strat_split"      -> (Sampling.x05StratSplit _),
+    "x06_source_mix"       -> (Sampling.x06SourceMix _),
     "x02_seq_pack"         -> (Sampling.x02SeqPack _),
     "x03_kmv_distinct"     -> (Sampling.x03KmvDistinct _)
   )
@@ -107,6 +110,7 @@ object Queries {
     "q21_suffix_merge"     -> Seq("id"),
     "q22_asof_join"        -> Seq("event_id"),
     "q23_range_join"       -> Seq("event_id", "win_id"),
+    "q24_rollup"           -> Seq("lvl", "returnflag", "linestatus"),
     "t01_lang_id"          -> Seq("doc_id"),
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),
@@ -120,6 +124,7 @@ object Queries {
     "d05_embedding_dedup"  -> Seq("id_a", "id_b"),
     "d06_dup_groups"       -> Seq("doc_id"),
     "d07_decontaminate"    -> Seq("doc_id"),
+    "d08_containment"      -> Seq("id_a", "id_b"),
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),
@@ -132,6 +137,7 @@ object Queries {
     "x01_hash_sample"      -> Seq("doc_id"),
     "x04_quota_sample"     -> Seq("source", "doc_id"),
     "x05_strat_split"      -> Seq("doc_id"),
+    "x06_source_mix"       -> Seq("doc_id"),
     "x02_seq_pack"         -> Seq("shard", "pack_no"),
     "x03_kmv_distinct"     -> Seq("lang")
   )

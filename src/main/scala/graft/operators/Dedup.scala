@@ -71,11 +71,13 @@ object Dedup {
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(shingled(s, d), threshold = 0.5, maxDf = Some(NgramMaxDf))
 
-  def ngramJaccardPairs(sh: DataFrame, threshold: Double,
-                        maxDf: Option[Int]): DataFrame = {
+  /** Inverted index (doc_id, |shingles|, shingle) with the optional
+    * stop-shingle df cutoff — shared by d02 (Jaccard) and d08
+    * (containment). */
+  private def invertedIndex(sh: DataFrame, maxDf: Option[Int]): DataFrame = {
     val exploded = sh
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val inv = maxDf.fold(exploded) { cap =>
+    maxDf.fold(exploded) { cap =>
       // Single-pass cutoff: count(*) OVER (PARTITION BY shingle) rides the
       // same shuffle-by-shingle the self-join needs anyway — no second
       // shingling scan, no separate aggregate + anti-join (which doubled
@@ -85,6 +87,11 @@ object Dedup {
         .filter(col("df") <= cap)
         .select("doc_id", "n_sh", "s")
     }
+  }
+
+  def ngramJaccardPairs(sh: DataFrame, threshold: Double,
+                        maxDf: Option[Int]): DataFrame = {
+    val inv = invertedIndex(sh, maxDf)
     val a = inv.toDF("id_a", "na", "s")
     val b = inv.toDF("id_b", "nb", "s2")
     // Length filter (PPJoin-family): j >= t needs |A∩B| >= t/(1+t)·(na+nb)
@@ -100,6 +107,36 @@ object Dedup {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** d08 containment threshold. */
+  val ContainTau = 0.85
+
+  /** d08: Jaccard-CONTAINMENT pairs — |A∩B| / min(|A|,|B|) ≥ τ. Catches
+    * the asymmetric dup class symmetric Jaccard (d02) is blind to: a
+    * short document whose shingles sit inside a much longer one (quotes,
+    * excerpts, page-with-boilerplate-wrapper) has containment ≈ 1 but
+    * Jaccard ≈ |A|/|B| ≈ 0. Same inverted index and stop-shingle cap as
+    * d02 — the df cap is what bounds the self-join here, since
+    * containment admits NO PPJoin-style length prefilter (any length
+    * ratio can exceed τ by construction). */
+  def d08Containment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(shingled(s, d), ContainTau, maxDf = Some(NgramMaxDf))
+
+  /** [[d08Containment]] over any (doc_id, sh) frame. */
+  def containmentPairs(sh: DataFrame, threshold: Double,
+                       maxDf: Option[Int]): DataFrame = {
+    val inv = invertedIndex(sh, maxDf)
+    val a = inv.toDF("id_a", "na", "s")
+    val b = inv.toDF("id_b", "nb", "s2")
+    a.join(b, col("s") === col("s2") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        col("na").cast("bigint").as("n_a"), col("nb").cast("bigint").as("n_b"),
+        round(col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   private val Bands = 4

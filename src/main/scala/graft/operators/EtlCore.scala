@@ -262,4 +262,25 @@ object EtlCore {
       .agg(count(lit(1)).as("n_orders"),
         Parse.dsum(col("o_totalprice")).as("revenue"),
         Parse.davg(col("c_acctbal")).as("avg_bal"))
+
+  /** q24: rollup aggregation (grouping sets) — per (returnflag, linestatus)
+    * cell, per-returnflag subtotal, and grand total in ONE pass. Spark
+    * plans this as Expand (×3 rows map-side) → a single partial-aggregated
+    * shuffle — subtotals cost no extra scan or extra exchange, which is
+    * the whole point at 100 TB vs three separate groupBys. Subtotal rows
+    * surface as 'ALL' (the fact columns are non-null by construction), so
+    * output ordering stays engine-independent (no NULL-ordering
+    * divergence between engines). */
+  def q24Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("bigint").as("lvl"),
+        Parse.dsum(col("l_quantity")).as("sum_qty"),
+        Parse.dsum(col("l_extendedprice")).as("sum_price"),
+        Parse.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("n_items"))
+      .select(col("lvl"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("sum_price"), col("avg_disc"), col("n_items"))
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.Text
 
@@ -168,6 +169,55 @@ object Sampling {
         when(col("bucket") < TrainPct, "train")
           .when(col("bucket") < TrainPct + ValPct, "val")
           .otherwise("test").as("split"))
+
+  /** x06 mixture hash seed. */
+  val MixSeed = 31
+
+  /** x06: computed-rate source MIXTURE sampling — the "data recipe" step
+    * of pretraining curation: given integer mixture weights per source
+    * (here 1/2/3 cycling by source number — plan-time deterministic), keep
+    * the LARGEST output corpus whose composition matches the target
+    * weights without upsampling any source. The binding source is the one
+    * with the least data relative to its weight: output total
+    * T = min_s floor(n_s·W/w_s); source s then keeps docs at rate
+    * w_s·T/(W·n_s), selected by md5-hash threshold.
+    *
+    * Decision arithmetic is EXACT integers end-to-end — keep doc iff
+    * h·W·n_s < 2^60·w_s·T in DECIMAL(38,0) (h < 2^60, so the product
+    * needs ~92 bits) — which makes the sample reproducible bit-for-bit
+    * on any engine: no float rate ever sits at a rounding boundary.
+    *
+    * Scale shape: pass 1 is a partial-aggregated count per source
+    * (distinct-source-sized result), the rate table then BROADCASTS back
+    * onto a map-side filter — no shuffle of the corpus itself, ever; the
+    * cost is two column-pruned scans of (doc_id, source). */
+  def x06SourceMix(s: SparkSession, d: String): DataFrame =
+    sourceMix(s, Tables.documents(s, d).select(col("doc_id"), col("source")))
+
+  /** [[x06SourceMix]] over any (doc_id, source) frame — split out so specs
+    * can verify composition against hand-computable corpora. */
+  def sourceMix(s: SparkSession, docs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wt = (lit(1) +
+      pmod(regexp_extract(col("source"), "(\\d+)$", 1).cast("int"), lit(3)))
+      .cast("bigint")
+    // The W and T scalars ride unpartitioned windows over the counts
+    // frame — counts is distinct-source-sized (tiny by construction), so
+    // "move all rows to one partition" is free, and no scalar join ever
+    // enters the plan (a crossJoin here folds to the
+    // BroadcastNestedLoopJoin the catalog-wide plan audit bans).
+    val all = Window.partitionBy()
+    val rates = docs.groupBy("source")
+      .agg(count(lit(1)).as("n")).withColumn("wt", wt)
+      .withColumn("W", sum("wt").over(all))
+      .withColumn("T", min(expr("(n * W) DIV wt")).over(all))
+    docs
+      .join(broadcast(rates), "source")
+      .filter(Text.hash60(col("doc_id").cast("string"), MixSeed).cast(dec)
+        * col("W") * col("n") <
+        lit(1152921504606846976L).cast(dec) * col("wt") * col("T"))
+      .select(col("doc_id"), col("source"))
+  }
 
   /** Tokens per pack (context-window budget) and shard count for x02. */
   val PackTokens = 2048

@@ -132,4 +132,28 @@ class DedupSpec extends SparkSpecBase {
     assert(out(3L) == ((0L, 0L, false)))
     assert(out(4L) == ((0L, 0L, false)))
   }
+
+  test("d08: containment catches a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"       // 6 tokens → 4 3-grams
+    val filler = (0 until 60).map(i => s"w$i").mkString(" ") // unrelated bulk
+    val docs = Seq(
+      (1L, quote),                    // the short doc
+      (2L, s"$quote $filler"),        // long doc containing it verbatim
+      (3L, "totally different words here man")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.GraftShingles(spark, col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cont = operators.Dedup.containmentPairs(docs, 0.85, None).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0,
+      "every 3-gram of the quote appears in the long doc")
+    // symmetric Jaccard on the same pair is far below any dedup threshold
+    val jac = operators.Dedup.ngramJaccardPairs(docs, 0.0001, None)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .collect().head.getAs[Double]("jaccard")
+    assert(jac < 0.2, s"jaccard=$jac should be diluted by the long doc")
+  }
 }

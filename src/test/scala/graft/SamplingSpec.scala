@@ -119,4 +119,28 @@ class SamplingSpec extends SparkSpecBase {
     val again = Queries.production("x05_strat_split")(spark, sf001)
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
   }
+
+  test("x06: mixture keeps the binding source whole and downsamples the rest toward target shares") {
+    import spark.implicits._
+    // src0 wt=1 n=100, src1 wt=2 n=10 (binding), src2 wt=3 n=50; W=6,
+    // T = min(600, 30, 100) = 30 -> expected keeps ~ (5, 10, 15).
+    val docs = ((0 until 100).map(i => (i.toLong, "src0")) ++
+      (100 until 110).map(i => (i.toLong, "src1")) ++
+      (110 until 160).map(i => (i.toLong, "src2"))).toDF("doc_id", "source")
+    val kept = Sampling.sourceMix(spark, docs).collect()
+    val bySrc = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // the binding source is never downsampled
+    assert(bySrc.getOrElse("src1", 0) == 10, s"binding source: $bySrc")
+    // hash-threshold keeps are binomial around the exact targets (5, 15):
+    // allow a wide-but-meaningful band; determinism is what's exact.
+    assert(bySrc.getOrElse("src0", 0) <= 15 && bySrc.getOrElse("src0", 0) >= 1, s"$bySrc")
+    assert(bySrc.getOrElse("src2", 0) <= 28 && bySrc.getOrElse("src2", 0) >= 5, s"$bySrc")
+    // a second evaluation keeps the identical set
+    val again = Sampling.sourceMix(spark, docs).collect()
+    assert(kept.map(_.getLong(0)).sorted.sameElements(again.map(_.getLong(0)).sorted))
+    // on the real corpus: nonempty strict subset
+    val full = Queries.production("x06_source_mix")(spark, sf001)
+    val n = full.count()
+    assert(n > 0 && n < Tables.documents(spark, sf001).count())
+  }
 }
