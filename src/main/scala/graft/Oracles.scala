@@ -578,7 +578,65 @@ object Oracles {
     import graft.operators.Similarity.{KmeansCells, KmeansIters, KmeansSampleSeed, KmeansTrainPermille}
     val lloyd = (1 to KmeansIters).map(n =>
       assignCte(n, s"cent${n - 1}", "trainset") + ",\n" + updateCte(n)).mkString(",\n")
+    // e04 per-subspace mirrors: the SAME Lloyd shape as e03, run on each
+    // PqSubDim-dim slice (sl$m = embedding[lo:hi], 1-based inclusive —
+    // Spark's slice(embedding, lo, PqSubDim)). cosRawN is cosRaw at
+    // slice width.
+    import graft.operators.Similarity.{PqM, PqSubDim, PqShortlist}
+    def cosRawN(a: String, b: String, n: Int): String =
+      s"list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform(range(1,${n + 1}), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))))"
+    def pqAssign(m: Int, n: Int, src: String): String =
+      s"""p${m}a$n AS (SELECT e.vec_id, c.cell, ${cosRawN("e.emb", "c.cv", PqSubDim)} AS score
+         |        FROM $src e, p${m}c${n - 1} c),
+         |p${m}m$n AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rr
+         |          FROM p${m}a$n) WHERE rr = 1)""".stripMargin
+    def pqUpdate(m: Int, n: Int): String =
+      s"""p${m}comp$n AS (SELECT cell, i,
+         |  CAST(SUM(CAST(FLOOR(CAST(emb[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / (COUNT(*) * 1000000.0) AS c
+         |  FROM sl$m JOIN p${m}m$n USING (vec_id), range(1, ${PqSubDim + 1}) t(i)
+         |  GROUP BY cell, i),
+         |p${m}c$n AS (SELECT cell, list(c ORDER BY i) AS cv FROM p${m}comp$n GROUP BY cell)""".stripMargin
+    val pqCtes = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      val slice =
+        s"""sl$m AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings),
+           |tr$m AS (SELECT s.vec_id, s.emb FROM sl$m s JOIN trainset t USING (vec_id)),
+           |p${m}c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+           |  list_transform(emb, x -> CAST(x AS DOUBLE)) AS cv FROM sl$m WHERE vec_id < $KmeansCells)""".stripMargin
+      val iters = (1 to KmeansIters).map(n =>
+        pqAssign(m, n, s"tr$m") + ",\n" + pqUpdate(m, n)).mkString(",\n")
+      val finalAssign = pqAssign(m, KmeansIters + 1, s"sl$m")
+      s"$slice,\n$iters,\n$finalAssign"
+    }.mkString(",\n")
+    val reconJoins = (1 until PqM).map(m =>
+      s"JOIN p${m}m${KmeansIters + 1} m$m ON m$m.vec_id = m0.vec_id " +
+        s"JOIN p${m}c$KmeansIters c$m ON c$m.cell = m$m.cell").mkString("\n        ")
+    val reconCat = (0 until PqM).map(m => s"c$m.cv").mkString(" || ")
     Map(
+      "e04_pq_ann" ->
+        s"""WITH trainset AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
+           |$pqCtes,
+           |rec AS (SELECT m0.vec_id, ($reconCat) AS recon
+           |        FROM p0m${KmeansIters + 1} m0 JOIN p0c$KmeansIters c0 ON c0.cell = m0.cell
+           |        $reconJoins),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |adc AS (SELECT q.q_id, r.vec_id AS c_id,
+           |    ROUND(${cosRawN("q.qv", "r.recon", 64)}, 6) AS adc
+           |  FROM q, rec r WHERE r.vec_id <> q.q_id),
+           |short AS (SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
+           |    FROM adc) WHERE rr <= $PqShortlist),
+           |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
+           |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
+           |r2 AS (SELECT q_id, c_id, cosine,
+           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
+           |SELECT q_id, c_id, cosine, rnk FROM r2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
       "e03_ivf_ann" ->
         s"""WITH cent0 AS (
            |  SELECT CAST(vec_id AS INT) AS cell,

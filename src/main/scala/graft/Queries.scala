@@ -71,6 +71,7 @@ object Queries {
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
+    "e04_pq_ann"           -> (Similarity.e04PqAnn _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
@@ -128,6 +129,7 @@ object Queries {
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),
+    "e04_pq_ann"           -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
     "m03_audio_meta"       -> Seq("doc_id"),

@@ -353,4 +353,57 @@ object Similarity {
       .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv2")).as("cosine"))
     topK(s, scored)
   }
+
+  /** e04 product-quantization config: [[PqM]] subspaces of [[PqSubDim]]
+    * dims each (4×16 = the 64-dim embedding), each with its own
+    * [[KmeansCells]]-centroid codebook; ADC shortlist of [[PqShortlist]]
+    * per query before exact re-rank. */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqShortlist = 30
+
+  /** e04: product-quantization ANN — the MEMORY-bounded scale path: each
+    * corpus vector is stored as [[PqM]] one-byte codes (4 B/vector vs
+    * 256 B of floats, a 64× compression), scored approximately against
+    * the reconstructed codebook vector (ADC), and only the
+    * [[PqShortlist]]-deep shortlist touches real vectors for exact
+    * re-ranking. Codebooks are per-subspace spherical k-means — the SAME
+    * deterministic Lloyd machinery as e03 ([[kmeansCentroids]]) run on
+    * each 16-dim slice, trained on the hash-membership sample — so
+    * training, codes, ADC scores, and the final ranking are all exactly
+    * oracle-mirrored (no other engine's PQ could be hash-gated like
+    * this). The ADC scan is still O(queries × corpus) lookups — PQ buys
+    * memory, not asymptotics; at 100 TB you compose it with e03's IVF
+    * cells so a query scans codes only within probed cells. Recall vs
+    * exact e01 is spec-asserted (LshRecallSpec). */
+  def e04PqAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // Quantized reconstruction: per subspace, train codebook on the dim
+    // slice, assign each vector its nearest (spherical) centroid, and
+    // concat the 4 selected centroids back into a 64-dim approximation.
+    // Each per-subspace join keys on vec_id straight out of a groupBy on
+    // vec_id, so the joins reuse that partitioning rather than re-shuffle.
+    val recon = (0 until PqM).map { m =>
+      val sl = e.select(col("vec_id"),
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
+      val cb = kmeansCentroids(s, sl)
+      kmeansAssign(cb, sl).join(broadcast(cb), "cell")
+        .select(col("vec_id"), col("cv").as(s"cv_$m"))
+    }.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id").as("c_id"),
+        concat((0 until PqM).map(m => col(s"cv_$m")): _*).as("recon"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    // ADC shortlist: approximate cosine against reconstructions, bounded
+    // per-query top-R (query set is the broadcast-small side, as in e01).
+    val short = broadcast(q).join(recon, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("recon")).as("adc"))
+      .groupBy("q_id")
+      .agg(TopKByScore(s, struct(col("adc"), col("c_id")), PqShortlist).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("c_id"))
+    // Exact re-rank: only shortlist rows ever touch real vectors.
+    topK(s, short.join(e.toDF("c_id", "cv"), "c_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")))
+  }
 }

@@ -62,4 +62,28 @@ class LshRecallSpec extends SparkSpecBase {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.25, s"recall@10 = $recall")
   }
+
+  test("e04 PQ recall@10 vs e01: ADC shortlist + exact re-rank") {
+    // 4×16-dim subspaces quantized to 16 centroids each is coarse on
+    // near-orthogonal synthetic vectors (the hardest case for PQ — the
+    // quantization error is as large as the signal), but the 3×-deep
+    // exact re-rank keeps the true neighbors that ADC ranks loosely.
+    // The floor documents measured behavior with headroom for seed
+    // drift; real clustered embeddings sit far higher.
+    val exact = pairs("e01_knn_brute")
+    val pq = pairs("e04_pq_ann")
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@10 = $recall")
+    // every returned pair must carry its EXACT cosine (re-rank contract):
+    // e04 scores present in e01's map must match exactly
+    val exactScores = Queries.production("e01_knn_brute")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) -> r.getAs[Double]("cosine")).toMap
+    val pqRows = Queries.production("e04_pq_ann")(spark, sf001).collect()
+    for (r <- pqRows) {
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      exactScores.get(k).foreach { es =>
+        assert(r.getAs[Double]("cosine") == es, s"re-ranked score differs for $k")
+      }
+    }
+  }
 }

@@ -49,7 +49,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // assignment. Everything else — in particular the d05 near-dup pairs,
     // formerly an all-pairs BNLJ over the whole table — must be
     // nested-loop-free.
-    val broadcastSmallByDesign = Set("e01_knn_brute", "e03_ivf_ann")
+    // e04 joins the allowlist for the same reason as e03: its nested-loop
+    // sides are the 16-row per-subspace codebooks and the n/100 query set.
+    val broadcastSmallByDesign = Set("e01_knn_brute", "e03_ivf_ann", "e04_pq_ann")
     for ((name, _) <- Queries.production if !broadcastSmallByDesign(name)) {
       assert(!operators(name).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         s"$name contains BroadcastNestedLoopJoin")
