@@ -322,7 +322,13 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = verts.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // The label-propagation loop runs ONLY over edge-incident vertices:
+    // a vertex with no incident edge is its own component by definition
+    // and reattaches after convergence with one left join. Near-dup
+    // graphs are sparse (dup clusters are a few % of a corpus), so at
+    // scale this iterates over the dup subgraph, not the whole corpus.
+    val active = bidir.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = active.select(col("id"), col("id").as("lbl"))
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -343,7 +349,9 @@ object Dedup {
       labels = next.select(col("id"), col("lbl"))
       rounds += 1
     }
-    (labels, rounds)
+    val all = verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+    (all, rounds)
   }
 
   /** Word-n-gram width for benchmark decontamination: 8 tokens is the

@@ -376,22 +376,60 @@ object Similarity {
     * memory, not asymptotics; at 100 TB you compose it with e03's IVF
     * cells so a query scans codes only within probed cells. Recall vs
     * exact e01 is spec-asserted (LshRecallSpec). */
+  /** One grouped Lloyd assignment over ALL subspaces at once: src rows are
+    * (vec_id, m, emb), centroids (m, cell, cv); the broadcast hash join on
+    * m scores each slice against its own codebook, argmax ties to the
+    * lowest cell — per-subspace semantics identical to running
+    * [[kmeansAssign]] four times, but ONE shuffle instead of four. */
+  private def pqAssign(s: SparkSession, cent: DataFrame, src: DataFrame): DataFrame =
+    src.join(broadcast(cent), "m")
+      .select(col("vec_id"), col("m"), col("cell"),
+        CosineSimilarity(s, col("emb"), col("cv")).as("score"))
+      .groupBy("vec_id", "m")
+      .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"))
+
+  /** Grouped exact scaled-integer centroid means, keyed (m, cell) — the
+    * subspace-vectorized [[kmeansUpdate]]. */
+  private def pqUpdate(assigned: DataFrame, src: DataFrame): DataFrame =
+    src.join(assigned, Seq("vec_id", "m"))
+      .select(col("m"), col("cell"), posexplode(col("emb")).as(Seq("i", "v")))
+      .select(col("m"), col("cell"), col("i"),
+        floor(col("v").cast("double") * lit(1000000.0)).cast("bigint").as("sv"))
+      .groupBy("m", "cell", "i")
+      .agg(sum("sv").as("ssum"), count(lit(1)).as("n"))
+      .select(col("m"), col("cell"), col("i"),
+        (col("ssum").cast("double") / (col("n").cast("double") * lit(1000000.0))).as("c"))
+      .groupBy("m", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        x => x.getField("c")).as("cv"))
+
   def e04PqAnn(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // Quantized reconstruction: per subspace, train codebook on the dim
-    // slice, assign each vector its nearest (spherical) centroid, and
-    // concat the 4 selected centroids back into a 64-dim approximation.
-    // Each per-subspace join keys on vec_id straight out of a groupBy on
-    // vec_id, so the joins reuse that partitioning rather than re-shuffle.
-    val recon = (0 until PqM).map { m =>
-      val sl = e.select(col("vec_id"),
-        slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding"))
-      val cb = kmeansCentroids(s, sl)
-      kmeansAssign(cb, sl).join(broadcast(cb), "cell")
-        .select(col("vec_id"), col("cv").as(s"cv_$m"))
-    }.reduce(_.join(_, "vec_id"))
-      .select(col("vec_id").as("c_id"),
-        concat((0 until PqM).map(m => col(s"cv_$m")): _*).as("recon"))
+    // All PqM slices in one frame keyed by subspace id — training and
+    // encoding then cost one shuffle per step TOTAL, not per subspace
+    // (the per-subspace loop form spent 4× the jobs on scheduling floor:
+    // measured 3.4 s → grouped at sf0.1).
+    val sl = e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*))
+      .as(Seq("m", "emb")))
+    val train = trainSample(sl)
+    val seeds = sl.filter(col("vec_id") < KmeansCells)
+      .select(col("m"), col("vec_id").cast("int").as("cell"),
+        transform(col("emb"), x => x.cast("double")).as("cv"))
+    def materialize(c: DataFrame): DataFrame =
+      s.createDataFrame(c.collect().toSeq.asJava, c.schema)
+    val trained = materialize((1 to KmeansIters).foldLeft(seeds) { (cent, _) =>
+      pqUpdate(pqAssign(s, materialize(cent), train), train)
+    })
+    // Codes (vec_id, m, cell) → reconstruction: centroids gathered per
+    // vector, ordered by subspace id, flattened back to 64 dims.
+    val recon = pqAssign(s, trained, sl)
+      .join(broadcast(trained), Seq("m", "cell"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cv")))),
+        x => x.getField("cv")).as("parts"))
+      .select(col("vec_id").as("c_id"), flatten(col("parts")).as("recon"))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     // ADC shortlist: approximate cosine against reconstructions, bounded
