@@ -26,6 +26,14 @@ object Sources {
   def parquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** ORC (columnar like parquet: self-describing schema, predicate
+    * pushdown and column pruning at the stripe level). */
+  def orc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Name of the audit column carrying the raw text of rows that failed
     * to parse. */
   val CorruptCol = "_corrupt_record"

@@ -82,6 +82,22 @@ class SinksSpec extends SparkSpecBase {
     assert(!plan.contains("status=F"))
   }
 
+  test("orc round trip preserves schema and pushes filters to the scan") {
+    val dir = tmp() + "/orc"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "v")
+    Sources.writeOrc(df, dir)
+    val back = Sources.orc(spark, dir)
+    // names+types survive (nullability widens to true on any file read)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    val plan = back.filter(col("id") > 1L).select("id", "name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"), plan.take(2000))
+  }
+
   test("chunked write bounds records per file (the 1M-row chunk analog)") {
     val dir = tmp() + "/chunk"
     Sinks.writeChunked((1 to 1000).toDF("id").coalesce(1), dir, 100L)
