@@ -269,7 +269,18 @@ object Oracles {
          |  COUNT(*) AS n_items
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         |ORDER BY lvl, returnflag, linestatus""".stripMargin
+         |ORDER BY lvl, returnflag, linestatus""".stripMargin,
+
+    // q25: the salt in the Spark plan is result-invariant (multiplicity-
+    // preserving by construction), so the oracle is the PLAIN join.
+    "q25_salted_join" ->
+      """WITH d AS (SELECT o_custkey % 150 AS user_id, COUNT(*) AS n_orders
+        |           FROM orders GROUP BY 1)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(n_orders) AS BIGINT) AS sum_user_orders,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN d USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** Text-analysis block (SURVEY §2.D). Tokenization is mirrored as
@@ -771,6 +782,16 @@ object Oracles {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // s04: dim misses surface as 'UNKNOWN' (left join), windows mirror
+    // s01's hour-truncation.
+    "s04_stream_enrich" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+        |  COALESCE(c_mktsegment, 'UNKNOWN') AS segment, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events LEFT JOIN customer ON c_custkey = user_id AND c_custkey < 150
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "s02_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),

@@ -48,6 +48,7 @@ object Queries {
     "q22_asof_join"        -> (EventOps.q22AsofJoin _),
     "q23_range_join"       -> (EventOps.q23RangeJoin _),
     "q24_rollup"           -> (EtlCore.q24Rollup _),
+    "q25_salted_join"      -> (EtlCore.q25SaltedJoin _),
     "t01_lang_id"          -> (TextAnalysis.t01LangId _),
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
@@ -78,6 +79,7 @@ object Queries {
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
+    "s04_stream_enrich"    -> (EventOps.s04StreamEnrich _),
     "x01_hash_sample"      -> (Sampling.x01HashSample _),
     "x04_quota_sample"     -> (Sampling.x04QuotaSample _),
     "x05_strat_split"      -> (Sampling.x05StratSplit _),
@@ -112,6 +114,7 @@ object Queries {
     "q22_asof_join"        -> Seq("event_id"),
     "q23_range_join"       -> Seq("event_id", "win_id"),
     "q24_rollup"           -> Seq("lvl", "returnflag", "linestatus"),
+    "q25_salted_join"      -> Seq("event_type"),
     "t01_lang_id"          -> Seq("doc_id"),
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),
@@ -136,6 +139,7 @@ object Queries {
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),
+    "s04_stream_enrich"    -> Seq("win_start", "segment", "event_type"),
     "x01_hash_sample"      -> Seq("doc_id"),
     "x04_quota_sample"     -> Seq("source", "doc_id"),
     "x05_strat_split"      -> Seq("doc_id"),

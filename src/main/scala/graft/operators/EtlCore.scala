@@ -296,4 +296,24 @@ object EtlCore {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("sum_price"), col("avg_disc"), col("n_items"))
   }
+
+  /** q25: SALTED equi-join as a gated catalog key — the skew-mitigation
+    * plan you reach for when one key dominates a shuffle AQE can't
+    * rewrite: the big (possibly skewed) side gets a deterministic salt
+    * from its row id, the small side replicates `buckets` times, and the
+    * hot key spreads over `buckets` reducers ([[Skew.saltedJoin]];
+    * row-multiplicity-preserving, SkewSpec). Result is IDENTICAL to the
+    * plain join — the oracle runs the unsalted SQL. */
+  def q25SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val userOrders = Tables.orders(s, d)
+      .groupBy(pmod(col("o_custkey"), lit(150)).as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ev = Tables.eventsWithTs(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Skew.saltedJoin(ev, userOrders, "user_id", col("event_id"), buckets = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("n_orders")).as("sum_user_orders"),
+        Parse.dsum(col("value")).as("sum_value"))
+  }
 }

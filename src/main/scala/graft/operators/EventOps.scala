@@ -26,6 +26,32 @@ object EventOps {
   def s01WindowAgg(s: SparkSession, d: String): DataFrame =
     windowAgg(Tables.eventsWithTs(s, d))
 
+  /** User→segment profile dim for s04 (the event user space is
+    * o_custkey % 150, so custkeys below 150 are the matching profiles —
+    * user 0 has no profile row and exercises the dim-miss path). */
+  def userSegments(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 150)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+
+  /** Stream-static ENRICHMENT + window agg, shared by batch s04 and the
+    * streaming parity spec: the profile dim broadcasts (stream-static
+    * joins cannot shuffle the stream side), dim misses surface as
+    * 'UNKNOWN' instead of dropping events — the posture an always-on
+    * pipeline needs when profile onboarding lags the event feed. */
+  def enrichAgg(events: DataFrame, profile: DataFrame): DataFrame =
+    events.join(broadcast(profile), Seq("user_id"), "left")
+      .select(col("ts"), col("event_type"), col("value"),
+        coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Parse.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("segment"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** s04: stream-static enrichment join (batch view). */
+  def s04StreamEnrich(s: SparkSession, d: String): DataFrame =
+    enrichAgg(Tables.eventsWithTs(s, d), userSegments(s, d))
+
   /** Session gap: 30 minutes, in exact micros (µs is the cross-engine
     * common precision — the oracle engine reads TIMESTAMP(NANOS) parquet
     * at µs). */

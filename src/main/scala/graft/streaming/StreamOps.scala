@@ -31,6 +31,12 @@ object StreamOps {
   def windowAggStream(events: DataFrame): DataFrame =
     EventOps.windowAgg(events.withWatermark("ts", "0 seconds"))
 
+  /** Streaming stream-static enrichment + window agg: the batch transform
+    * with a watermark; the static profile side re-broadcasts into each
+    * micro-batch (a stream-static join can never shuffle the stream). */
+  def enrichAggStream(events: DataFrame, profile: DataFrame): DataFrame =
+    EventOps.enrichAgg(events.withWatermark("ts", "0 seconds"), profile)
+
   /** Streaming gap-sessionization over a watermarked [[SessEvent]] set. */
   def sessionizeStream(events: Dataset[SessEvent]): Dataset[SessOut] = {
     import events.sparkSession.implicits._

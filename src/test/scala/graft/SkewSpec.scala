@@ -65,4 +65,23 @@ class SkewSpec extends SparkSpecBase {
     assert(uncapped > 1)
     assert(capped == Set((1L, 2L)))
   }
+
+  test("q25: salted catalog plan equals the plain unsalted join aggregate") {
+    import org.apache.spark.sql.functions._
+    val salted = Queries.production("q25_salted_join")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val userOrders = Tables.orders(spark, sf001)
+      .groupBy(pmod(col("o_custkey"), lit(150)).as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val plain = Tables.eventsWithTs(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .join(userOrders, "user_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("n_orders")).as("sum_user_orders"),
+        graft.functions.Parse.dsum(col("value")).as("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(salted == plain)
+  }
 }

@@ -58,6 +58,37 @@ class StreamingParitySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("s04 enrichment: streaming stream-static join equals batch; dim miss -> UNKNOWN") {
+    val profile = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("user_id", "segment") // user 3 has no profile row
+    val batchDf = events.map(e => (e._1, new Timestamp(e._3 / 1000L), e._5, e._4))
+      .toDF("user_id", "ts", "event_type", "value")
+    val expected = EventOps.enrichAgg(batchDf, profile).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(expected.exists(_._2 == "UNKNOWN"), "fixture must exercise the dim-miss path")
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = StreamOps.enrichAggStream(
+        stream.toDF.toDF("user_id", "ts", "event_type", "value"), profile)
+      .writeStream.format("memory").queryName("s04_par").outputMode("append").start()
+    try {
+      stream.addData(events.map(e => (e._1, new Timestamp(e._3 / 1000L), e._5, e._4)))
+      q.processAllAvailable()
+      val flush = new Timestamp(Timestamp.valueOf("2024-06-02 00:00:00").getTime)
+      stream.addData(Seq((1L, flush, "flush", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, new Timestamp(flush.getTime + 1000), "flush", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("s04_par")
+        .filter(col("event_type") =!= "flush").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("s01 window agg: data later than the watermark is dropped (streaming contract)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double)]
