@@ -366,6 +366,21 @@ object Oracles {
         |  COALESCE(ROUND(CAST(bg_n - bg_distinct AS DOUBLE)/bg_n, 6), 0.0) AS dup_2gram_frac
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""".stripMargin,
 
+    // t07: every rule is integer arithmetic on counts — engine-exact.
+    "t07_quality_filter" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text,'\\s+') AS toks FROM documents),
+         |t1 AS (SELECT doc_id, unnest(toks) AS g FROM toks),
+         |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM t1 GROUP BY 1, 2),
+         |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS top,
+         |              COUNT(*) AS dist FROM tc GROUP BY 1)
+         |SELECT doc_id, n AS n_tokens, dist AS n_distinct, top AS top_count,
+         |  n < ${graft.operators.TextAnalysis.MinTokens} AS too_short,
+         |  top * 8 > n AS too_repetitive,
+         |  dist * 5 < n * 2 AS low_diversity,
+         |  NOT (n < ${graft.operators.TextAnalysis.MinTokens} OR top * 8 > n
+         |       OR dist * 5 < n * 2) AS keep
+         |FROM ts ORDER BY doc_id""".stripMargin,
+
     "t04_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
         |SELECT doc_id,

@@ -55,6 +55,7 @@ object Queries {
     "t04_fingerprint"      -> (TextAnalysis.t04Fingerprint _),
     "t05_pii_mask"         -> (TextAnalysis.t05PiiMask _),
     "t06_repetition"       -> (TextAnalysis.t06Repetition _),
+    "t07_quality_filter"   -> (TextAnalysis.t07QualityFilter _),
     "d01_dedup_exact"      -> (Dedup.d01DedupExact _),
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
@@ -121,6 +122,7 @@ object Queries {
     "t04_fingerprint"      -> Seq("doc_id"),
     "t05_pii_mask"         -> Seq("c_custkey"),
     "t06_repetition"       -> Seq("doc_id"),
+    "t07_quality_filter"   -> Seq("doc_id"),
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d02_ngram_jaccard"    -> Seq("id_a", "id_b"),
     "d03_minhash_lsh"      -> Seq("id_a", "id_b"),

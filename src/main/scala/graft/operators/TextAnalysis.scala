@@ -171,6 +171,36 @@ object TextAnalysis {
           lit(0.0)).as("dup_2gram_frac"))
   }
 
+  /** t07 floor: docs under this many tokens are dropped. */
+  val MinTokens = 30
+
+  /** t07: composite QUALITY FILTER — the Gopher-rules-style gate that
+    * actually drops documents, composing per-doc token statistics into
+    * keep/drop with per-rule flags (so downstream can audit WHY a doc
+    * fell out). Every rule is EXACT-INTEGER arithmetic on counts
+    * (top·8 > n ⟺ top-token mass > 12.5%, distinct·5 < n·2 ⟺ TTR < 0.4)
+    * — no float threshold ever sits at a rounding boundary, so the gate
+    * is engine-exact by construction. One explode → two HashAggregates,
+    * all map-side partial — the same single-pass shape as t06. */
+  def t07QualityFilter(s: SparkSession, d: String): DataFrame =
+    qualityFilter(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[t07QualityFilter]] over any (doc_id, text) frame — split out so
+    * the spec can feed docs engineered to trip each rule alone. */
+  def qualityFilter(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(graft.functions.GraftNgrams(s, col("text"), 1)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), max("c").as("top"), count(lit(1)).as("dist"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("dist").as("n_distinct"), col("top").as("top_count"),
+        (col("n") < MinTokens).as("too_short"),
+        (col("top") * 8 > col("n")).as("too_repetitive"),
+        (col("dist") * 5 < col("n") * 2).as("low_diversity"),
+        (!(col("n") < MinTokens || col("top") * 8 > col("n") ||
+          col("dist") * 5 < col("n") * 2)).as("keep"))
+
   /** t04: order-sensitive polynomial rolling-hash fingerprint per doc.
     * Relational form of [[Text.rollingFingerprint]]: posexplode tokens →
     * codegen'd md5 term projection → one hash aggregate. The term sum runs

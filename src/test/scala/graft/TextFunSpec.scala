@@ -150,6 +150,23 @@ class TextFunSpec extends SparkSpecBase {
     assert(got(4L) == ((6L, 0.5, 0.666667, 5L, 0.6, 0.6)))
   }
 
+  test("t07 quality rules each trip on their engineered doc, clean doc keeps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"w$i").mkString(" ")),           // short only
+      (2L, (Seq.fill(10)("spam") ++ (0 until 30).map(i => s"u$i")).mkString(" ")), // top 25%
+      (3L, (0 until 40).map(i => s"v${i % 10}").mkString(" ")),    // TTR 0.25
+      (4L, (0 until 40).map(i => s"c$i").mkString(" "))            // clean
+    ).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.qualityFilter(spark, docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7))).toMap
+    assert(out(1L) == ((true, false, false, false)))
+    assert(out(2L) == ((false, true, false, false)))
+    assert(out(3L) == ((false, false, true, false)))
+    assert(out(4L) == ((false, false, false, true)))
+  }
+
   test("graft_ngrams keeps every window; graft_shingles is its distinct set") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
