@@ -644,6 +644,45 @@ object Oracles {
         s"JOIN p${m}c$KmeansIters c$m ON c$m.cell = m$m.cell").mkString("\n        ")
     val reconCat = (0 until PqM).map(m => s"c$m.cv").mkString(" || ")
     Map(
+      // e05 composes the two index mirrors verbatim: e03's coarse Lloyd
+      // CTEs give the cell assignment (m{iters+1}), e04's per-subspace
+      // Lloyd CTEs give the PQ reconstructions (rec); the ADC scan then
+      // joins THROUGH the cell assignment so only vectors in a query's
+      // probed cells are scored — the composed plan's defining property.
+      "e05_ivfpq" ->
+        s"""WITH trainset AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
+           |cent0 AS (
+           |  SELECT CAST(vec_id AS INT) AS cell,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM embeddings WHERE vec_id < $KmeansCells),
+           |$lloyd,
+           |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
+           |$pqCtes,
+           |rec AS (SELECT m0.vec_id, ($reconCat) AS recon
+           |        FROM p0m${KmeansIters + 1} m0 JOIN p0c$KmeansIters c0 ON c0.cell = m0.cell
+           |        $reconJoins),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |probed AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |        ORDER BY ROUND(${cosRaw("q.qv", "c.cv")}, 6) DESC, c.cell) AS rr
+           |    FROM q, cent$KmeansIters c) WHERE rr <= 3),
+           |adc AS (SELECT p.q_id, r.vec_id AS c_id,
+           |    ROUND(${cosRawN("q.qv", "r.recon", 64)}, 6) AS adc
+           |  FROM probed p JOIN q USING (q_id)
+           |  JOIN m${KmeansIters + 1} mf ON mf.cell = p.cell
+           |  JOIN rec r ON r.vec_id = mf.vec_id AND r.vec_id <> p.q_id),
+           |short AS (SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
+           |    FROM adc) WHERE rr <= $PqShortlist),
+           |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
+           |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
+           |r2 AS (SELECT q_id, c_id, cosine,
+           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
+           |SELECT q_id, c_id, cosine, rnk FROM r2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
       "e04_pq_ann" ->
         s"""WITH trainset AS (SELECT vec_id, embedding FROM embeddings
            |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),

@@ -74,6 +74,7 @@ object Queries {
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
     "e04_pq_ann"           -> (Similarity.e04PqAnn _),
+    "e05_ivfpq"            -> (Similarity.e05IvfPq _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
@@ -135,6 +136,7 @@ object Queries {
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),
     "e04_pq_ann"           -> Seq("q_id", "rnk"),
+    "e05_ivfpq"            -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
     "m03_audio_meta"       -> Seq("doc_id"),

@@ -329,15 +329,12 @@ object Similarity {
     * cell id, so a query touches `probe/cells` of the data. Deterministic
     * end-to-end, so unlike most ANN this one is oracle-gated exactly;
     * recall vs e01 is spec-asserted (IvfRecall in LshRecallSpec). */
-  def e03IvfAnn(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val centroids = kmeansCentroids(s, e)
-    val cells = kmeansAssign(centroids, e)
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    // Probe assignment: top-Probe cells by centroid cosine (native
-    // expression, float×double sides; ties broken by cell id).
-    val probed = q.crossJoin(broadcast(centroids))
+  /** Probe assignment shared by e03 and e05: top-[[Probe]] cells per
+    * query by centroid cosine (native expression, float×double sides;
+    * ties broken by cell id). The centroid table is broadcast-small by
+    * construction (<= KmeansCells rows). */
+  private def probedCells(s: SparkSession, q: DataFrame, centroids: DataFrame): DataFrame =
+    q.crossJoin(broadcast(centroids))
       .select(col("q_id"), col("cell"),
         round(CosineSimilarity(s, col("qv"), col("cv")), 6).as("cscore"))
       .groupBy("q_id")
@@ -345,6 +342,14 @@ object Similarity {
         .as("cells"))
       .select(col("q_id"), explode(col("cells")).as("cell"))
       .select(col("q_id"), col("cell.id").cast("int").as("cell"))
+
+  def e03IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = kmeansCentroids(s, e)
+    val cells = kmeansAssign(centroids, e)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val probed = probedCells(s, q, centroids)
     // In-cell scan: score only vectors in probed cells, native cosine.
     val c = e.join(cells, "vec_id")
       .select(col("vec_id").as("c_id"), col("embedding").as("cv2"), col("cell"))
@@ -403,9 +408,14 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         x => x.getField("c")).as("cv"))
 
-  def e04PqAnn(s: SparkSession, d: String): DataFrame = {
+  /** PQ index build shared by e04 and e05: per-subspace codebooks trained
+    * on the hash-membership sample, every corpus vector encoded as PqM
+    * one-byte codes and RECONSTRUCTED from its codebook centroids —
+    * (c_id, recon) with recon the 64-dim codebook approximation. The
+    * reconstruction (not the raw code) is what ADC scores against; at
+    * scale the recon frame is what you'd persist as the PQ index. */
+  def pqRecon(s: SparkSession, e: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // All PqM slices in one frame keyed by subspace id — training and
     // encoding then cost one shuffle per step TOTAL, not per subspace
     // (the per-subspace loop form spent 4× the jobs on scheduling floor:
@@ -424,12 +434,17 @@ object Similarity {
     })
     // Codes (vec_id, m, cell) → reconstruction: centroids gathered per
     // vector, ordered by subspace id, flattened back to 64 dims.
-    val recon = pqAssign(s, trained, sl)
+    pqAssign(s, trained, sl)
       .join(broadcast(trained), Seq("m", "cell"))
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("cv")))),
         x => x.getField("cv")).as("parts"))
       .select(col("vec_id").as("c_id"), flatten(col("parts")).as("recon"))
+  }
+
+  def e04PqAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val recon = pqRecon(s, e)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     // ADC shortlist: approximate cosine against reconstructions, bounded
@@ -441,6 +456,43 @@ object Similarity {
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.id").as("c_id"))
     // Exact re-rank: only shortlist rows ever touch real vectors.
+    topK(s, short.join(e.toDF("c_id", "cv"), "c_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")))
+  }
+
+  /** e05: IVF×PQ — the composed 100 TB ANN path e04's scaladoc promises.
+    * e03's learned coarse quantizer partitions the corpus into cells;
+    * e04's per-subspace codebooks compress every vector to [[PqM]] byte
+    * codes. A query probes its top-[[Probe]] cells and ADC-scans ONLY
+    * the reconstructions inside them — so per-query work is
+    * probe/cells of e04's full ADC scan (compressed reads) plus a
+    * [[PqShortlist]]-deep exact re-rank. At 100 TB the recon frame is
+    * the persisted index, partitioned by cell: a query moves ~4 bytes ×
+    * its probed cells' population, never a raw vector outside the
+    * shortlist. Both halves are the deterministic Lloyd machinery, so
+    * the composition stays exactly oracle-gated; recall vs e01 is
+    * spec-asserted (LshRecallSpec) >= the product floor of its parts. */
+  def e05IvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = kmeansCentroids(s, e)
+    val cells = kmeansAssign(centroids, e)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val probed = probedCells(s, q, centroids)
+    // PQ index co-partitioned with the IVF assignment: (cell, c_id, recon).
+    val indexed = pqRecon(s, e)
+      .join(cells.withColumnRenamed("vec_id", "c_id"), "c_id")
+    // ADC scan restricted to probed cells: the (q_id, cell, qv) probe
+    // frame is broadcast-small (n_queries × Probe rows), so the scan is
+    // a map-side pass over the cell-pruned recon frame.
+    val adc = broadcast(probed.join(q, "q_id")).join(indexed, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("recon")).as("adc"))
+    val short = adc.groupBy("q_id")
+      .agg(TopKByScore(s, struct(col("adc"), col("c_id")), PqShortlist).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("c_id"))
+    // Exact re-rank touches only shortlist vectors, as in e04.
     topK(s, short.join(e.toDF("c_id", "cv"), "c_id").join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")))
   }

@@ -63,6 +63,29 @@ class LshRecallSpec extends SparkSpecBase {
     assert(recall >= 0.25, s"recall@10 = $recall")
   }
 
+  test("e05 IVF×PQ recall and candidate containment vs its parts") {
+    // The composition can only SHRINK e04's candidate set (same ADC
+    // scores, restricted to probed cells) — so its shortlist, hence its
+    // output, may lose only what cell pruning loses. Two properties:
+    // (1) every e05 (q,c) pair lies in a probed cell AND survives exact
+    // re-rank with the true cosine (checked against e01's map, as e04);
+    // (2) recall floor = measured value with seed-drift headroom. On
+    // near-orthogonal synthetics both prunings bite at once (worst
+    // case); real clustered embeddings sit far higher.
+    val exact = pairs("e01_knn_brute")
+    val composed = pairs("e05_ivfpq")
+    val recall = (exact & composed).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall@10 = $recall")
+    val exactScores = Queries.production("e01_knn_brute")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) -> r.getAs[Double]("cosine")).toMap
+    for (r <- Queries.production("e05_ivfpq")(spark, sf001).collect()) {
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      exactScores.get(k).foreach { es =>
+        assert(r.getAs[Double]("cosine") == es, s"re-ranked score differs for $k")
+      }
+    }
+  }
+
   test("e04 PQ recall@10 vs e01: ADC shortlist + exact re-rank") {
     // 4×16-dim subspaces quantized to 16 centroids each is coarse on
     // near-orthogonal synthetic vectors (the hardest case for PQ — the

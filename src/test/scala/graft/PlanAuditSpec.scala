@@ -49,9 +49,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // assignment. Everything else — in particular the d05 near-dup pairs,
     // formerly an all-pairs BNLJ over the whole table — must be
     // nested-loop-free.
-    // e04 joins the allowlist for the same reason as e03: its nested-loop
-    // sides are the 16-row per-subspace codebooks and the n/100 query set.
-    val broadcastSmallByDesign = Set("e01_knn_brute", "e03_ivf_ann", "e04_pq_ann")
+    // e04/e05 join the allowlist for the same reason as e03: their
+    // nested-loop sides are the 16-row codebook/centroid tables and the
+    // n/100 query set.
+    val broadcastSmallByDesign =
+      Set("e01_knn_brute", "e03_ivf_ann", "e04_pq_ann", "e05_ivfpq")
     for ((name, _) <- Queries.production if !broadcastSmallByDesign(name)) {
       assert(!operators(name).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         s"$name contains BroadcastNestedLoopJoin")
