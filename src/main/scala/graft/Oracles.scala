@@ -280,7 +280,65 @@ object Oracles {
         |  CAST(SUM(n_orders) AS BIGINT) AS sum_user_orders,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN d USING (user_id)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q26 mirrors the q07/q08/q18 messy-column constructions and parse
+    // grammars verbatim, then counts parse outcomes instead of emitting
+    // parsed values; verdicts are the same integer-count comparisons as
+    // the plan (no float threshold).
+    "q26_column_triage" ->
+      """WITH built AS (
+        |  SELECT
+        |    CASE
+        |      WHEN o_orderkey % 4 = 0 THEN
+        |        '$' || CAST(FLOOR(m/100) AS BIGINT) || '.' || lpad(CAST(m%100 AS VARCHAR), 2, '0') || ' million'
+        |      WHEN o_orderkey % 4 = 1 THEN
+        |        '$' || CAST(FLOOR(m/1000) AS BIGINT) || '.' || lpad(CAST(m%1000 AS VARCHAR), 3, '0') || ' billion'
+        |      WHEN o_orderkey % 4 = 2 THEN '$' || format('{:,}', m)
+        |      ELSE 'N/A' END AS money,
+        |    CASE o_orderkey % 4
+        |      WHEN 0 THEN strftime(o_orderdate, '%B %-d, %Y')
+        |      WHEN 1 THEN strftime(o_orderdate, '%Y/%m/%d')
+        |      WHEN 2 THEN strftime(o_orderdate, '%B %Y')
+        |      ELSE strftime(o_orderdate, '%Y') END AS mdate,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN strftime(o_orderdate, '%Y/%m/%d') END AS sparse,
+        |    o_orderpriority AS prio
+        |  FROM (SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |          CAST(FLOOR(o_totalprice) AS BIGINT) AS m FROM orders)),
+        |flags AS (
+        |  SELECT money, mdate, sparse, prio,
+        |    (regexp_matches(money, '(?i)^\$\s*(\d+\.?\d*)\s*milli?on')
+        |     OR regexp_matches(money, '(?i)^\$\s*(\d+\.?\d*)\s*billi?on')
+        |     OR regexp_matches(money, '^\$\s*(\d{1,3}([,\.]\d{3})+)')) AS money_ok,
+        |    (COALESCE(try_strptime(mdate, '%B %d, %Y'), try_strptime(mdate, '%Y/%m/%d'),
+        |              try_strptime(mdate, '%B %Y'), try_strptime(mdate, '%Y')) IS NOT NULL) AS mdate_ok,
+        |    (COALESCE(try_strptime(sparse, '%B %d, %Y'), try_strptime(sparse, '%Y/%m/%d'),
+        |              try_strptime(sparse, '%B %Y'), try_strptime(sparse, '%Y')) IS NOT NULL) AS sparse_ok,
+        |    (regexp_matches(prio, '^(\d+)\s*h(?:ou)?r?s?\s*(\d*)')
+        |     OR regexp_matches(prio, '^(\d+)\s*m')) AS prio_ok
+        |  FROM built),
+        |a AS (SELECT COUNT(*) AS n,
+        |  COUNT(money) AS nn_money,
+        |  CAST(SUM(CASE WHEN money IS NOT NULL AND NOT money_ok THEN 1 ELSE 0 END) AS BIGINT) AS nf_money,
+        |  COUNT(mdate) AS nn_mdate,
+        |  CAST(SUM(CASE WHEN mdate IS NOT NULL AND NOT mdate_ok THEN 1 ELSE 0 END) AS BIGINT) AS nf_mdate,
+        |  COUNT(sparse) AS nn_sparse,
+        |  CAST(SUM(CASE WHEN sparse IS NOT NULL AND NOT sparse_ok THEN 1 ELSE 0 END) AS BIGINT) AS nf_sparse,
+        |  COUNT(prio) AS nn_prio,
+        |  CAST(SUM(CASE WHEN prio IS NOT NULL AND NOT prio_ok THEN 1 ELSE 0 END) AS BIGINT) AS nf_prio
+        |  FROM flags),
+        |t AS (
+        |  SELECT 'money' AS column_name, n, n - nn_money AS n_null, nf_money AS n_parse_fail FROM a
+        |  UNION ALL SELECT 'mdate', n, n - nn_mdate, nf_mdate FROM a
+        |  UNION ALL SELECT 'sparse', n, n - nn_sparse, nf_sparse FROM a
+        |  UNION ALL SELECT 'prio', n, n - nn_prio, nf_prio FROM a)
+        |SELECT column_name, n AS n_rows, n_null, n_parse_fail,
+        |  ROUND(CAST(n_null AS DOUBLE) / n, 6) AS null_frac,
+        |  ROUND(CAST(n_parse_fail AS DOUBLE) / NULLIF(n - n_null, 0), 6) AS fail_frac,
+        |  CASE WHEN n_null * 10 >= n * 9 THEN 'drop'
+        |       WHEN n_parse_fail * 10 <= (n - n_null) * 3 THEN 'coerce'
+        |       ELSE 'keep_raw' END AS verdict
+        |FROM t ORDER BY column_name""".stripMargin
   )
 
   /** Text-analysis block (SURVEY §2.D). Tokenization is mirrored as

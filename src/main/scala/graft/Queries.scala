@@ -49,6 +49,7 @@ object Queries {
     "q23_range_join"       -> (EventOps.q23RangeJoin _),
     "q24_rollup"           -> (EtlCore.q24Rollup _),
     "q25_salted_join"      -> (EtlCore.q25SaltedJoin _),
+    "q26_column_triage"    -> (EtlCore.q26ColumnTriage _),
     "t01_lang_id"          -> (TextAnalysis.t01LangId _),
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
@@ -117,6 +118,7 @@ object Queries {
     "q23_range_join"       -> Seq("event_id", "win_id"),
     "q24_rollup"           -> Seq("lvl", "returnflag", "linestatus"),
     "q25_salted_join"      -> Seq("event_type"),
+    "q26_column_triage"    -> Seq("column_name"),
     "t01_lang_id"          -> Seq("doc_id"),
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),

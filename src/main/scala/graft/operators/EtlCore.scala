@@ -316,4 +316,60 @@ object EtlCore {
         sum(col("n_orders")).as("sum_user_orders"),
         Parse.dsum(col("value")).as("sum_value"))
   }
+
+  /** q26: column triage — the reference's per-column try/except degrade
+    * posture (challenge.py:129-174: attempt a parse, drop the column and
+    * continue on failure) surfaced as DATA instead of control flow. One
+    * aggregation pass emits, per messy column, its null count, its
+    * parse-failure count against the column's target parser, and a
+    * verdict: 'drop' (>=90% null — q09's rule), 'coerce' (failures <=30%
+    * of non-null values: adopt the parsed column, nulling the stragglers,
+    * the reference's errors='coerce'), else 'keep_raw'. Verdicts compare
+    * RAW COUNTS (n_null·10 >= n·9, n_fail·10 <= n_nonnull·3) so no float
+    * threshold ever sits at a rounding boundary; the fractional rates are
+    * round(_,6) diagnostics only. Like q09 this is one scan regardless of
+    * column count, and the output is the decision table a pipeline
+    * applies as a projection (NullPrune.prune's pattern). */
+  def q26ColumnTriage(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val built = Tables.orders(s, d)
+      .withColumn("m", floor(col("o_totalprice")).cast("bigint"))
+      .select(
+        // ~25% unparseable ('N/A' arm) -> coerce
+        moneyString(col("m"), k).as("money"),
+        // all four shapes parse -> coerce with zero failures
+        when(k % 4 === 0, date_format(col("o_orderdate"), "MMMM d, yyyy"))
+          .when(k % 4 === 1, date_format(col("o_orderdate"), "yyyy/MM/dd"))
+          .when(k % 4 === 2, date_format(col("o_orderdate"), "MMMM yyyy"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy")).as("mdate"),
+        // 95% null -> drop before parseability is even considered
+        when(k % 20 === 0, date_format(col("o_orderdate"), "yyyy/MM/dd")).as("sparse"),
+        // '1-URGENT' etc: digits-then-dash defeats the runtime grammar
+        // deterministically -> 100% parse failure -> keep_raw
+        col("o_orderpriority").as("prio"))
+    val ok = Map[String, Column](
+      "money"  -> Parse.parseDollars(col("money")).isNotNull,
+      "mdate"  -> Parse.parseMultiDate(col("mdate")).isNotNull,
+      "sparse" -> Parse.parseMultiDate(col("sparse")).isNotNull,
+      "prio"   -> Parse.parseRuntime(col("prio")).isNotNull)
+    val cs = Seq("money", "mdate", "sparse", "prio")
+    val aggs = count(lit(1)).as("__n") +: cs.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      sum(when(col(c).isNotNull && !ok(c), 1L).otherwise(0L)).as(s"__nf_$c")))
+    built.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cs.map(c => struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nf_$c").as("n_parse_fail"))): _*)).as("c"))
+      .select(col("c.column_name").as("column_name"),
+        col("c.n_rows").as("n_rows"), col("c.n_null").as("n_null"),
+        col("c.n_parse_fail").as("n_parse_fail"),
+        round(col("c.n_null").cast("double") / col("c.n_rows"), 6).as("null_frac"),
+        round(col("c.n_parse_fail").cast("double") /
+          nullif(col("c.n_rows") - col("c.n_null"), lit(0L)), 6).as("fail_frac"),
+        when(col("c.n_null") * 10 >= col("c.n_rows") * 9, "drop")
+          .when(col("c.n_parse_fail") * 10 <= (col("c.n_rows") - col("c.n_null")) * 3, "coerce")
+          .otherwise("keep_raw").as("verdict"))
+  }
 }

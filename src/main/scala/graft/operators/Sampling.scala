@@ -201,16 +201,29 @@ object Sampling {
     val wt = (lit(1) +
       pmod(regexp_extract(col("source"), "(\\d+)$", 1).cast("int"), lit(3)))
       .cast("bigint")
-    // The W and T scalars ride unpartitioned windows over the counts
-    // frame — counts is distinct-source-sized (tiny by construction), so
-    // "move all rows to one partition" is free, and no scalar join ever
-    // enters the plan (a crossJoin here folds to the
-    // BroadcastNestedLoopJoin the catalog-wide plan audit bans).
-    val all = Window.partitionBy()
-    val rates = docs.groupBy("source")
-      .agg(count(lit(1)).as("n")).withColumn("wt", wt)
-      .withColumn("W", sum("wt").over(all))
-      .withColumn("T", min(expr("(n * W) DIV wt")).over(all))
+    // W and T are two scalars over the counts frame, which is
+    // distinct-source-sized (tiny by construction): one partial-aggregated
+    // count per source reaches the driver, W/T are folded there, and the
+    // rate table re-enters the plan as a LocalTableScan with W/T as
+    // literals. The rejected alternatives both poison the plan: an
+    // unpartitioned window emits a "Moving all data to a single
+    // partition" warning on every run, and a join-on-literal-key folds to
+    // the BroadcastNestedLoopJoin the catalog-wide audit bans
+    // (FoldablePropagation rewrites k=k to true). Driver-side state here
+    // is the same small-by-construction exception CLAUDE.md grants the
+    // k-means centroid loop.
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n")).withColumn("wt", wt)
+    val rows = counts.collect()
+    if (rows.isEmpty) return docs.select(col("doc_id"), col("source"))
+    val iN = counts.schema.fieldIndex("n")
+    val iW = counts.schema.fieldIndex("wt")
+    val w = rows.map(_.getLong(iW)).sum
+    val t = rows.map(r => r.getLong(iN) * w / r.getLong(iW)).min
+    val rates = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, counts.schema)
+        .withColumn("W", lit(w)).withColumn("T", lit(t))
+    }
     docs
       .join(broadcast(rates), "source")
       .filter(Text.hash60(col("doc_id").cast("string"), MixSeed).cast(dec)
