@@ -77,6 +77,85 @@ class DedupSpec extends SparkSpecBase {
     assert(rounds <= 10, s"expected O(log 63) ≈ 6-8 rounds, took $rounds")
   }
 
+  test("connectedComponents: giant component (50% of vertices) — log rounds, hub skew splits") {
+    import spark.implicits._
+    // The classic CC failure at scale is LABEL-hub skew: once half the
+    // graph carries one min-label, the path-compression join keys half
+    // its left side on a single value and a hash shuffle pins it to one
+    // reducer. The defense is AQE's skew-join split (a skewed reducer
+    // partition splits by mapper ranges; the unique-keyed right side is
+    // duplicated per split) — which triggers on BYTES thresholds sized
+    // for clusters. Scale those thresholds down to test size, disable
+    // auto-broadcast (at real scale the label frame exceeds it), and
+    // assert with a task-metrics listener that no task shuffle-reads a
+    // component-sized row count. Graph: 16k vertices in ONE component
+    // shaped as a binary tree (diameter ~26 — adversarial for hop-only
+    // propagation), 16k more in 2-vertex components.
+    val n = 1 << 15
+    val half = n / 2
+    val verts = spark.range(n).select(col("id"))
+    val treeEdges = (1 until half).map(i => (i.toLong, (i / 2).toLong))
+    val pairEdges = (half until n by 2).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (treeEdges ++ pairEdges).toDF("id_a", "id_b").repartition(32)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    val reads = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        reads.synchronized {
+          if (t.taskMetrics != null)
+            reads += ((t.stageId, t.taskMetrics.shuffleReadMetrics.recordsRead))
+        }
+    }
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    // parallelismFirst coalescing floors at minPartitionSize (1MB default
+    // — larger than this whole graph), so scale it with the other knobs.
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (labels, rounds) =
+        operators.Dedup.connectedComponentsWithRounds(verts, edges)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rounds <= 10, s"expected O(log 26) rounds, took $rounds")
+      for (i <- 0L until half.toLong)
+        assert(got(i) == 0L, s"tree vertex $i labeled ${got(i)}")
+      for (i <- half.toLong until n.toLong)
+        assert(got(i) == i - (i - half) % 2, s"pair vertex $i labeled ${got(i)}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach { case (k, v) => conf.set(k, v) }
+    }
+    // Listener events are async: wait until the buffer stabilizes.
+    var last = -1
+    var spins = 0
+    while (reads.synchronized(reads.size) != last && spins < 20) {
+      last = reads.synchronized(reads.size); spins += 1; Thread.sleep(250)
+    }
+    // No-straggler bound, per stage: any stage that shuffle-reads a
+    // graph-sized row count must spread it over tasks, with no task
+    // holding the lion's share. A pinned hub reducer fails BOTH clauses
+    // (measured: without the scaled AQE floors, every round's checkpoint
+    // stage runs 1 task × 98304 records; with them, 4+ tasks, max ~36%
+    // of the stage — label-0 visibly enlarges its task but splits stay
+    // effective).
+    val byStage = reads.synchronized(reads.toList).groupBy(_._1).values
+      .map(ts => (ts.size, ts.map(_._2).max, ts.map(_._2).sum))
+    assert(byStage.nonEmpty, "listener captured no tasks")
+    for ((nTasks, mx, tot) <- byStage if tot >= 20000) {
+      assert(nTasks >= 2, s"a $tot-record stage ran as a single task")
+      assert(mx * 10L <= tot * 6L,
+        s"one task read $mx of $tot records — hub label pinned a reducer")
+    }
+  }
+
   test("d06 catalog entry: labels are transitive over d03 pairs, keepers are minima") {
     val out = Queries.production("d06_dup_groups")(spark, sf001)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"),

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.StreamOps
+
+/** Checkpoint + mid-stream RESTART evidence for the streaming §2.F ops:
+  * the FileStreamSpec covers ingestion and late-data semantics in one
+  * query lifetime; this spec kills the query between micro-batches and
+  * resumes from the checkpoint, asserting the two exactly-once contracts
+  * a production restart depends on:
+  *
+  *  - source/sink exactly-once: files committed before the stop are
+  *    neither reprocessed nor re-emitted after resume (file-source
+  *    offsets + file-sink commit log, both in the checkpoint);
+  *  - state restore: dedup state (s03) and open window aggregation state
+  *    (s04) survive the restart — a duplicate arriving AFTER resume of a
+  *    key seen BEFORE the stop is still dropped, and a window spanning
+  *    the restart emits ONCE with the combined pre+post counts.
+  */
+class StreamRestartSpec extends SparkSpecBase {
+
+  private def publish(dir: String, name: String, lines: Seq[String]): Unit = {
+    val tmp = Paths.get(dir, s".$name.tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, Paths.get(dir, name))
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("s03 streaming dedup: restart restores dedup state and never re-emits") {
+    val in = tmp("graft-restart-in"); val chk = tmp("graft-restart-chk")
+    val out = tmp("graft-restart-out")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    def start() = spark.readStream.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("maxFilesPerTrigger", 1)
+      .json(in)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+
+    // Batch 0: events A, B, plus an in-batch duplicate of A (redelivery
+    // with a new event_id — the at-least-once shape s03 cleans up).
+    publish(in, "b0.json", Seq(
+      """{"event_id":1,"user_id":7,"event_type":"view","ts":"2024-06-01 00:10:00"}""",
+      """{"event_id":2,"user_id":8,"event_type":"click","ts":"2024-06-01 00:12:00"}""",
+      """{"event_id":91,"user_id":7,"event_type":"view","ts":"2024-06-01 00:10:00"}"""))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // Mid-stream restart. Batch 1 carries a duplicate of B — a key fully
+    // processed BEFORE the stop — plus a genuinely new event C. Only
+    // restored state can drop the B copy.
+    publish(in, "b1.json", Seq(
+      """{"event_id":92,"user_id":8,"event_type":"click","ts":"2024-06-01 00:12:00"}""",
+      """{"event_id":3,"user_id":9,"event_type":"view","ts":"2024-06-01 00:20:00"}"""))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.schema(schema).parquet(out).collect()
+    assert(rows.length == 3, s"expected exactly A,B,C once each, got ${rows.toSeq}")
+    val ids = rows.map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"survivors must be the first delivery of each key: $ids")
+  }
+
+  test("s04 streaming enrich: a window open across the restart emits once, fully counted") {
+    val in = tmp("graft-restart4-in"); val chk = tmp("graft-restart4-chk")
+    val out = tmp("graft-restart4-out")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("ts", TimestampType)))
+    import spark.implicits._
+    val profile = Seq((7L, "BUILDING")).toDF("user_id", "segment")
+    def start() = {
+      val stream = spark.readStream.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("maxFilesPerTrigger", 1)
+        .json(in)
+      StreamOps.enrichAggStream(stream, profile)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }
+
+    // Pre-restart: two events in the [00:00, 01:00) window — one matched
+    // by the profile dim, one dim-miss. Watermark (0s delay) reaches
+    // 00:20, so the window is still OPEN when the query stops.
+    publish(in, "b0.json", Seq(
+      """{"user_id":7,"event_type":"view","value":1.0,"ts":"2024-06-01 00:10:00"}""",
+      """{"user_id":999,"event_type":"view","value":5.0,"ts":"2024-06-01 00:20:00"}"""))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // Post-restart: a third on-time event lands in the SAME window (the
+    // restored aggregation state must absorb it), then two flush files
+    // push the watermark past the window end and force the append-mode
+    // emission (watermark advances off the PREVIOUS batch's max).
+    publish(in, "b1.json", Seq(
+      """{"user_id":7,"event_type":"view","value":2.0,"ts":"2024-06-01 00:30:00"}"""))
+    publish(in, "b2.json", Seq(
+      """{"user_id":7,"event_type":"flush","value":0.0,"ts":"2024-06-01 06:00:00"}"""))
+    publish(in, "b3.json", Seq(
+      """{"user_id":7,"event_type":"flush","value":0.0,"ts":"2024-06-01 06:00:01"}"""))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val t = spark.read.parquet(out).filter(col("event_type") === "view")
+    val bySeg = t.collect().map(r =>
+      r.getAs[String]("segment") -> (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    assert(t.count() == 2, s"one emission per segment, got ${t.collect().toSeq}")
+    // BUILDING: one pre-restart + one post-restart event — combined count
+    // proves the open-window state crossed the checkpoint boundary.
+    assert(bySeg("BUILDING") == ((2L, 3.0)), s"$bySeg")
+    assert(bySeg("UNKNOWN") == ((1L, 5.0)), s"$bySeg")
+  }
+}
