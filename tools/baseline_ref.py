@@ -121,6 +121,29 @@ def main(sf):
          if c / (len(sh[a]) + len(sh[b]) - c) >= 0.5]
     res["d02_ngram_jaccard"] = timed(d02)
 
+    def d08():
+        # containment pairs: same inverted index + df cutoff as d02, but
+        # scored as |A∩B| / min(|A|,|B|) — no length prefilter exists
+        d = pd.read_parquet(P("documents"))
+        sh = {}
+        for i, t in zip(d.doc_id, d.text):
+            toks = t.split()
+            sh[i] = {" ".join(toks[j:j+3]) for j in range(len(toks) - 2)}
+        inv = {}
+        for i, ss in sh.items():
+            for s in ss: inv.setdefault(s, []).append(i)
+        from collections import Counter
+        inter = Counter()
+        for ids in inv.values():
+            if len(ids) > 64:
+                continue
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    inter[(ids[x], ids[y])] += 1
+        [(a, b) for (a, b), c in inter.items()
+         if c / min(len(sh[a]), len(sh[b])) >= 0.85]
+    res["d08_containment"] = timed(d08)
+
     def t03():
         d = pd.read_parquet(P("documents"))
         toks = d.text.str.split()
@@ -142,6 +165,29 @@ def main(sf):
         d.text.map(fp)
     res["t04_fingerprint"] = timed(t04)
 
+    def t06():
+        # per-doc token/bigram repetition stats (top-count and duplicate
+        # fractions), Counter per row — the idiomatic pandas form
+        from collections import Counter
+        d = pd.read_parquet(P("documents"))
+        rows = []
+        for i, t in zip(d.doc_id, d.text):
+            toks = t.split()
+            tc = Counter(toks)
+            n = len(toks)
+            bc = Counter(zip(toks, toks[1:]))
+            bn = sum(bc.values())
+            rows.append((i, n,
+                         max(tc.values()) / n if n else 0.0,
+                         (n - len(tc)) / n if n else 0.0,
+                         bn,
+                         max(bc.values()) / bn if bn else 0.0,
+                         (bn - len(bc)) / bn if bn else 0.0))
+        pd.DataFrame(rows, columns=["doc_id", "n_tokens", "top_tok_frac",
+                                    "dup_tok_frac", "n_2grams",
+                                    "top_2gram_frac", "dup_2gram_frac"])
+    res["t06_repetition"] = timed(t06)
+
     def e01():
         e = pd.read_parquet(P("embeddings"))
         V = np.stack(e.embedding.to_numpy()).astype(np.float64)
@@ -150,6 +196,43 @@ def main(sf):
         sims = (Q @ V.T) / (np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(V, axis=1)[None, :])
         np.argsort(-np.round(sims, 6), axis=1)[:, :11]
     res["e01_knn_brute"] = timed(e01)
+
+    def e04():
+        # product-quantization ANN, numpy/BLAS form: per-subspace
+        # 16-centroid spherical k-means (2 Lloyd rounds on the same 25%
+        # md5-membership sample the engine trains on), encode + reconstruct,
+        # ADC scan of every query against reconstructions, 30-deep exact
+        # re-rank — the same work the e04 plan distributes
+        e = pd.read_parquet(P("embeddings"))
+        V = np.stack(e.embedding.to_numpy()).astype(np.float64)
+        ids = e.vec_id.to_numpy()
+        def cosm(A, B):
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            return An @ Bn.T
+        hv = np.array([int(hashlib.md5(f"23:{i}".encode()).hexdigest()[:15], 16) % 1000
+                       for i in ids])
+        train_mask = hv < 250
+        M, SD, K, ITERS = 4, 16, 16, 2
+        recon = np.empty_like(V)
+        for m in range(M):
+            S = V[:, m*SD:(m+1)*SD]
+            cent = S[ids < K].copy()
+            T = S[train_mask]
+            for _ in range(ITERS):
+                a = cosm(T, cent).argmax(1)
+                cent = np.stack([T[a == c].mean(0) if (a == c).any() else cent[c]
+                                 for c in range(len(cent))])
+            recon[:, m*SD:(m+1)*SD] = cent[cosm(S, cent).argmax(1)]
+        qmask = ids % 100 == 0
+        Q = V[qmask]; qids = ids[qmask]
+        adc = cosm(Q, recon)
+        adc[np.equal.outer(qids, ids)] = -np.inf
+        short = np.argpartition(-adc, 30, axis=1)[:, :30]
+        for qi in range(len(qids)):
+            s = cosm(Q[qi:qi+1], V[short[qi]])[0]
+            np.argsort(-np.round(s, 6))[:10]
+    res["e04_pq_ann"] = timed(e04)
 
     def s02():
         ev = pd.read_parquet(P("events"))
