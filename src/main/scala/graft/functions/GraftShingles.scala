@@ -151,3 +151,82 @@ object GraftNgrams {
     call_function("graft_ngrams", text, org.apache.spark.sql.functions.lit(k))
   }
 }
+
+/** Per-row k-gram occurrence statistics invoked from generated code:
+  * (n, top, distinct) = window count, max occurrence count of any one
+  * gram, distinct gram count — the whole input of the repetition /
+  * quality metrics, computed in ONE local hash pass over the row's own
+  * text. Counting is identical to exploding [[ShingleUtil.ngrams]] and
+  * aggregating by (doc, gram): same tokenizer (split "\\s+" limit -1),
+  * same windows, same join-by-space keys. */
+object GramStatsUtil {
+  def stats(text: UTF8String, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split("\\s+", -1)
+    if (toks.length < k)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L))
+    val n = toks.length - k + 1
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val key = sb.toString
+      val c = counts.merge(key, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, top.toLong, counts.size.toLong))
+  }
+}
+
+/** Native per-row gram statistics — turns the repetition/quality
+  * aggregations (t06/t07) into SHUFFLE-FREE projections: per-doc stats
+  * depend only on the doc's own text, so the explode → two-level
+  * HashAggregate shape (which shuffles every gram of the corpus) does
+  * work the row can do locally. Counting semantics are identical to the
+  * aggregate form (spec-asserted); at 100 TB this is the difference
+  * between a map-only pass and shuffling ~the corpus' token volume. */
+case class GramStats(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_gram_stats expects string, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("distinct", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_gram_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GramStatsUtil.stats(input.asInstanceOf[UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramStatsUtil.stats($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramStats =
+    copy(child = newChild)
+}
+
+object GramStats {
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_stats",
+      exprs => GramStats(exprs(0), ExprArgs.int(exprs(1))), "built-in")
+
+  /** Column-API entry. */
+  def apply(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_gram_stats", text, org.apache.spark.sql.functions.lit(k))
+  }
+}

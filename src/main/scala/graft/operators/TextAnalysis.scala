@@ -148,8 +148,40 @@ object TextAnalysis {
     repetitionMetrics(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
 
   /** [[t06Repetition]] over any (doc_id, text) frame — split out so the
-    * spec can feed docs with known repetition structure. */
+    * spec can feed docs with known repetition structure.
+    *
+    * SHUFFLE-FREE form (round 7): per-doc gram stats depend only on the
+    * doc's own text, so the former explode → (doc, gram) → (doc)
+    * double-aggregate — which shuffled ~every token and bigram of the
+    * corpus — is replaced by the native [[graft.functions.GramStats]]
+    * projection (one local hash pass per row inside whole-stage
+    * codegen). Counting semantics are identical (TextFunSpec asserts
+    * equality against the aggregate form); output columns unchanged, so
+    * the oracle SQL (which keeps the relational shape) still mirrors. */
   def repetitionMetrics(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.functions.GramStats
+    docs
+      .select(col("doc_id"),
+        GramStats(s, col("text"), 1).as("t"), GramStats(s, col("text"), 2).as("b"))
+      .select(col("doc_id"),
+        col("t.n").as("n_tokens"),
+        round(col("t.top").cast("double") / col("t.n"), 6).as("top_tok_frac"),
+        round((col("t.n") - col("t.distinct")).cast("double") / col("t.n"), 6)
+          .as("dup_tok_frac"),
+        col("b.n").as("n_2grams"),
+        when(col("b.n") === 0L, lit(0.0))
+          .otherwise(round(col("b.top").cast("double") / col("b.n"), 6))
+          .as("top_2gram_frac"),
+        when(col("b.n") === 0L, lit(0.0))
+          .otherwise(round((col("b.n") - col("b.distinct")).cast("double") / col("b.n"), 6))
+          .as("dup_2gram_frac"))
+  }
+
+  /** The pre-round-7 aggregate form of [[repetitionMetrics]] — explode →
+    * (doc, gram) counts → per-doc aggregate. Kept ONLY as the parity
+    * cross-check for the GramStats projection (TextFunSpec); shuffles
+    * the corpus' full gram volume, so never cataloged. */
+  def repetitionMetricsAgg(s: SparkSession, docs: DataFrame): DataFrame = {
     def stats(k: Int, pfx: String): DataFrame = docs
       .select(col("doc_id"), explode(graft.functions.GraftNgrams(s, col("text"), k)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
@@ -186,13 +218,16 @@ object TextAnalysis {
     qualityFilter(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
 
   /** [[t07QualityFilter]] over any (doc_id, text) frame — split out so
-    * the spec can feed docs engineered to trip each rule alone. */
+    * the spec can feed docs engineered to trip each rule alone.
+    * Same round-7 shuffle-free rewrite as t06: the per-doc (n, top,
+    * distinct) triple comes from one [[graft.functions.GramStats]]
+    * projection instead of shuffling every token; the integer gate
+    * rules are unchanged. */
   def qualityFilter(s: SparkSession, docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(graft.functions.GraftNgrams(s, col("text"), 1)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n"), max("c").as("top"), count(lit(1)).as("dist"))
+      .select(col("doc_id"), graft.functions.GramStats(s, col("text"), 1).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.top").as("top"),
+        col("t.distinct").as("dist"))
       .select(col("doc_id"), col("n").as("n_tokens"),
         col("dist").as("n_distinct"), col("top").as("top_count"),
         (col("n") < MinTokens).as("too_short"),

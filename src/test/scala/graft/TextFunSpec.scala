@@ -150,6 +150,20 @@ class TextFunSpec extends SparkSpecBase {
     assert(got(4L) == ((6L, 0.5, 0.666667, 5L, 0.6, 0.6)))
   }
 
+  test("GramStats projection equals the aggregate form on the real corpus") {
+    // The shuffle-free t06 (native per-row hash pass) must reproduce the
+    // relational explode → double-aggregate form value-for-value — on
+    // real documents, not just fixtures (row order canonicalized).
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val a = graft.operators.TextAnalysis.repetitionMetrics(spark, docs)
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.operators.TextAnalysis.repetitionMetricsAgg(spark, docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("t07 quality rules each trip on their engineered doc, clean doc keeps") {
     import spark.implicits._
     val docs = Seq(
