@@ -823,7 +823,7 @@ object Oracles {
   val eventsAndMedia: Map[String, String] = Map(
     "m01_multimodal_meta" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 125 ELSE 89 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 125 ELSE 103 END AS BIGINT) AS n_bytes,
         |  CAST(64 + doc_id % 1920 AS BIGINT) AS width,
         |  CAST(64 + n_chars % 1080 AS BIGINT) AS height,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
@@ -852,7 +852,9 @@ object Oracles {
         |  SELECT doc_id, 5, 'SOF0', 15, 87 + h//256 + h%256 + w//256 + w%256, TRUE
         |  FROM base WHERE doc_id % 2 = 1
         |  UNION ALL
-        |  SELECT doc_id, 6, 'EOI', 0, 0, FALSE FROM base WHERE doc_id % 2 = 1)
+        |  SELECT doc_id, 6, 'SOS', 10, 106, FALSE FROM base WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 7, 'EOI', 0, 0, FALSE FROM base WHERE doc_id % 2 = 1)
         |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, marker,
         |  CAST(seg_len AS BIGINT) AS seg_len, CAST(checksum AS BIGINT) AS checksum,
         |  is_keyframe

@@ -98,6 +98,7 @@ object Multimodal {
       case 0xfe => "COM"
       case 0xc0 => "SOF0"
       case 0xc2 => "SOF2"
+      case 0xda => "SOS"
       case 0xd9 => "EOI"
       case x => f"M$x%02X"
     }
@@ -200,7 +201,9 @@ object Multimodal {
     * real big-endian dims, [[MetaSegments]] tEXt chunks carrying 8 data
     * bytes each, IEND (CRC bytes are fixed filler — structure parsers
     * don't checksum). Odd doc_ids a baseline JPEG — SOI, JFIF APP0,
-    * [[MetaSegments]] COM segments, SOF0 with real dims, EOI. Byte-valid
+    * [[MetaSegments]] COM segments, SOF0 with real dims, a minimal SOS
+    * scan header, EOI (strict readers require the SOS for the stream to
+    * be structurally complete — javax.imageio verifies it). Byte-valid
     * container files: [[HeaderDecode]]/[[SegmentWalk]] do no
     * generation-specific shortcuts. */
   private def payloadCol = {
@@ -221,8 +224,16 @@ object Multimodal {
       ) ++ jpegComs ++ Seq(
         unhex(lit("FFC0001108")), be2(heightCol), be2(widthCol),
         unhex(lit("03012200021101031101")),               // 3 components
+        // minimal SOS (3-component scan header, no entropy data):
+        // without it strict readers (javax.imageio) reject the stream
+        // as structurally invalid before even reporting dimensions
+        unhex(lit("FFDA000C03010002110311003F00")),
         unhex(lit("FFD9"))): _*))                         // EOI
   }
+
+  /** The (doc_id, payload) frame m01 decodes — exposed for specs/probes. */
+  def m01Payloads(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), payloadCol.as("payload"))
 
   /** m01: attach a binary media payload and decode its metadata from the
     * container header bytes. */
@@ -235,6 +246,56 @@ object Multimodal {
         // A real integration opens the codec once here, then streams rows.
         it.map { r =>
           val (w, h, fmt) = HeaderDecode.decode(r.payload)
+          MediaMeta(r.doc_id, r.payload.length.toLong, w, h, fmt)
+        }
+      }
+      .toDF()
+  }
+
+  /** Real-codec decode via javax.imageio — the JDK's actual PNG/JPEG
+    * readers, no synthetic shortcuts. Returns (width, height, format)
+    * with the same permissive (0, 0, "unknown") posture as
+    * [[HeaderDecode]]. One ImageInputStream + reader per payload,
+    * disposed deterministically; `ImageIO.setUseCache(false)` is the
+    * per-partition handle step (no temp-file cache on executors). */
+  object ImageIoDecode {
+    def decode(b: Array[Byte]): (Long, Long, String) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val rs = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!rs.hasNext) return (0L, 0L, "unknown")
+        val r = rs.next()
+        try {
+          r.setInput(iis, true, true)
+          val fmt = r.getFormatName.toLowerCase match {
+            case "jpeg" | "jpg" => "jpeg"
+            case f => f
+          }
+          (r.getWidth(0).toLong, r.getHeight(0).toLong, fmt)
+        } finally r.dispose()
+      } catch { case _: Exception => (0L, 0L, "unknown") }
+      finally iis.close()
+    }
+  }
+
+  /** OPT-IN real-codec m01: identical plan shape to [[m01MultimodalMeta]]
+    * but the decode step is [[ImageIoDecode]] (the JDK's registered
+    * PNG/JPEG plugins) behind the same per-partition handle — the wiring
+    * a production codec integration drops into. NOT cataloged: the
+    * header walk is the production default (no codec dependency, no
+    * pixel work); this variant exists to prove the handle shape carries
+    * a real library, spec-compared to HeaderDecode on the synthetic
+    * corpus (MultimodalSpec). */
+  def m01MultimodalMetaImageIo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), payloadCol.as("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        it.map { r =>
+          val (w, h, fmt) = ImageIoDecode.decode(r.payload)
           MediaMeta(r.doc_id, r.payload.length.toLong, w, h, fmt)
         }
       }

@@ -72,6 +72,20 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.filter(col("format") === "jpeg").count() > 0)
   }
 
+  test("opt-in imageio decode agrees with the header walk on the whole corpus") {
+    // The per-partition handle must carry a REAL codec library: the JDK's
+    // registered PNG/JPEG readers parse the same synthetic payloads (they
+    // are byte-valid containers) and must report identical
+    // (doc_id, n_bytes, width, height, format) rows.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1).toSeq
+    val header = rows(operators.Multimodal.m01MultimodalMeta(spark, sf001))
+    val imageio = rows(operators.Multimodal.m01MultimodalMetaImageIo(spark, sf001))
+    assert(header.nonEmpty)
+    assert(imageio == header)
+  }
+
   private def le4(v: Long): Array[Byte] =
     Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
   private def le2(v: Long): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
