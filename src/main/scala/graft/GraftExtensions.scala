@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, ExprArgs, GraftShingles, RhpBucket, TopKByScore}
+import graft.functions.{CosineSimilarity, ExprArgs, GraftNgrams, GraftShingles, GramStats, RhpBucket, TopKByScore}
 
 /** `spark.sql.extensions=graft.GraftExtensions` registration path for
   * every native graft expression. */
@@ -29,6 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKByScore(exprs(0),
+        ExprArgs.int(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[GraftNgrams].getName, "graft_ngrams"),
+      (exprs: Seq[Expression]) => GraftNgrams(exprs(0),
+        ExprArgs.int(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_stats"),
+      new ExpressionInfo(classOf[GramStats].getName, "graft_gram_stats"),
+      (exprs: Seq[Expression]) => GramStats(exprs(0),
         ExprArgs.int(exprs(1)))))
   }
 }

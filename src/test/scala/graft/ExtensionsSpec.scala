@@ -29,6 +29,12 @@ class ExtensionsSpec extends SparkSpecBase {
           |FROM VALUES (1), (5), (3), (4) AS tab(v)
           |""".stripMargin).collect()(0).getSeq[org.apache.spark.sql.Row](0)
       assert(top.map(_.getLong(1)) == Seq(5L, 4L))
+      val ng = s2.sql("SELECT graft_ngrams('a b a b', 2) AS g")
+        .collect()(0).getSeq[String](0)
+      assert(ng == Seq("a b", "b a", "a b"))
+      val gs = s2.sql("SELECT graft_gram_stats('a b a b', 2) AS s")
+        .collect()(0).getStruct(0)
+      assert((gs.getLong(0), gs.getLong(1), gs.getLong(2)) == ((3L, 2L, 2L)))
     } finally {
       // do NOT stop s2 — it shares the JVM's SparkContext with the other
       // suites; just restore the shared session handles
