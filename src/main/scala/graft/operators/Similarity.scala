@@ -476,17 +476,34 @@ object Similarity {
   def e05IvfPq(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val centroids = kmeansCentroids(s, e)
-    val cells = kmeansAssign(centroids, e)
+    e05FromIndex(s, e, centroids, e05Index(s, e, centroids))
+  }
+
+  /** The PERSISTABLE IVF×PQ index: (cell, c_id, recon) — every corpus
+    * vector's PQ reconstruction co-keyed with its IVF cell. At 100 TB
+    * this frame is written ONCE, `partitionBy("cell")`, and every query
+    * session reads it back with the probe filter pushed down to
+    * partition pruning (a query touches probe/cells of the files on
+    * disk — IndexPersistSpec asserts the pruning on a real round-trip).
+    * Deterministic given `centroids`, so a persisted index and an
+    * in-query one are bit-identical. */
+  def e05Index(s: SparkSession, e: DataFrame, centroids: DataFrame): DataFrame =
+    pqRecon(s, e)
+      .join(kmeansAssign(centroids, e).withColumnRenamed("vec_id", "c_id"), "c_id")
+      .select(col("cell"), col("c_id"), col("recon"))
+
+  /** The QUERY half of e05, against any (cell, c_id, recon) index frame
+    * — in-query (the catalog entry) or read back from parquet (the
+    * deployment shape). The (q_id, cell, qv) probe frame is
+    * broadcast-small (n_queries × Probe rows), so the ADC scan is a
+    * map-side pass over the cell-pruned index; only the
+    * [[PqShortlist]]-deep shortlist touches real vectors. */
+  def e05FromIndex(s: SparkSession, e: DataFrame, centroids: DataFrame,
+                   index: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val probed = probedCells(s, q, centroids)
-    // PQ index co-partitioned with the IVF assignment: (cell, c_id, recon).
-    val indexed = pqRecon(s, e)
-      .join(cells.withColumnRenamed("vec_id", "c_id"), "c_id")
-    // ADC scan restricted to probed cells: the (q_id, cell, qv) probe
-    // frame is broadcast-small (n_queries × Probe rows), so the scan is
-    // a map-side pass over the cell-pruned recon frame.
-    val adc = broadcast(probed.join(q, "q_id")).join(indexed, Seq("cell"))
+    val adc = broadcast(probed.join(q, "q_id")).join(index, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("recon")).as("adc"))
     val short = adc.groupBy("q_id")

@@ -71,6 +71,70 @@ class StreamRestartSpec extends SparkSpecBase {
       s"survivors must be the first delivery of each key: $ids")
   }
 
+  test("s02 streaming sessionize: flatMapGroupsWithState state survives the restart") {
+    // The hardest restart case: CUSTOM GroupState. A session left open at
+    // the stop must resume from the restored state — the post-restart
+    // event lands within the gap and must extend the SAME session (same
+    // sess_no, combined count/sum), and the later event must close it.
+    val in = tmp("graft-restart2-in"); val chk = tmp("graft-restart2-chk")
+    val out = tmp("graft-restart2-out")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    import spark.implicits._
+    def start() = {
+      val stream = spark.readStream.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("maxFilesPerTrigger", 1)
+        .json(in)
+        .as[graft.streaming.SessEvent]
+      StreamOps.sessionizeStream(stream)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }
+    val T0 = 1717200000000000L // 2024-06-01 00:00:00 UTC in micros
+    def ev(id: Long, offMin: Long, v: Double): String = {
+      val us = T0 + offMin * 60000000L
+      val mins = offMin % 60; val hrs = offMin / 60
+      f"""{"user_id":7,"event_id":$id,"ts_us":$us,"value":$v,"ts":"2024-06-01 $hrs%02d:$mins%02d:00"}"""
+    }
+    // Session 1 opens with two events 10 min apart, then the query stops
+    // with the session still open (gap is 30 min).
+    publish(in, "b0.json", Seq(ev(1, 0, 1.0), ev(2, 10, 2.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // After restart: +30 min extends session 1 (within gap of the
+    // restored lastUs); +150 min is past the gap, closing session 1 and
+    // opening session 2; two far events close the chain behind them.
+    // Each file is processed in its own micro-batch IN ORDER (publish
+    // while running + processAllAvailable between — same-mtime files
+    // published up front can be listed out of order, and a later file
+    // advancing the watermark first would drop the earlier one as late).
+    val q2 = start()
+    try {
+      publish(in, "b1.json", Seq(ev(3, 30, 4.0)))
+      q2.processAllAvailable()
+      publish(in, "b2.json", Seq(ev(4, 150, 8.0)))
+      q2.processAllAvailable()
+      publish(in, "b3.json", Seq(ev(5, 600, 0.0)))
+      q2.processAllAvailable()
+      publish(in, "b4.json", Seq(ev(6, 1200, 0.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val sess = spark.read.parquet(out)
+      .filter(col("user_id") === 7L).collect()
+      .map(r => r.getAs[Long]("sess_no") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    // Session 1 = events 1,2 (pre-restart) + 3 (post-restart): only the
+    // restored state can produce n_events=3 / sum=7.0 in one session.
+    assert(sess.get(1L).contains((3L, 7.0)), s"restored session wrong: $sess")
+    assert(sess.get(2L).contains((1L, 8.0)), s"follow-on session wrong: $sess")
+    assert(sess.get(3L).contains((1L, 0.0)), s"chain-close wrong: $sess")
+  }
+
   test("s04 streaming enrich: a window open across the restart emits once, fully counted") {
     val in = tmp("graft-restart4-in"); val chk = tmp("graft-restart4-chk")
     val out = tmp("graft-restart4-out")
