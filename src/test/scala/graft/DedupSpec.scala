@@ -212,6 +212,34 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L) == ((0L, 0L, false)))
   }
 
+  test("d07 with a realistically tiny benchmark: the gram join broadcasts") {
+    // The scaladoc's scale claim, asserted at the plan level: a REAL
+    // eval suite is MBs against a TB corpus, so the gram-hash join's
+    // build side must broadcast and the whole check become one map-side
+    // pass over the training grams — no corpus shuffle. Here 2 bench
+    // docs against the sf0.001 corpus: AQE (or static planning) must
+    // pick a broadcast join for the bench side.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), lit(false).as("is_bench"))
+    val span = (1 to 8).map(i => s"tinybench$i").mkString(" ")
+    val bench = Seq((900001L, s"eval item one $span", true),
+      (900002L, "eval item two entirely distinct", true))
+      .toDF("doc_id", "text", "is_bench")
+    val out = operators.Dedup.decontaminate(spark, corpus.unionByName(bench))
+    out.write.format("noop").mode("overwrite").save() // finalize AQE
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val ops = flatten(out.queryExecution.executedPlan)
+    assert(ops.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "tiny benchmark side must broadcast into the gram join")
+  }
+
   test("d08: containment catches a short doc embedded in a long one that Jaccard misses") {
     import spark.implicits._
     val quote = "alpha beta gamma delta epsilon zeta"       // 6 tokens → 4 3-grams

@@ -71,6 +71,50 @@ class StreamRestartSpec extends SparkSpecBase {
       s"survivors must be the first delivery of each key: $ids")
   }
 
+  test("s03 restart semantics hold on the RocksDB state store (the 100 TB backend)") {
+    // The default HDFS-backed state store keeps all state on the heap —
+    // fine for tests, not for a corpus-scale dedup horizon. RocksDB is
+    // the backend a large deployment runs; the exactly-once + restore
+    // contract must be provider-independent. Fresh checkpoint (provider
+    // is fixed at first start), provider conf restored afterwards.
+    val in = tmp("graft-rocks-in"); val chk = tmp("graft-rocks-chk")
+    val out = tmp("graft-rocks-out")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def start() = spark.readStream.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("maxFilesPerTrigger", 1)
+        .json(in)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+      publish(in, "b0.json", Seq(
+        """{"event_id":1,"user_id":7,"event_type":"view","ts":"2024-06-01 00:10:00"}""",
+        """{"event_id":91,"user_id":7,"event_type":"view","ts":"2024-06-01 00:10:00"}"""))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      publish(in, "b1.json", Seq(
+        """{"event_id":92,"user_id":7,"event_type":"view","ts":"2024-06-01 00:10:00"}""",
+        """{"event_id":2,"user_id":9,"event_type":"view","ts":"2024-06-01 00:20:00"}"""))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val ids = spark.read.schema(schema).parquet(out).collect()
+        .map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(ids == Seq(1L, 2L),
+        s"RocksDB-backed dedup state must survive the restart: $ids")
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("s02 streaming sessionize: flatMapGroupsWithState state survives the restart") {
     // The hardest restart case: CUSTOM GroupState. A session left open at
     // the stop must resume from the restored state — the post-restart
