@@ -23,6 +23,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("o_comment"), "column pruning must drop o_comment")
   }
 
+  test("q26: one pruned scan feeds the whole triage") {
+    // Column pruning: the scan reads exactly the four columns the four
+    // triage targets derive from; and the frame is scanned ONCE — the
+    // per-column stats are one aggregation, not a pass per column.
+    val p = Queries.production("q26_column_triage")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("o_custkey") && !p.contains("o_orderstatus"),
+      "untouched orders columns must be pruned from the scan")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"triage must scan orders once, plan:\n${p.take(1500)}")
+  }
+
   test("production emitters carry no global Sort (ordering is verify-only)") {
     for (q <- Seq("q07_parse_dollars", "q08_multi_date", "q16_type_coercion",
         "q18_runtime_parse")) {
