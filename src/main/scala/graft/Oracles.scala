@@ -659,7 +659,7 @@ object Oracles {
          |  FROM embeddings JOIN m$n USING (vec_id), range(1, 65) t(i)
          |  GROUP BY cell, i),
          |cent$n AS (SELECT cell, list(c ORDER BY i) AS cv FROM comp$n GROUP BY cell)""".stripMargin
-    import graft.operators.Similarity.{KmeansCells, KmeansIters, KmeansSampleSeed, KmeansTrainPermille}
+    import graft.operators.Similarity.{KmeansCells, KmeansIters, KmeansSampleSeed, KmeansTrainPermille, Probe}
     val lloyd = (1 to KmeansIters).map(n =>
       assignCte(n, s"cent${n - 1}", "trainset") + ",\n" + updateCte(n)).mkString(",\n")
     // e04 per-subspace mirrors: the SAME Lloyd shape as e03, run on each
@@ -726,7 +726,7 @@ object Oracles {
            |    SELECT q.q_id, c.cell,
            |      ROW_NUMBER() OVER (PARTITION BY q.q_id
            |        ORDER BY ROUND(${cosRaw("q.qv", "c.cv")}, 6) DESC, c.cell) AS rr
-           |    FROM q, cent$KmeansIters c) WHERE rr <= 3),
+           |    FROM q, cent$KmeansIters c) WHERE rr <= $Probe),
            |adc AS (SELECT p.q_id, r.vec_id AS c_id,
            |    ROUND(${cosRawN("q.qv", "r.recon", 64)}, 6) AS adc
            |  FROM probed p JOIN q USING (q_id)
@@ -775,7 +775,7 @@ object Oracles {
            |    SELECT q.q_id, c.cell,
            |      ROW_NUMBER() OVER (PARTITION BY q.q_id
            |        ORDER BY ROUND(${cosRaw("q.qv", "c.cv")}, 6) DESC, c.cell) AS rr
-           |    FROM q, cent$KmeansIters c) WHERE rr <= 3),
+           |    FROM q, cent$KmeansIters c) WHERE rr <= $Probe),
            |scored AS (
            |  SELECT p.q_id, c.vec_id AS c_id,
            |    ROUND($cosQC, 6) AS cosine
@@ -977,7 +977,7 @@ object Oracles {
       import graft.operators.Sampling.MixSeed
       s"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
          |cw AS (SELECT source, n,
-         |    CAST(1 + (CAST(regexp_extract(source, '(\\d+)$$', 1) AS INT) % 3) AS BIGINT) AS wt
+         |    CAST(1 + (COALESCE(try_cast(regexp_extract(source, '(\\d+)$$', 1) AS INT), 0) % 3) AS BIGINT) AS wt
          |  FROM c),
          |tw AS (SELECT SUM(wt) AS W FROM cw),
          |tt AS (SELECT MIN((n * W) // wt) AS T FROM cw, tw)

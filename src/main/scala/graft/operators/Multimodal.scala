@@ -260,8 +260,12 @@ object Multimodal {
     * per-partition handle step (no temp-file cache on executors). */
   object ImageIoDecode {
     def decode(b: Array[Byte]): (Long, Long, String) = {
+      // createImageInputStream returns null when no SPI accepts the
+      // stream — guard both the use and the close, or the finally NPEs
+      // past the permissive contract.
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(b))
+      if (iis == null) return (0L, 0L, "unknown")
       try {
         val rs = javax.imageio.ImageIO.getImageReaders(iis)
         if (!rs.hasNext) return (0L, 0L, "unknown")

@@ -198,9 +198,13 @@ object Sampling {
     * can verify composition against hand-computable corpora. */
   def sourceMix(s: SparkSession, docs: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
+    // A source with no trailing digits extracts "" → null int; coalesce
+    // to 0 (wt = 1) so the driver-side getLong fold below can never NPE
+    // — the old in-plan window form silently propagated the null, the
+    // collect form must define it instead. Oracle mirrors via try_cast.
     val wt = (lit(1) +
-      pmod(regexp_extract(col("source"), "(\\d+)$", 1).cast("int"), lit(3)))
-      .cast("bigint")
+      pmod(coalesce(regexp_extract(col("source"), "(\\d+)$", 1).cast("int"), lit(0)),
+        lit(3))).cast("bigint")
     // W and T are two scalars over the counts frame, which is
     // distinct-source-sized (tiny by construction): one partial-aggregated
     // count per source reaches the driver, W/T are folded there, and the

@@ -248,7 +248,7 @@ object Similarity {
     * probe the top-`Probe` nearest cells per query. */
   val KmeansCells = 16
   val KmeansIters = 2
-  private val Probe = 3
+  val Probe = 3
 
   /** Quantizer TRAINING sample: deterministic md5-membership (the same
     * machinery as x01) keeping ~1/4 of the corpus — real IVF trains its

@@ -161,6 +161,11 @@ object TextAnalysis {
   def repetitionMetrics(s: SparkSession, docs: DataFrame): DataFrame = {
     import graft.functions.GramStats
     docs
+      // Null text: the aggregate form drops the doc entirely (explode of
+      // a null gram array emits no rows); mirror that here instead of
+      // null-propagating through GramStats, so both forms agree on ALL
+      // inputs, not just null-free corpora.
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         GramStats(s, col("text"), 1).as("t"), GramStats(s, col("text"), 2).as("b"))
       .select(col("doc_id"),

@@ -130,14 +130,17 @@ class DedupSpec extends SparkSpecBase {
       for (i <- half.toLong until n.toLong)
         assert(got(i) == i - (i - half) % 2, s"pair vertex $i labeled ${got(i)}")
     } finally {
+      // Listener events are async: drain (buffer-stabilization wait)
+      // BEFORE removing the listener — removal permanently drops any
+      // task-end events still queued on the bus, and the per-stage skew
+      // assertions below need the complete sample.
+      var last = -1
+      var spins = 0
+      while (reads.synchronized(reads.size) != last && spins < 20) {
+        last = reads.synchronized(reads.size); spins += 1; Thread.sleep(250)
+      }
       spark.sparkContext.removeSparkListener(listener)
       saved.foreach { case (k, v) => conf.set(k, v) }
-    }
-    // Listener events are async: wait until the buffer stabilizes.
-    var last = -1
-    var spins = 0
-    while (reads.synchronized(reads.size) != last && spins < 20) {
-      last = reads.synchronized(reads.size); spins += 1; Thread.sleep(250)
     }
     // No-straggler bound, per stage: any stage that shuffle-reads a
     // graph-sized row count must spread it over tasks, with no task

@@ -143,4 +143,17 @@ class SamplingSpec extends SparkSpecBase {
     val n = full.count()
     assert(n > 0 && n < Tables.documents(spark, sf001).count())
   }
+
+  test("x06: a source name with no trailing digits defaults to wt=1 instead of NPE") {
+    import spark.implicits._
+    // regexp_extract misses -> null int; the driver-side fold must see a
+    // defined weight (coalesce to 0 -> wt 1), not throw on getLong.
+    val docs = ((0 until 40).map(i => (i.toLong, "web")) ++
+      (40 until 50).map(i => (i.toLong, "src1"))).toDF("doc_id", "source")
+    val kept = Sampling.sourceMix(spark, docs).collect()
+    assert(kept.nonEmpty)
+    // wt("web") = 1, n=40; wt("src1") = 2, n=10 -> W=3, T=min(120,15)=15;
+    // src1 binds and is kept whole.
+    assert(kept.count(_.getString(1) == "src1") == 10)
+  }
 }

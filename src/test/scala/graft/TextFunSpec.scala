@@ -154,14 +154,20 @@ class TextFunSpec extends SparkSpecBase {
     // The shuffle-free t06 (native per-row hash pass) must reproduce the
     // relational explode → double-aggregate form value-for-value — on
     // real documents, not just fixtures (row order canonicalized).
+    // Null text included deliberately: the aggregate form drops the doc
+    // (explode emits nothing), and the projection form must agree rather
+    // than null-propagate a row of null metrics.
     val docs = Tables.documents(spark, sf001)
       .select(col("doc_id"), col("text"))
+      .unionByName(Seq((-1L, null: String), (-2L, "a b a"))
+        .toDF("doc_id", "text"))
     val a = graft.operators.TextAnalysis.repetitionMetrics(spark, docs)
       .orderBy("doc_id").collect().toSeq
     val b = graft.operators.TextAnalysis.repetitionMetricsAgg(spark, docs)
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
     assert(a.nonEmpty)
+    assert(!a.exists(_.getLong(0) == -1L)) // null-text doc dropped by both
   }
 
   test("t07 quality rules each trip on their engineered doc, clean doc keeps") {
