@@ -66,6 +66,72 @@ class SkewSpec extends SparkSpecBase {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("saltedJoin measurably spreads the hot key where the plain join pins one reducer") {
+    // Runtime evidence for the q25 claim, same SparkListener pattern as
+    // the d06 giant-component spec: shuffle-read records per task. One
+    // key holds 90% of a 200k-row left side; under the PLAIN join its
+    // composite hash lands every hot row on a single reducer task, while
+    // the SALTED join's (key, salt) composite spreads them over ~buckets
+    // tasks. AQE skew-join is left at default thresholds (256MB — far
+    // above this fixture), so nothing splits the plain hot partition for
+    // us; the coalescing floors are scaled to the fixture as in DedupSpec.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val left = spark.range(0, 200000).select(
+      when(col("id") % 10 < 9, lit("hot"))
+        .otherwise(concat(lit("k"), col("id"))).as("key"),
+      col("id").as("row_id"))
+    val right = (Seq(("hot", 1.0)) ++
+      (0 until 50).map(i => (s"k${i * 10 + 9}", 2.0))).toDF("key", "w")
+
+    def measure(df: org.apache.spark.sql.DataFrame): List[(Int, Long)] = {
+      val reads = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          reads.synchronized {
+            if (t.taskMetrics != null)
+              reads += ((t.stageId, t.taskMetrics.shuffleReadMetrics.recordsRead))
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try df.write.format("noop").mode("overwrite").save()
+      finally {
+        var last = -1
+        var spins = 0
+        while (reads.synchronized(reads.size) != last && spins < 20) {
+          last = reads.synchronized(reads.size); spins += 1; Thread.sleep(250)
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      reads.synchronized(reads.toList)
+    }
+
+    try {
+      // join-sized stages = those shuffle-reading at least the left rows
+      def joinStages(reads: List[(Int, Long)]) = reads.groupBy(_._1).values
+        .map(ts => (ts.size, ts.map(_._2).max, ts.map(_._2).sum))
+        .filter(_._3 >= 150000L).toList
+      val plain = joinStages(measure(left.join(right, "key")))
+      assert(plain.nonEmpty, "plain join produced no join-sized stage")
+      assert(plain.exists { case (_, mx, tot) => mx * 10L >= tot * 7L },
+        s"fixture failed to pin a reducer under the plain join: $plain")
+      val salted = joinStages(measure(
+        Skew.saltedJoin(left, right, "key", col("row_id"), 8)))
+      assert(salted.nonEmpty, "salted join produced no join-sized stage")
+      for ((nTasks, mx, tot) <- salted) {
+        assert(nTasks >= 4, s"salted hot key still ran in $nTasks task(s)")
+        assert(mx * 2L <= tot,
+          s"one salted task read $mx of $tot records — hot key not spread")
+      }
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("q25: salted catalog plan equals the plain unsalted join aggregate") {
     import org.apache.spark.sql.functions._
     val salted = Queries.production("q25_salted_join")(spark, sf001).collect()
