@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{MapType, StringType}
 import graft.Tables
@@ -25,6 +25,34 @@ object Reshape {
     l.join(r, Seq(key), how)
   }
 
+  /** The reference's alternate-title key inventory (challenge.py:51-58):
+    * every language/romanization key observed in the wiki-movies corpus,
+    * plus the generic alt-title spellings q20's synthetic input uses. A
+    * ragged record holds AT MOST a few of these; the fold collapses
+    * whichever are present into one canonical value. */
+  val AltTitleKeys: Seq[String] = Seq(
+    "also_known_as", "alternate_title", "working_title",
+    "Also known as", "Arabic", "Cantonese", "Chinese", "French", "Hangul",
+    "Hebrew", "Hepburn", "Japanese", "Literally", "Mandarin",
+    "McCune-Reischauer", "Original title", "Polish",
+    "Revised Romanization", "Romanized", "Russian", "Simplified",
+    "Traditional", "Yiddish")
+
+  /** Ragged JSON record string → string map. The map type is the right
+    * Spark shape for ragged keys at scale: schema inference over 100 TB
+    * of JSON would union EVERY key ever seen into a wide sparse struct
+    * (and demand a second pass to discover it); a map keeps the scan
+    * single-pass, schema-free, and column-pruned down to the keys the
+    * query actually extracts. */
+  def raggedToMap(raw: Column): Column =
+    from_json(raw, MapType(StringType, StringType))
+
+  /** Alt-title fold over a consolidated map (challenge.py:45-58): first
+    * present key in canonical order wins. Purely a coalesce chain —
+    * codegen'd, no shuffle, no per-key pass. */
+  def altTitle(m: Column, keys: Seq[String] = AltTitleKeys): Column =
+    coalesce(keys.map(k => element_at(m, k)): _*)
+
   /** q20: consolidate ragged JSON keys into one map column, then extract
     * canonical fields (the reference's 20-alternate-title fold,
     * challenge.py:45-58). Input JSON is built deterministically since the
@@ -39,14 +67,12 @@ object Reshape {
         lit("\", \"alternate_title\": \"alt"), ids, lit("\", \"year\": \"1999\"}")))
       .otherwise(concat(lit("{\"title\": \"t"), ids, lit("\"}")))
     Tables.documents(s, d).select(id, raw.as("raw"))
-      .withColumn("m", from_json(col("raw"), MapType(StringType, StringType)))
+      .withColumn("m", raggedToMap(col("raw")))
       .select(id,
         size(col("m")).cast("bigint").as("n_keys"),
         element_at(col("m"), "title").as("title"),
-        coalesce(
-          element_at(col("m"), "also_known_as"),
-          element_at(col("m"), "alternate_title"),
-          element_at(col("m"), "working_title")).as("alt_title"))
+        altTitle(col("m"),
+          Seq("also_known_as", "alternate_title", "working_title")).as("alt_title"))
   }
 
   /** q21: suffix join of two sources describing the same entities +
