@@ -493,6 +493,26 @@ object Oracles {
   private val shingleCte = shingleCteK("sh", 3)
 
   /** Dedup block (SURVEY §2.B). */
+  /** d06's from-scratch component resolution (recursive CTE over the
+    * d03 pair graph) — shared verbatim by d06 and d09 (whose gate it
+    * turns into an incremental-equals-from-scratch proof).
+    * Connected components as a recursive CTE: reach(rid, lbl) holds
+    * "vertex lbl reaches vertex rid"; UNION (set semantics) bounds the
+    * recursion, and MIN(lbl) per rid is exactly the component-min
+    * labelling the Spark loop converges to. */
+  private def d06Sql(d03Ctes: String): String =
+    s"""WITH RECURSIVE $d03Ctes,
+       |edges AS (SELECT id_a AS ea, id_b AS eb FROM d03pairs
+       |          UNION ALL SELECT id_b, id_a FROM d03pairs),
+       |reach(rid, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON r.rid = e.ea),
+       |lab AS (SELECT rid AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY rid),
+       |gs AS (SELECT canonical_id AS cid, COUNT(*) AS group_size FROM lab GROUP BY 1)
+       |SELECT doc_id, canonical_id, group_size, doc_id = canonical_id AS is_keeper
+       |FROM lab JOIN gs ON canonical_id = cid ORDER BY doc_id""".stripMargin
+
   def dedup(rhpBits: Int = graft.operators.Similarity.RhpBits): Map[String, String] = {
     import graft.functions.Text.{minhashA, minhashB, MinhashMod => M}
     val minhashes = (0 until 16)
@@ -562,22 +582,14 @@ object Oracles {
         s"""WITH $d03Ctes
            |SELECT id_a, id_b, jaccard FROM d03pairs ORDER BY id_a, id_b""".stripMargin,
 
-      // Connected components as a recursive CTE: reach(rid, lbl) holds
-      // "vertex lbl reaches vertex rid"; UNION (set semantics) bounds the
-      // recursion, and MIN(lbl) per rid is exactly the component-min
-      // labelling the Spark loop converges to.
-      "d06_dup_groups" ->
-        s"""WITH RECURSIVE $d03Ctes,
-           |edges AS (SELECT id_a AS ea, id_b AS eb FROM d03pairs
-           |          UNION ALL SELECT id_b, id_a FROM d03pairs),
-           |reach(rid, lbl) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON r.rid = e.ea),
-           |lab AS (SELECT rid AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY rid),
-           |gs AS (SELECT canonical_id AS cid, COUNT(*) AS group_size FROM lab GROUP BY 1)
-           |SELECT doc_id, canonical_id, group_size, doc_id = canonical_id AS is_keeper
-           |FROM lab JOIN gs ON canonical_id = cid ORDER BY doc_id""".stripMargin,
+      "d06_dup_groups" -> d06Sql(d03Ctes),
+
+      // d09's oracle IS d06's from-scratch SQL: the Spark side ingests
+      // the 20% batch incrementally (base CC + label-space merge), the
+      // oracle recomputes components over the combined corpus from
+      // nothing — hash equality on every gate run is the
+      // incremental == from-scratch proof, not a one-off spec claim.
+      "d09_incremental_groups" -> d06Sql(d03Ctes),
 
       "d04_simhash" ->
         s"""WITH $shingleCte,
@@ -684,19 +696,24 @@ object Oracles {
          |  FROM sl$m JOIN p${m}m$n USING (vec_id), range(1, ${PqSubDim + 1}) t(i)
          |  GROUP BY cell, i),
          |p${m}c$n AS (SELECT cell, list(c ORDER BY i) AS cv FROM p${m}comp$n GROUP BY cell)""".stripMargin
-    val pqCtes = (0 until PqM).map { m =>
+    // `seedPred` restricts the PQ codebook SEEDS (e06 trains on the base
+    // corpus only; everything else reads whatever `trainset` the entry
+    // defines, so sampling restrictions flow through membership joins).
+    def pqCtesWithSeeds(seedPred: String): String = (0 until PqM).map { m =>
       val lo = m * PqSubDim + 1
       val hi = (m + 1) * PqSubDim
       val slice =
         s"""sl$m AS (SELECT vec_id, embedding[$lo:$hi] AS emb FROM embeddings),
            |tr$m AS (SELECT s.vec_id, s.emb FROM sl$m s JOIN trainset t USING (vec_id)),
            |p${m}c0 AS (SELECT CAST(vec_id AS INT) AS cell,
-           |  list_transform(emb, x -> CAST(x AS DOUBLE)) AS cv FROM sl$m WHERE vec_id < $KmeansCells)""".stripMargin
+           |  list_transform(emb, x -> CAST(x AS DOUBLE)) AS cv FROM sl$m
+           |  WHERE vec_id < $KmeansCells AND $seedPred)""".stripMargin
       val iters = (1 to KmeansIters).map(n =>
         pqAssign(m, n, s"tr$m") + ",\n" + pqUpdate(m, n)).mkString(",\n")
       val finalAssign = pqAssign(m, KmeansIters + 1, s"sl$m")
       s"$slice,\n$iters,\n$finalAssign"
     }.mkString(",\n")
+    val pqCtes = pqCtesWithSeeds("TRUE")
     val reconJoins = (1 until PqM).map(m =>
       s"JOIN p${m}m${KmeansIters + 1} m$m ON m$m.vec_id = m0.vec_id " +
         s"JOIN p${m}c$KmeansIters c$m ON c$m.cell = m$m.cell").mkString("\n        ")
@@ -717,6 +734,49 @@ object Oracles {
            |$lloyd,
            |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
            |$pqCtes,
+           |rec AS (SELECT m0.vec_id, ($reconCat) AS recon
+           |        FROM p0m${KmeansIters + 1} m0 JOIN p0c$KmeansIters c0 ON c0.cell = m0.cell
+           |        $reconJoins),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |probed AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |        ORDER BY ROUND(${cosRaw("q.qv", "c.cv")}, 6) DESC, c.cell) AS rr
+           |    FROM q, cent$KmeansIters c) WHERE rr <= $Probe),
+           |adc AS (SELECT p.q_id, r.vec_id AS c_id,
+           |    ROUND(${cosRawN("q.qv", "r.recon", 64)}, 6) AS adc
+           |  FROM probed p JOIN q USING (q_id)
+           |  JOIN m${KmeansIters + 1} mf ON mf.cell = p.cell
+           |  JOIN rec r ON r.vec_id = mf.vec_id AND r.vec_id <> p.q_id),
+           |short AS (SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
+           |    FROM adc) WHERE rr <= $PqShortlist),
+           |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
+           |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
+           |r2 AS (SELECT q_id, c_id, cosine,
+           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
+           |SELECT q_id, c_id, cosine, rnk FROM r2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+      // e06 mirrors the APPEND posture in SQL: every training CTE
+      // (coarse seeds, Lloyd sample, PQ seeds) is restricted to the BASE
+      // corpus (vec_id % IngestMod <> 0) — the frozen quantizers — while
+      // the final assignment/encode/query CTEs run over ALL embeddings,
+      // i.e. base-index ∪ appended batch. Hash equality against the
+      // Spark appendToIndex plan proves frozen-quantizer append equals
+      // indexing the combined corpus.
+      "e06_index_append" ->
+        s"""WITH trainset AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille
+           |    AND vec_id % ${graft.operators.Incremental.IngestMod} <> 0),
+           |cent0 AS (
+           |  SELECT CAST(vec_id AS INT) AS cell,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM embeddings
+           |  WHERE vec_id < $KmeansCells AND vec_id % ${graft.operators.Incremental.IngestMod} <> 0),
+           |$lloyd,
+           |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
+           |${pqCtesWithSeeds(s"vec_id % ${graft.operators.Incremental.IngestMod} <> 0")},
            |rec AS (SELECT m0.vec_id, ($reconCat) AS recon
            |        FROM p0m${KmeansIters + 1} m0 JOIN p0c$KmeansIters c0 ON c0.cell = m0.cell
            |        $reconJoins),

@@ -69,6 +69,10 @@ object Queries {
       Dedup.d05EmbeddingDedup(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "d06_dup_groups"       -> (Dedup.d06DupGroups _),
     "d07_decontaminate"    -> (Dedup.d07Decontaminate _),
+    // d09/e06: incremental ingestion — the Spark side runs the
+    // batch-append plan, the oracle recomputes from scratch, so the
+    // hash gate IS the incremental == from-scratch proof.
+    "d09_incremental_groups" -> (Incremental.d09IncrementalGroups _),
     "d08_containment"      -> (Dedup.d08Containment _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     "e02_ann_lsh"          -> ((s, d) =>
@@ -76,6 +80,7 @@ object Queries {
     "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
     "e04_pq_ann"           -> (Similarity.e04PqAnn _),
     "e05_ivfpq"            -> (Similarity.e05IvfPq _),
+    "e06_index_append"     -> (Incremental.e06IndexAppend _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
@@ -133,12 +138,14 @@ object Queries {
     "d05_embedding_dedup"  -> Seq("id_a", "id_b"),
     "d06_dup_groups"       -> Seq("doc_id"),
     "d07_decontaminate"    -> Seq("doc_id"),
+    "d09_incremental_groups" -> Seq("doc_id"),
     "d08_containment"      -> Seq("id_a", "id_b"),
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),
     "e04_pq_ann"           -> Seq("q_id", "rnk"),
     "e05_ivfpq"            -> Seq("q_id", "rnk"),
+    "e06_index_append"     -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
     "m03_audio_meta"       -> Seq("doc_id"),

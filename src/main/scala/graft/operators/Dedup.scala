@@ -45,7 +45,7 @@ object Dedup {
     * Uses the native [[GraftShingles]] expression — same output set as
     * the portable Text.shingles (spec-asserted), one codegen'd loop per
     * row instead of interpreted per-element lambdas. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), GraftShingles(s, col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -147,25 +147,7 @@ object Dedup {
     * (band, band-signature); exact verification touches only candidates. */
   def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
-    // Signature as a relational plan (explode → codegen'd md5 projection →
-    // ONE hash aggregate with 16 min() columns): higher-order lambdas are
-    // interpreted per element, a Generate + HashAggregate is whole-stage
-    // codegen. Same affine-rehash math as Text.minhashSigFromBase.
-    val mins = (0 until Bands * Rows).map(j =>
-      min(pmod(col("hb") * lit(Text.minhashA(j)) + lit(Text.minhashB(j)),
-        lit(Text.MinhashMod))).as(s"mh_$j"))
-    val sig = sh
-      .select(col("doc_id"), explode(col("sh")).as("sng"))
-      .select(col("doc_id"),
-        pmod(Text.hash60(col("sng"), 0), lit(Text.MinhashMod)).as("hb"))
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-    val bands = sig
-      .select(col("doc_id"), explode(array((0 until Bands).map(bnd =>
-        struct(lit(bnd).as("band"),
-          array((0 until Rows).map(r => col(s"mh_${bnd * Rows + r}")): _*)
-            .as("bsig"))): _*)).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bsig").as("bsig"))
+    val bands = minhashBands(sh)
     // Explicit repartition: exempt from AQE input-size coalescing, which
     // would otherwise run this pair-generating self-join in one task
     // (band tables are small; the join output is what explodes).
@@ -178,12 +160,48 @@ object Dedup {
       .join(bb, col("band") === col("band2") && col("bsig") === col("bsig2") &&
         col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    verifyJaccard(cand, sh, 0.5)
+  }
+
+  /** (doc_id, band, bsig) MinHash-LSH band table — factored from d03 so
+    * incremental ingest ([[Incremental.ingestDupGroups]]) can band a NEW
+    * batch against the (persisted, at scale) band table of the existing
+    * corpus instead of re-banding everything.
+    *
+    * Signature as a relational plan (explode → codegen'd md5 projection →
+    * ONE hash aggregate with 16 min() columns): higher-order lambdas are
+    * interpreted per element, a Generate + HashAggregate is whole-stage
+    * codegen. Same affine-rehash math as Text.minhashSigFromBase. */
+  def minhashBands(sh: DataFrame): DataFrame = {
+    val mins = (0 until Bands * Rows).map(j =>
+      min(pmod(col("hb") * lit(Text.minhashA(j)) + lit(Text.minhashB(j)),
+        lit(Text.MinhashMod))).as(s"mh_$j"))
+    val sig = sh
+      .select(col("doc_id"), explode(col("sh")).as("sng"))
+      .select(col("doc_id"),
+        pmod(Text.hash60(col("sng"), 0), lit(Text.MinhashMod)).as("hb"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+    sig
+      .select(col("doc_id"), explode(array((0 until Bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          array((0 until Rows).map(r => col(s"mh_${bnd * Rows + r}")): _*)
+            .as("bsig"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bsig").as("bsig"))
+  }
+
+  /** Exact-Jaccard verification of (id_a, id_b) candidates against their
+    * shingle sets — the verify half of d03, reused by incremental ingest.
+    * Touches ONLY candidate rows (two id-equi-joins into the shingle
+    * store), never the corpus cross product. */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                    threshold: Double): DataFrame = {
     val sa = sh.toDF("id_a", "sha")
     val sb = sh.toDF("id_b", "shb")
     cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         round(Text.jaccard(col("sha"), col("shb")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** d04: 32-bit SimHash over shingle features; candidates share an 8-bit

@@ -415,33 +415,49 @@ object Similarity {
     * (c_id, recon) with recon the 64-dim codebook approximation. The
     * reconstruction (not the raw code) is what ADC scores against; at
     * scale the recon frame is what you'd persist as the PQ index. */
-  def pqRecon(s: SparkSession, e: DataFrame): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    // All PqM slices in one frame keyed by subspace id — training and
-    // encoding then cost one shuffle per step TOTAL, not per subspace
-    // (the per-subspace loop form spent 4× the jobs on scheduling floor:
-    // measured 3.4 s → grouped at sf0.1).
-    val sl = e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+  def pqRecon(s: SparkSession, e: DataFrame): DataFrame =
+    pqEncode(s, pqCodebooks(s, e), e)
+
+  /** All PqM subspace slices in one frame keyed by subspace id — training
+    * and encoding then cost one shuffle per step TOTAL, not per subspace
+    * (the per-subspace loop form spent 4× the jobs on scheduling floor:
+    * measured 3.4 s → grouped at sf0.1). */
+  private def pqSlices(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
         slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*))
       .as(Seq("m", "emb")))
+
+  /** TRAINED per-subspace codebooks (m, cell, cv) from e's
+    * hash-membership sample — the train half of [[pqRecon]], split out so
+    * an incremental batch can be encoded against FROZEN codebooks
+    * ([[Incremental.appendToIndex]]): retraining would invalidate every
+    * code already in the index, so production appends never retrain. */
+  def pqCodebooks(s: SparkSession, e: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val sl = pqSlices(e)
     val train = trainSample(sl)
     val seeds = sl.filter(col("vec_id") < KmeansCells)
       .select(col("m"), col("vec_id").cast("int").as("cell"),
         transform(col("emb"), x => x.cast("double")).as("cv"))
     def materialize(c: DataFrame): DataFrame =
       s.createDataFrame(c.collect().toSeq.asJava, c.schema)
-    val trained = materialize((1 to KmeansIters).foldLeft(seeds) { (cent, _) =>
+    materialize((1 to KmeansIters).foldLeft(seeds) { (cent, _) =>
       pqUpdate(pqAssign(s, materialize(cent), train), train)
     })
-    // Codes (vec_id, m, cell) → reconstruction: centroids gathered per
-    // vector, ordered by subspace id, flattened back to 64 dims.
-    pqAssign(s, trained, sl)
-      .join(broadcast(trained), Seq("m", "cell"))
+  }
+
+  /** Encode any embedding frame against frozen `codebooks`: codes
+    * (vec_id, m, cell) → reconstruction (centroids gathered per vector,
+    * ordered by subspace id, flattened back to 64 dims). Per-vector map
+    * work — encoding a batch and encoding the full corpus agree row for
+    * row, which is what makes index APPEND exact. */
+  def pqEncode(s: SparkSession, codebooks: DataFrame, e: DataFrame): DataFrame =
+    pqAssign(s, codebooks, pqSlices(e))
+      .join(broadcast(codebooks), Seq("m", "cell"))
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("cv")))),
         x => x.getField("cv")).as("parts"))
       .select(col("vec_id").as("c_id"), flatten(col("parts")).as("recon"))
-  }
 
   def e04PqAnn(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -488,7 +504,15 @@ object Similarity {
     * Deterministic given `centroids`, so a persisted index and an
     * in-query one are bit-identical. */
   def e05Index(s: SparkSession, e: DataFrame, centroids: DataFrame): DataFrame =
-    pqRecon(s, e)
+    e05IndexFrom(s, e, centroids, pqCodebooks(s, e))
+
+  /** [[e05Index]] against pre-trained (frozen) quantizers — both halves
+    * are per-vector maps given `centroids`/`codebooks`, so indexing a
+    * corpus in one pass and indexing it base-then-append produce the
+    * same rows ([[Incremental]]). */
+  def e05IndexFrom(s: SparkSession, e: DataFrame, centroids: DataFrame,
+                   codebooks: DataFrame): DataFrame =
+    pqEncode(s, codebooks, e)
       .join(kmeansAssign(centroids, e).withColumnRenamed("vec_id", "c_id"), "c_id")
       .select(col("cell"), col("c_id"), col("recon"))
 

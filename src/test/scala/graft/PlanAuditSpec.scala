@@ -49,11 +49,12 @@ class PlanAuditSpec extends SparkSpecBase {
     // assignment. Everything else — in particular the d05 near-dup pairs,
     // formerly an all-pairs BNLJ over the whole table — must be
     // nested-loop-free.
-    // e04/e05 join the allowlist for the same reason as e03: their
+    // e04/e05/e06 join the allowlist for the same reason as e03: their
     // nested-loop sides are the 16-row codebook/centroid tables and the
-    // n/100 query set.
+    // n/100 query set (e06 is e05's machinery over an appended index).
     val broadcastSmallByDesign =
-      Set("e01_knn_brute", "e03_ivf_ann", "e04_pq_ann", "e05_ivfpq")
+      Set("e01_knn_brute", "e03_ivf_ann", "e04_pq_ann", "e05_ivfpq",
+        "e06_index_append")
     for ((name, _) <- Queries.production if !broadcastSmallByDesign(name)) {
       assert(!operators(name).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         s"$name contains BroadcastNestedLoopJoin")
