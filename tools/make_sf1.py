@@ -18,8 +18,12 @@ Scaling rules (TPC-H-style):
   corpus grows by NEW content instead of 10 identical copies of every
   shingle (which would turn every shingle into a stop-shingle and make
   the dedup workloads degenerate);
-- embeddings replicate exactly: vec_id shifts by 2000 (a multiple of 100,
-  so the %100 query-selection rule keeps exactly 1% of rows as queries).
+- embeddings: vec_id shifts by 2000 (a multiple of 100, so the %100
+  query-selection rule keeps exactly 1% of rows as queries); replica
+  i>0 vectors are FRESH deterministic hash-derived draws (same rule as
+  make_sf.py) — exact copies made near-dup pair output quadratic in the
+  replica count, which inflated d05's sf10 cost by ~2x (a generator
+  artifact, measured in BENCH.md round 8).
 
 Usage: make_sf1.py [outDir]   (default /tmp/sf1)
 """
@@ -63,8 +67,13 @@ def main(out):
         f"SELECT * EXCLUDE (i) REPLACE (doc_id + i*100000 AS doc_id, "
         f"CASE WHEN i = 0 THEN text ELSE regexp_replace(text, '(\\S+)', '\\1x'||i, 'g') END AS text) "
         f"FROM '{SRC}/documents.parquet', {rng}")
+    # Fresh per-replica draws (replica 0 = source) — see module docstring.
     gen("embeddings",
-        f"SELECT * EXCLUDE (i) REPLACE (vec_id + i*2000 AS vec_id) FROM '{SRC}/embeddings.parquet', {rng}")
+        f"SELECT * EXCLUDE (i) REPLACE (vec_id + i*2000 AS vec_id, "
+        f"CASE WHEN i = 0 THEN embedding ELSE "
+        f"list_transform(range(1, 1 + len(embedding)), j -> "
+        f"CAST((CAST(hash(vec_id + i*2000, j) % 400001 AS BIGINT) - 200000) / 1000000.0 AS FLOAT)) "
+        f"END AS embedding) FROM '{SRC}/embeddings.parquet', {rng}")
 
     # events via pyarrow: preserve exact nanos end-to-end.
     ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
