@@ -27,9 +27,23 @@ object Bench {
     }
     // Optional args are key filters (dev loop: bench one query while
     // iterating); the driver passes none and gets the full catalog.
+    // `--cold` switches to ONE timed pass with no warmup — the protocol
+    // for spill-heavy keys (d05 at sf10) where min-of-2's retained spill
+    // files are a disk hazard and the cold number is the honest one.
+    val (cold, keyArgs) = (args.contains("--cold"), args.filterNot(_ == "--cold"))
     val names =
-      if (args.isEmpty) Queries.production.keys.toSeq.sorted
-      else Queries.production.keys.toSeq.filter(args.contains(_)).sorted
+      if (keyArgs.isEmpty) Queries.production.keys.toSeq.sorted
+      else Queries.production.keys.toSeq.filter(keyArgs.contains(_)).sorted
+    if (cold) {
+      val results = names.map(n => n -> materialize(n))
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + v.fold("null")(_.toString)
+      }.mkString("{", ",", "}")
+      val failures = results.collect { case (k, None) => "\"" + k + "\"" }
+      val total = results.flatMap(_._2).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"cold","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      spark.stop(); return
+    }
     names.foreach(materialize) // warmup: codegen + JIT + file-footer caches
     // two timed passes, keep the min — steady-state time with scheduler
     // noise suppressed (single-pass jitter is ±20-30% at toy SFs). A query

@@ -388,6 +388,26 @@ object Oracles {
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // t08: corpus-frequency rare-token signal. The rare CTE's HAVING
+    // mirrors TextAnalysis.RareTf; docs with no rare tokens surface via
+    // the left join with zero counts (Spark's coalesce(_, 0)).
+    "t08_rare_token_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+         |             FROM documents),
+         |rare AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok
+         |         HAVING count(*) <= ${graft.operators.TextAnalysis.RareTf}),
+         |nr AS (SELECT doc_id, count(*) AS n_rare,
+         |         sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS n_hapax
+         |       FROM tok JOIN rare USING (tok) GROUP BY doc_id),
+         |nt AS (SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+         |       FROM documents)
+         |SELECT nt.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(n_rare, 0) AS BIGINT) AS n_rare,
+         |  CAST(COALESCE(n_hapax, 0) AS BIGINT) AS n_hapax,
+         |  ROUND(CAST(COALESCE(n_rare, 0) AS DOUBLE) / n_tokens, 6) AS rare_frac
+         |FROM nt LEFT JOIN nr ON nt.doc_id = nr.doc_id
+         |ORDER BY nt.doc_id""".stripMargin,
+
     "t05_pii_mask" ->
       """WITH built AS (
         |  SELECT c_custkey,
@@ -560,6 +580,29 @@ object Oracles {
            |SELECT id_a, id_b, jaccard FROM (
            |  SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE)/CAST(na + nb - inter AS DOUBLE), 6) AS jaccard FROM p)
            |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      // d10: cross-doc duplicated-span stats over distinct SpanK-token
+      // windows (shingleCteK mirrors GraftShingles at k=8; short docs
+      // fall out of the CTE and re-enter with n_spans = 0 via the left
+      // join, matching the Spark side's empty-array size()).
+      "d10_span_dup" ->
+        s"""WITH ${shingleCteK("sp8", graft.operators.Dedup.SpanK)},
+           |occ AS (SELECT doc_id, unnest(sh) AS sp FROM sp8),
+           |dup AS (SELECT sp, min(doc_id) AS keeper FROM occ GROUP BY sp
+           |        HAVING count(*) >= 2),
+           |pd AS (SELECT doc_id, count(*) AS n_dup,
+           |         sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS n_masked
+           |       FROM occ JOIN dup USING (sp) GROUP BY doc_id),
+           |nt AS (SELECT d.doc_id, CAST(COALESCE(len(s.sh), 0) AS BIGINT) AS n_spans
+           |       FROM documents d LEFT JOIN sp8 s ON d.doc_id = s.doc_id)
+           |SELECT nt.doc_id, n_spans,
+           |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+           |  CAST(COALESCE(n_masked, 0) AS BIGINT) AS n_masked,
+           |  CASE WHEN n_spans > 0
+           |       THEN ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_spans, 6)
+           |       ELSE 0.0 END AS dup_frac
+           |FROM nt LEFT JOIN pd ON nt.doc_id = pd.doc_id
+           |ORDER BY nt.doc_id""".stripMargin,
 
       // d08: same inverted index as d02; containment divides by the
       // SMALLER set instead of the union (integer/integer → identical
@@ -846,6 +889,32 @@ object Oracles {
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
            |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
+      // e07: per-cell label profile under the SAME trained coarse
+      // quantizer as e03 (identical Lloyd CTEs + full-corpus final
+      // assignment); majority label ties break to the lowest label id,
+      // mirroring the Spark max_by over (n, -label).
+      "e07_cluster_stats" ->
+        s"""WITH cent0 AS (
+           |  SELECT CAST(vec_id AS INT) AS cell,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM embeddings WHERE vec_id < $KmeansCells),
+           |trainset AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
+           |$lloyd,
+           |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
+           |hist AS (SELECT m.cell, e.label, count(*) AS n
+           |         FROM m${KmeansIters + 1} m JOIN embeddings e USING (vec_id)
+           |         GROUP BY m.cell, e.label),
+           |top AS (SELECT cell, label, n,
+           |          ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rr
+           |        FROM hist),
+           |tot AS (SELECT cell, sum(n) AS n_vecs FROM hist GROUP BY cell)
+           |SELECT CAST(t.cell AS BIGINT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+           |  CAST(p.label AS BIGINT) AS top_label, CAST(p.n AS BIGINT) AS top_n,
+           |  ROUND(CAST(p.n AS DOUBLE) / n_vecs, 6) AS purity
+           |FROM tot t JOIN top p ON p.cell = t.cell AND p.rr = 1
+           |ORDER BY cell""".stripMargin,
+
       "e01_knn_brute" ->
         s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
            |s AS (SELECT q_id, c.vec_id AS c_id,
@@ -984,6 +1053,23 @@ object Oracles {
   /** Curation block (SURVEY §2.H): deterministic md5-derived sampling
     * and packing — randomness-free, so exactly mirrorable. */
   val curation: Map[String, String] = Map(
+    // x07: data-card cube; GROUPING(lang, source) = Spark grouping_id
+    // (q24-proven parity), pre-aggregated to (lang, source) cells so the
+    // mirror keeps the same two-level shape as the plan.
+    "x07_datasheet" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS n,
+        |    sum(len(string_split_regex(text, '\s+'))) AS tok,
+        |    sum(n_chars) AS ch
+        |  FROM documents GROUP BY lang, source)
+        |SELECT CAST(GROUPING(lang, source) AS BIGINT) AS lvl,
+        |  COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(ch) AS BIGINT) AS n_chars,
+        |  ROUND(CAST(SUM(ch) AS DOUBLE) / SUM(n), 6) AS avg_chars
+        |FROM cells GROUP BY CUBE (lang, source)
+        |ORDER BY lvl, lang, source""".stripMargin,
+
     "x01_hash_sample" ->
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT doc_id, lang,

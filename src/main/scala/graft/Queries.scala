@@ -57,6 +57,7 @@ object Queries {
     "t05_pii_mask"         -> (TextAnalysis.t05PiiMask _),
     "t06_repetition"       -> (TextAnalysis.t06Repetition _),
     "t07_quality_filter"   -> (TextAnalysis.t07QualityFilter _),
+    "t08_rare_token_score" -> (TextAnalysis.t08RareTokenScore _),
     "d01_dedup_exact"      -> (Dedup.d01DedupExact _),
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
@@ -74,6 +75,7 @@ object Queries {
     // hash gate IS the incremental == from-scratch proof.
     "d09_incremental_groups" -> (Incremental.d09IncrementalGroups _),
     "d08_containment"      -> (Dedup.d08Containment _),
+    "d10_span_dup"         -> (Dedup.d10SpanDup _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
@@ -81,6 +83,7 @@ object Queries {
     "e04_pq_ann"           -> (Similarity.e04PqAnn _),
     "e05_ivfpq"            -> (Similarity.e05IvfPq _),
     "e06_index_append"     -> (Incremental.e06IndexAppend _),
+    "e07_cluster_stats"    -> (Similarity.e07ClusterStats _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
@@ -93,7 +96,8 @@ object Queries {
     "x05_strat_split"      -> (Sampling.x05StratSplit _),
     "x06_source_mix"       -> (Sampling.x06SourceMix _),
     "x02_seq_pack"         -> (Sampling.x02SeqPack _),
-    "x03_kmv_distinct"     -> (Sampling.x03KmvDistinct _)
+    "x03_kmv_distinct"     -> (Sampling.x03KmvDistinct _),
+    "x07_datasheet"        -> (Sampling.x07Datasheet _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -131,6 +135,7 @@ object Queries {
     "t05_pii_mask"         -> Seq("c_custkey"),
     "t06_repetition"       -> Seq("doc_id"),
     "t07_quality_filter"   -> Seq("doc_id"),
+    "t08_rare_token_score" -> Seq("doc_id"),
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d02_ngram_jaccard"    -> Seq("id_a", "id_b"),
     "d03_minhash_lsh"      -> Seq("id_a", "id_b"),
@@ -140,12 +145,14 @@ object Queries {
     "d07_decontaminate"    -> Seq("doc_id"),
     "d09_incremental_groups" -> Seq("doc_id"),
     "d08_containment"      -> Seq("id_a", "id_b"),
+    "d10_span_dup"         -> Seq("doc_id"),
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),
     "e04_pq_ann"           -> Seq("q_id", "rnk"),
     "e05_ivfpq"            -> Seq("q_id", "rnk"),
     "e06_index_append"     -> Seq("q_id", "rnk"),
+    "e07_cluster_stats"    -> Seq("cell"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
     "m03_audio_meta"       -> Seq("doc_id"),
@@ -158,7 +165,8 @@ object Queries {
     "x05_strat_split"      -> Seq("doc_id"),
     "x06_source_mix"       -> Seq("doc_id"),
     "x02_seq_pack"         -> Seq("shard", "pack_no"),
-    "x03_kmv_distinct"     -> Seq("lang")
+    "x03_kmv_distinct"     -> Seq("lang"),
+    "x07_datasheet"        -> Seq("lvl", "lang", "source")
   )
 
   /** Verification view: production plan + canonical output order. */

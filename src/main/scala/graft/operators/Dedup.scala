@@ -139,6 +139,57 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Span width (tokens) for d10's cross-document duplicated-span
+    * statistics. 8 keeps the windows long enough that sharing one is
+    * evidence of copying, not vocabulary overlap, while the synthetic
+    * gate docs (tens of tokens) still produce several windows each. */
+  val SpanK = 8
+
+  /** d10: cross-document DUPLICATED-SPAN statistics — the exact-substring
+    * duplication signal (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): a [[SpanK]]-token window appearing
+    * verbatim in more than one document marks copied text that
+    * document-level dedup (d01–d05) underweights. Emits per doc: distinct
+    * span count, spans shared with >= 1 other doc, spans that would be
+    * MASKED under keep-first-occurrence (the span's keeper is the lowest
+    * doc_id containing it), and the duplicated fraction.
+    *
+    * Scale shape: distinct spans per doc via the codegen'd
+    * [[graft.functions.GraftShingles]] pass (n_spans is a map-side
+    * `size()`, no shuffle); one explode → HashAggregate builds the span
+    * df/keeper table; the join back is INNER against the df >= 2 slice
+    * only, so unique spans (the overwhelming mass of an unduplicated
+    * corpus) never shuffle twice. Join fan-out is the dup-span
+    * occurrence count — linear in corpus size, with AQE skew-split
+    * covering pathological boilerplate spans. */
+  def d10SpanDup(s: SparkSession, d: String): DataFrame =
+    spanDupStats(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[d10SpanDup]] over any (doc_id, text) frame (spec entry). */
+  def spanDupStats(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      GraftShingles(s, col("text"), SpanK).as("sp"))
+    val nSpans = sh.select(col("doc_id"),
+      size(col("sp")).cast("bigint").as("n_spans"))
+    val occ = sh.select(col("doc_id"), explode(col("sp")).as("sp"))
+    // Spans are distinct within a doc, so count(*) = document frequency.
+    val dup = occ.groupBy("sp")
+      .agg(count(lit(1)).as("ndocs"), min(col("doc_id")).as("keeper"))
+      .filter(col("ndocs") >= 2)
+      .select("sp", "keeper")
+    val perDoc = occ.join(dup, "sp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_masked"))
+    nSpans.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        when(col("n_spans") > 0L,
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_spans").cast("double"), 6)).otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   private val Bands = 4
   private val Rows = 4
 

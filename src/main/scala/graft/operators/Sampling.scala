@@ -263,4 +263,32 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
+
+  /** x07: corpus DATASHEET — the data-card summary every released
+    * training corpus ships (Datasheets for Datasets): doc / token /
+    * char totals and mean doc length per (lang x source) cell, per
+    * lang, per source, and overall, in ONE pass via CUBE. Token counts
+    * are map-side `size()` projections (no explode), sums are exact
+    * integers, and the cube input is pre-aggregated to the (lang,
+    * source) cells first — same two-level trick as q24, so Expand
+    * quadruples only ~|cells| rows, never the corpus: at 100 TB the
+    * Expand input is kilobytes. `lvl` = grouping_id disambiguates a
+    * real "ALL" value from the rollup marker. */
+  def x07Datasheet(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(Text.tokens(col("text"))).cast("bigint").as("t"),
+        col("n_chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("t").as("tok"), sum("n_chars").as("ch"))
+    cells.cube(col("lang"), col("source"))
+      .agg(grouping_id().cast("bigint").as("lvl"),
+        sum("n").as("n_docs"), sum("tok").as("n_tokens"), sum("ch").as("n_chars"),
+        round(sum("ch").cast("double") / sum("n").cast("double"), 6)
+          .as("avg_chars"))
+      .select(col("lvl"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("avg_chars"))
+  }
 }

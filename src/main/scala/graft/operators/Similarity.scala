@@ -538,4 +538,38 @@ object Similarity {
     topK(s, short.join(e.toDF("c_id", "cv"), "c_id").join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")))
   }
+
+  /** e07: SEMANTIC CLUSTER STATS — the corpus-map half of cluster-based
+    * curation (SemDeDup-style pruning, domain-mixture weighting): assign
+    * every embedding to its cell under the SAME deterministic learned
+    * coarse quantizer the e03/e05 index uses ([[kmeansCentroids]]), then
+    * profile each cell against the labeled metadata — member count,
+    * majority label (ties to the lowest label id), and purity =
+    * majority share. Low-purity cells mark boundary/noise regions a
+    * curation pass samples down; the per-cell counts are the mixture
+    * weights a DoReMi-style reweighting consumes.
+    *
+    * Scale shape: training is sampled ([[trainSample]]) and mirrored in
+    * the oracle; the per-vector assignment is one broadcast (<=
+    * [[KmeansCells]] rows) cross-score + max_by, and the profile is two
+    * HashAggregates whose first key (cell, label) already partial-
+    * aggregates map-side — nothing shuffles at corpus volume except the
+    * (cell, label) partial rows. Purity is rational (count / count,
+    * round 6), so the key stays hash-gated exactly like e03. */
+  def e07ClusterStats(s: SparkSession, d: String): DataFrame = {
+    val full = Tables.embeddings(s, d)
+    val e = full.select(col("vec_id"), col("embedding"))
+    val cells = kmeansAssign(kmeansCentroids(s, e), e)
+    val hist = cells.join(full.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cell", "label")
+      .agg(count(lit(1)).as("n"))
+    hist.groupBy("cell")
+      .agg(sum("n").as("n_vecs"),
+        max_by(col("label"), struct(col("n"), -col("label"))).as("top_label"),
+        max("n").as("top_n"))
+      .select(col("cell").cast("bigint").as("cell"), col("n_vecs"),
+        col("top_label").cast("bigint").as("top_label"), col("top_n"),
+        round(col("top_n").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("purity"))
+  }
 }

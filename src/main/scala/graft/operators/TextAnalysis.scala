@@ -241,6 +241,50 @@ object TextAnalysis {
         (!(col("n") < MinTokens || col("top") * 8 > col("n") ||
           col("dist") * 5 < col("n") * 2)).as("keep"))
 
+  /** Corpus frequency at or below which a token counts as RARE for t08.
+    * tf <= 2 = hapax + dis legomena — the long-tail band where OCR junk,
+    * mojibake, and concatenation artifacts live. */
+  val RareTf = 2L
+
+  /** t08: CORPUS-relative rare-token quality signal — the Gopher-family
+    * rule the per-doc heuristics (t02/t06/t07) cannot express, because
+    * rarity is a property of the whole corpus, not the row: a document
+    * whose tokens are mostly hapax legomena is usually OCR noise, a
+    * hash dump, or mojibake; one with none is usually boilerplate.
+    * Emits per doc: token count, rare-token count (corpus tf <=
+    * [[RareTf]]), hapax count (tf == 1), and the rare fraction.
+    *
+    * Scale shape — the join is SKEW-FREE BY CONSTRUCTION: per-doc token
+    * totals come from a map-side `size()` (no explode, no shuffle); the
+    * corpus frequency table is one explode → partial-aggregating
+    * HashAggregate; and the only join back is INNER against the
+    * tf <= [[RareTf]] slice, so every join key matches at most
+    * [[RareTf]] probe rows — "the"-class hot tokens never enter the
+    * join at any corpus size. Output volume is bounded by the rare
+    * occurrence count (<= RareTf x |rare vocab|), never by n². */
+  def t08RareTokenScore(s: SparkSession, d: String): DataFrame =
+    rareTokenScore(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[t08RareTokenScore]] over any (doc_id, text) frame (spec entry). */
+  def rareTokenScore(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val nTok = base.select(col("doc_id"),
+      size(col("toks")).cast("bigint").as("n_tokens"))
+    val tok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val rare = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") <= RareTf)
+    val perDoc = tok.join(rare, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_rare"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    nTok.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        round(coalesce(col("n_rare"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("rare_frac"))
+  }
+
   /** t04: order-sensitive polynomial rolling-hash fingerprint per doc.
     * Relational form of [[Text.rollingFingerprint]]: posexplode tokens →
     * codegen'd md5 term projection → one hash aggregate. The term sum runs

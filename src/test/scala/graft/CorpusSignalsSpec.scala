@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+
+/** Unit semantics of the round-8 corpus-level signals: t08 rare-token
+  * scoring, d10 duplicated-span stats, e07 cluster purity, x07
+  * datasheet cube. Engineered literal corpora pin the counting rules;
+  * the oracle gate pins cross-engine exactness. */
+class CorpusSignalsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- t08 -----------------------------------------------------------
+
+  test("t08: rarity is corpus-relative — tf<=2 rare, tf==1 hapax, hot tokens never counted") {
+    // corpus tf: "the"=4 (hot), "cat"=2 (rare), "dog"=2 (rare),
+    // "qwzx"=1 (hapax), "vbnm"=1 (hapax)
+    val docs = Seq(
+      (1L, "the cat the dog"),   // rare: cat,dog  hapax: none
+      (2L, "the cat qwzx"),      // rare: cat,qwzx hapax: qwzx
+      (3L, "the dog vbnm")       // rare: dog,vbnm hapax: vbnm
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.rareTokenScore(docs)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(4L, 3L, 3L))        // n_tokens
+    assert(r.map(_.getLong(2)).toSeq == Seq(2L, 2L, 2L))        // n_rare
+    assert(r.map(_.getLong(3)).toSeq == Seq(0L, 1L, 1L))        // n_hapax
+    assert(r(0).getDouble(4) == 0.5)                            // 2/4
+    assert(r(1).getDouble(4) == 0.666667)                       // round(2/3, 6)
+  }
+
+  test("t08: all-hot corpus yields zero rare counts, not dropped rows") {
+    val docs = Seq((1L, "a a a"), (2L, "a a"), (3L, "a")).toDF("doc_id", "text")
+    val r = TextAnalysis.rareTokenScore(docs).orderBy("doc_id").collect()
+    assert(r.length == 3)
+    assert(r.forall(x => x.getLong(2) == 0L && x.getDouble(4) == 0.0))
+  }
+
+  // --- d10 -----------------------------------------------------------
+
+  test("d10: shared 8-token span marks both docs dup; only the later one is masked") {
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (10L, span + " alpha"),      // 2 windows; only the pure span window
+      (20L, span + " beta"),       //   is shared between docs 10 and 20
+      (30L, "totally different words with no overlap at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDupStats(spark, docs).orderBy("doc_id").collect()
+    // doc 10: windows = [span, "two...alpha"] -> n_spans=2, shared=1, keeper
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 1L && r(0).getLong(3) == 0L)
+    assert(r(0).getDouble(4) == 0.5)
+    // doc 20: same shared span but doc_id > keeper -> masked
+    assert(r(1).getLong(2) == 1L && r(1).getLong(3) == 1L)
+    // doc 30: 8 tokens -> 1 window, nothing shared
+    assert(r(2).getLong(1) == 1L && r(2).getLong(2) == 0L && r(2).getDouble(4) == 0.0)
+  }
+
+  test("d10: short docs surface with zero spans and dup_frac 0") {
+    val docs = Seq((1L, "too short"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val r = Dedup.spanDupStats(spark, docs).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 0L && r(0).getDouble(4) == 0.0)
+    assert(r(1).getLong(1) == 1L) // exactly one 8-token window
+  }
+
+  // --- e07 -----------------------------------------------------------
+
+  test("e07: cells partition the corpus; purity well-formed") {
+    val total = Tables.embeddings(spark, sf001).count()
+    val r = Similarity.e07ClusterStats(spark, sf001).collect()
+    assert(r.map(_.getLong(1)).sum == total)              // sum n_vecs = corpus
+    assert(r.forall(x => x.getLong(3) <= x.getLong(1)))   // top_n <= n_vecs
+    assert(r.forall { x =>
+      val p = x.getDouble(4); p > 0.0 && p <= 1.0 })
+    assert(r.length <= Similarity.KmeansCells)
+  }
+
+  // --- x07 -----------------------------------------------------------
+
+  test("x07: cube margins re-add to the corpus totals") {
+    val docs = Tables.documents(spark, sf001)
+    val nDocs = docs.count()
+    val r = Sampling.x07Datasheet(spark, sf001).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+    val global = r.filter(_._1 == 3L)
+    assert(global.length == 1 && global.head._4 == nDocs)
+    // per-lang margin rows (lvl=1: source rolled up) sum to the corpus
+    assert(r.filter(_._1 == 1L).map(_._4).sum == nDocs)
+    // finest cells (lvl=0) also sum to the corpus
+    assert(r.filter(_._1 == 0L).map(_._4).sum == nDocs)
+  }
+}
