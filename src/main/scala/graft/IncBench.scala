@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Incremental
+
+/** Prices incremental ingestion the way production pays for it: state
+  * is PERSISTED between batches, so the number that matters is the
+  * MARGINAL cost of merging a batch from on-disk state — not the
+  * self-contained gated keys (d09/e06), which rebuild the base state
+  * in-query so the oracle can hash-check them.
+  *
+  * Phases, each timed separately (one JSON line on stdout):
+  *   build_group_state / build_index_state — the once-per-corpus cost;
+  *   d09_marginal / e06_marginal — the per-batch cost from disk, one
+  *   untimed warmup then min of two timed noop materializations (the
+  *   Bench protocol).
+  *
+  * Usage: IncBench [sfDir [stateDir [mod]]]; sfDir defaults to
+  * SPARK_GRAFT_SF_DIR, stateDir to a temp dir, mod to
+  * [[Incremental.IngestMod]] (ids ≡ 0 mod `mod` form the batch, so
+  * mod 5 = a 20% batch, mod 50 = 2% — the slope of marginal cost in
+  * batch fraction is the incremental-ingestion scaling claim, measured).
+  */
+object IncBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val stateDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-inc-state").toString)
+    val mod = args.lift(2).map(_.toInt).getOrElse(Incremental.IngestMod)
+    val spark = Sessions.local()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: => org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val tGroup = timed(Incremental.writeGroupState(spark, sfDir, s"$stateDir/groups", mod))
+    val tIndex = timed(Incremental.writeIndexState(spark, sfDir, s"$stateDir/ann", mod))
+    def marginal(df: => org.apache.spark.sql.DataFrame): Double = {
+      noop(df) // warmup
+      math.min(timed(noop(df)), timed(noop(df)))
+    }
+    val d09m = marginal(Incremental.mergeFromState(spark, sfDir, s"$stateDir/groups", mod))
+    val d09d = marginal(Incremental.mergeDeltaFromState(spark, sfDir, s"$stateDir/groups", mod))
+    val e06m = marginal(Incremental.appendFromState(spark, sfDir, s"$stateDir/ann", mod))
+    println(s"""{"metric":"incremental_marginal","unit":"sec","sf":"$sfDir","mod":$mod,""" +
+      s""""build_group_state":$tGroup,"build_index_state":$tIndex,""" +
+      s""""d09_marginal":$d09m,"d09_delta_marginal":$d09d,"e06_marginal":$e06m}""")
+    spark.stop()
+  }
+}

@@ -57,6 +57,54 @@ object Incremental {
                       oldBands: DataFrame, oldSh: DataFrame,
                       newIds: DataFrame, newSh: DataFrame,
                       threshold: Double = 0.5): DataFrame = {
+    val merged = mergeGraph(s, oldLabels, oldBands, oldSh, newIds, newSh, threshold)
+    // Relabel: old components adopt their merged label (old labels are
+    // component minima, so a bridge through a new doc correctly pulls
+    // both sides down to the global min); untouched components and
+    // isolated new docs keep their own. The relabel maps are bounded by
+    // touched labels + batch ids — broadcast them so the corpus-sized
+    // label table maps in place instead of shuffling (the CC loop's
+    // checkpointed lineage gives AQE no size estimate to do it alone).
+    val relabelOld = broadcast(merged.toDF("lbl", "nl"))
+    val oldFinal = oldLabels.join(relabelOld, Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+    val relabelNew = broadcast(merged.toDF("id", "nl"))
+    val newFinal = newIds.join(relabelNew, Seq("id"), "left")
+      .select(col("id"), coalesce(col("nl"), col("id")).as("lbl"))
+    oldFinal.unionByName(newFinal)
+  }
+
+  /** The LABEL DELTA of an ingest — what a production pipeline actually
+    * persists per batch: the batch's labels plus the old rows whose
+    * component label CHANGED (batch-fan-out-sized), never the untouched
+    * corpus. Upserting it over the old labelling reproduces
+    * [[ingestDupGroups]] row for row (IncrementalSpec asserts this), so
+    * a daily batch writes O(batch fan-out) rows while the full-relabel
+    * form re-emits — and re-shuffles for group sizes — the whole
+    * corpus. The only corpus-sized work left is one map-side scan of
+    * the label table against the broadcast relabel map. */
+  def ingestDupGroupsDelta(s: SparkSession, oldLabels: DataFrame,
+                           oldBands: DataFrame, oldSh: DataFrame,
+                           newIds: DataFrame, newSh: DataFrame,
+                           threshold: Double = 0.5): DataFrame = {
+    val merged = mergeGraph(s, oldLabels, oldBands, oldSh, newIds, newSh, threshold)
+    val changed = broadcast(merged.toDF("lbl", "nl")
+      .filter(col("nl") =!= col("lbl")))
+    val oldChanged = oldLabels.join(changed, Seq("lbl"))
+      .select(col("id"), col("nl").as("lbl"))
+    val relabelNew = broadcast(merged.toDF("id", "nl"))
+    val newFinal = newIds.join(relabelNew, Seq("id"), "left")
+      .select(col("id"), coalesce(col("nl"), col("id")).as("lbl"))
+    oldChanged.unionByName(newFinal)
+  }
+
+  /** Candidate generation + verify + label-space CC shared by the full
+    * and delta ingest forms: returns the merged labelling of the
+    * touched graph (old labels + batch ids incident to new edges). */
+  private def mergeGraph(s: SparkSession, oldLabels: DataFrame,
+                         oldBands: DataFrame, oldSh: DataFrame,
+                         newIds: DataFrame, newSh: DataFrame,
+                         threshold: Double): DataFrame = {
     val n = s.sessionState.conf.numShufflePartitions
     val newBands = Dedup.minhashBands(newSh)
     // New-vs-(corpus ∪ batch) candidates: the probe side is the batch
@@ -66,7 +114,18 @@ object Incremental {
     // exactly as in d03.
     val probe = newBands.toDF("id_a", "band", "bsig")
       .repartition(n, col("band"), col("bsig"))
+    // Bucket pre-filter: a corpus band row can only pair with the batch
+    // if its (band, bsig) bucket is one the batch occupies, so the
+    // persisted band table is semi-joined down to the TOUCHED buckets
+    // (batch-bands broadcast — daily-batch-small by assumption) before
+    // anything shuffles. Provably candidate-preserving (a pair needs an
+    // equal bucket on both sides), hash-checked by the d09 gate; at
+    // corpus scale it is the difference between shuffling the whole
+    // band table per batch and shuffling the batch's fan-out.
+    val touched = newBands.select(col("band").as("band2"), col("bsig").as("bsig2"))
+      .distinct()
     val build = oldBands.unionByName(newBands).toDF("id_b", "band2", "bsig2")
+      .join(broadcast(touched), Seq("band2", "bsig2"), "leftsemi")
       .repartition(n, col("band2"), col("bsig2"))
     val cand = probe
       .join(build, col("band") === col("band2") && col("bsig") === col("bsig2") &&
@@ -91,18 +150,7 @@ object Incremental {
       .unionByName(edges.select(col("id_b").as("id")))
       .distinct()
     // The merge CC: tiny by construction (touched labels + batch ids).
-    val merged = Dedup.connectedComponents(verts, edges)
-    // Relabel: old components adopt their merged label (old labels are
-    // component minima, so a bridge through a new doc correctly pulls
-    // both sides down to the global min); untouched components and
-    // isolated new docs keep their own.
-    val relabelOld = merged.toDF("lbl", "nl")
-    val oldFinal = oldLabels.join(relabelOld, Seq("lbl"), "left")
-      .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
-    val relabelNew = merged.toDF("id", "nl")
-    val newFinal = newIds.join(relabelNew, Seq("id"), "left")
-      .select(col("id"), coalesce(col("nl"), col("id")).as("lbl"))
-    oldFinal.unionByName(newFinal)
+    Dedup.connectedComponents(verts, edges)
   }
 
   /** Append a batch of vectors to a persisted IVF×PQ index with FROZEN
@@ -118,20 +166,18 @@ object Incremental {
                     codebooks: DataFrame, newE: DataFrame): DataFrame =
     index.unionByName(Similarity.e05IndexFrom(s, newE, centroids, codebooks))
 
-  /** d09: incremental dup-group ingestion as a gated key. The 20% batch
-    * (doc_id ≡ 0 mod [[IngestMod]]) is ingested into the base corpus's
-    * labelling via [[ingestDupGroups]]; output is d06's exact schema
-    * over the COMBINED corpus. The oracle is from-scratch CC over the
-    * combined pair graph (d06's recursive CTE verbatim), so the gate
-    * hash-proves incremental == from-scratch on every run. */
-  def d09IncrementalGroups(s: SparkSession, d: String): DataFrame = {
+  /** The base corpus's pre-existing dup-group state (labels, bands,
+    * shingles), exactly as a production pipeline would have persisted it
+    * after its last batch: pairs → CC labelling over base docs only.
+    * Shared by the self-contained gated key (which rebuilds it in-query
+    * so the oracle can check it) and the persisted-state path
+    * ([[writeGroupState]]/[[mergeFromState]], which is what production
+    * actually runs — and what IncBench prices). */
+  def baseGroupState(s: SparkSession, d: String,
+                     mod: Int = IngestMod): (DataFrame, DataFrame, DataFrame) = {
     val sh = Dedup.shingled(s, d)
-    val isNew = pmod(col("doc_id"), lit(IngestMod)) === 0
-    val baseSh = sh.filter(!isNew)
-    val newSh = sh.filter(isNew)
+    val baseSh = sh.filter(!(pmod(col("doc_id"), lit(mod)) === 0))
     val baseBands = Dedup.minhashBands(baseSh)
-    // The base corpus's pre-existing state, as a production pipeline
-    // would have persisted it: pairs → CC labelling over base docs only.
     val n = s.sessionState.conf.numShufflePartitions
     val ba = baseBands.toDF("id_a", "band", "bsig")
       .repartition(n, col("band"), col("bsig"))
@@ -144,11 +190,20 @@ object Incremental {
     val basePairs = Dedup.verifyJaccard(baseCand, baseSh, 0.5)
       .select(col("id_a"), col("id_b"))
     val baseVerts = Tables.documents(s, d).select(col("doc_id").as("id"))
-      .filter(!(pmod(col("id"), lit(IngestMod)) === 0))
-    val baseLabels = Dedup.connectedComponents(baseVerts, basePairs)
-    // The ingest — then d06's group-resolution tail over the result.
+      .filter(!(pmod(col("id"), lit(mod)) === 0))
+    (Dedup.connectedComponents(baseVerts, basePairs), baseBands, baseSh)
+  }
+
+  /** Ingest the batch into a given base state and resolve d06's group
+    * schema over the combined corpus — the tail shared by the gated key
+    * and the persisted-state path. */
+  private def ingestAndResolve(s: SparkSession, d: String,
+                               baseLabels: DataFrame, baseBands: DataFrame,
+                               baseSh: DataFrame, mod: Int): DataFrame = {
+    val isNew = pmod(col("doc_id"), lit(mod)) === 0
+    val newSh = Dedup.shingled(s, d).filter(isNew)
     val newIds = Tables.documents(s, d).select(col("doc_id").as("id"))
-      .filter(pmod(col("id"), lit(IngestMod)) === 0)
+      .filter(pmod(col("id"), lit(mod)) === 0)
     val labels =
       ingestDupGroups(s, baseLabels, baseBands, baseSh, newIds, newSh)
     val sizes = labels.groupBy(col("lbl").as("cid"))
@@ -156,6 +211,92 @@ object Incremental {
     labels.join(sizes, col("lbl") === col("cid"))
       .select(col("id").as("doc_id"), col("lbl").as("canonical_id"),
         col("group_size"), (col("id") === col("lbl")).as("is_keeper"))
+  }
+
+  /** d09: incremental dup-group ingestion as a gated key. The 20% batch
+    * (doc_id ≡ 0 mod [[IngestMod]]) is ingested into the base corpus's
+    * labelling via [[ingestDupGroups]]; output is d06's exact schema
+    * over the COMBINED corpus. The oracle is from-scratch CC over the
+    * combined pair graph (d06's recursive CTE verbatim), so the gate
+    * hash-proves incremental == from-scratch on every run.
+    *
+    * NOTE ON THE BENCH NUMBER: this self-contained form REBUILDS the
+    * base state in-query (the oracle needs one closed plan), so its
+    * wall time is base-build + ingest — strictly more work than d06.
+    * The number production cares about is the MARGINAL ingest cost from
+    * persisted state: [[mergeFromState]], priced by [[IncBench]]. */
+  def d09IncrementalGroups(s: SparkSession, d: String): DataFrame = {
+    val (baseLabels, baseBands, baseSh) = baseGroupState(s, d)
+    ingestAndResolve(s, d, baseLabels, baseBands, baseSh, IngestMod)
+  }
+
+  /** Persist the dup-group state a pipeline carries between batches.
+    * Bands are written bucket-partitionable by (band); labels and
+    * shingles by id range — at 100 TB these are the nightly artifacts,
+    * and the ingest reads back only what the batch's bands touch. */
+  def writeGroupState(s: SparkSession, d: String, dir: String,
+                      mod: Int = IngestMod): Unit = {
+    val (labels, bands, sh) = baseGroupState(s, d, mod)
+    labels.write.mode("overwrite").parquet(s"$dir/labels")
+    bands.write.mode("overwrite").parquet(s"$dir/bands")
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** The production ingest: merge the batch into PERSISTED state. Work
+    * is bounded by the batch's band fan-out + the final relabel — the
+    * base pair-generation and base CC never re-run. */
+  def mergeFromState(s: SparkSession, d: String, dir: String,
+                     mod: Int = IngestMod): DataFrame =
+    ingestAndResolve(s, d,
+      s.read.parquet(s"$dir/labels"),
+      s.read.parquet(s"$dir/bands"),
+      s.read.parquet(s"$dir/shingles"), mod)
+
+  /** [[ingestDupGroupsDelta]] over persisted state: the batch-bounded
+    * label upsert a daily pipeline writes back. */
+  def mergeDeltaFromState(s: SparkSession, d: String, dir: String,
+                          mod: Int = IngestMod): DataFrame = {
+    val isNew = pmod(col("doc_id"), lit(mod)) === 0
+    val newSh = Dedup.shingled(s, d).filter(isNew)
+    val newIds = Tables.documents(s, d).select(col("doc_id").as("id"))
+      .filter(pmod(col("id"), lit(mod)) === 0)
+    ingestDupGroupsDelta(s,
+      s.read.parquet(s"$dir/labels"),
+      s.read.parquet(s"$dir/bands"),
+      s.read.parquet(s"$dir/shingles"), newIds, newSh)
+  }
+
+  /** Persist the ANN-index state a pipeline carries between batches:
+    * frozen quantizers (centroids + PQ codebooks, trained on the base
+    * corpus) and the base IVF×PQ index, cell-partitioned so query
+    * probes prune partitions (IndexPersistSpec's deployment shape). */
+  def writeIndexState(s: SparkSession, d: String, dir: String,
+                      mod: Int = IngestMod): Unit = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val base = e.filter(!(pmod(col("vec_id"), lit(mod)) === 0))
+    val centroids = Similarity.kmeansCentroids(s, base)
+    val codebooks = Similarity.pqCodebooks(s, base)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    Similarity.e05IndexFrom(s, base, centroids, codebooks)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
+  }
+
+  /** The production append: encode the batch against PERSISTED frozen
+    * quantizers, append to the persisted index, query the combined
+    * index. No training pass, no touch of existing index rows — the
+    * marginal cost a daily pipeline pays ([[IncBench]] prices this
+    * against the self-contained e06). */
+  def appendFromState(s: SparkSession, d: String, dir: String,
+                      mod: Int = IngestMod): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val batch = e.filter(pmod(col("vec_id"), lit(mod)) === 0)
+    val centroids = s.read.parquet(s"$dir/centroids")
+    val codebooks = s.read.parquet(s"$dir/codebooks")
+    val index = s.read.parquet(s"$dir/index")
+      .select(col("cell"), col("c_id"), col("recon"))
+    val combined = appendToIndex(s, index, centroids, codebooks, batch)
+    Similarity.e05FromIndex(s, e, centroids, combined)
   }
 
   /** e06: incremental ANN-index append as a gated key. Quantizers are

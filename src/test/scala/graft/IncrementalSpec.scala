@@ -107,4 +107,41 @@ class IncrementalSpec extends SparkSpecBase {
         r.getBoolean(3))).toSet
     assert(d09 == d06 && d09.nonEmpty)
   }
+
+  test("mergeFromState over persisted group state equals the in-query d09") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-groups").toString
+    Incremental.writeGroupState(spark, sf001, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val viaDisk = rows(Incremental.mergeFromState(spark, sf001, dir))
+    val inQuery = rows(Queries.production("d09_incremental_groups")(spark, sf001))
+    assert(viaDisk == inQuery && viaDisk.nonEmpty)
+  }
+
+  test("delta upsert over persisted labels reproduces the full merge labelling") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-delta").toString
+    Incremental.writeGroupState(spark, sf001, dir)
+    val delta = Incremental.mergeDeltaFromState(spark, sf001, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val old = spark.read.parquet(s"$dir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val upserted = old ++ delta // overwrite-by-id, the production apply
+    val full = Incremental.mergeFromState(spark, sf001, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(upserted == full && delta.nonEmpty)
+    // the delta must be strictly smaller than the corpus labelling —
+    // otherwise it is not a delta
+    assert(delta.size < full.size)
+  }
+
+  test("appendFromState over persisted index state equals the in-query e06") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-ann").toString
+    Incremental.writeIndexState(spark, sf001, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rnk").collect().toSeq
+    val viaDisk = rows(Incremental.appendFromState(spark, sf001, dir))
+    val inQuery = rows(Queries.production("e06_index_append")(spark, sf001))
+    assert(viaDisk == inQuery && viaDisk.nonEmpty)
+  }
 }
