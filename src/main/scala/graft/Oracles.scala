@@ -584,15 +584,18 @@ object Oracles {
       // d10: cross-doc duplicated-span stats over distinct SpanK-token
       // windows (shingleCteK mirrors GraftShingles at k=8; short docs
       // fall out of the CTE and re-enter with n_spans = 0 via the left
-      // join, matching the Spark side's empty-array size()).
+      // join, matching the Spark side's empty-array size()). Spans are
+      // reduced to hash60 fingerprints before grouping — the exact
+      // mirror of the Spark side's shuffle-narrowing projection.
       "d10_span_dup" ->
         s"""WITH ${shingleCteK("sp8", graft.operators.Dedup.SpanK)},
-           |occ AS (SELECT doc_id, unnest(sh) AS sp FROM sp8),
-           |dup AS (SELECT sp, min(doc_id) AS keeper FROM occ GROUP BY sp
+           |occ AS (SELECT doc_id, ${h60(graft.operators.Dedup.SpanSeed, "sp")} AS sph
+           |        FROM (SELECT doc_id, unnest(sh) AS sp FROM sp8)),
+           |dup AS (SELECT sph, min(doc_id) AS keeper FROM occ GROUP BY sph
            |        HAVING count(*) >= 2),
            |pd AS (SELECT doc_id, count(*) AS n_dup,
            |         sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS n_masked
-           |       FROM occ JOIN dup USING (sp) GROUP BY doc_id),
+           |       FROM occ JOIN dup USING (sph) GROUP BY doc_id),
            |nt AS (SELECT d.doc_id, CAST(COALESCE(len(s.sh), 0) AS BIGINT) AS n_spans
            |       FROM documents d LEFT JOIN sp8 s ON d.doc_id = s.doc_id)
            |SELECT nt.doc_id, n_spans,

@@ -145,6 +145,10 @@ object Dedup {
     * gate docs (tens of tokens) still produce several windows each. */
   val SpanK = 8
 
+  /** Seed for d10's span fingerprints (any fixed value not shared with
+    * the minhash/simhash/decontam families). */
+  val SpanSeed = 29
+
   /** d10: cross-document DUPLICATED-SPAN statistics — the exact-substring
     * duplication signal (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better"): a [[SpanK]]-token window appearing
@@ -156,12 +160,21 @@ object Dedup {
     *
     * Scale shape: distinct spans per doc via the codegen'd
     * [[graft.functions.GraftShingles]] pass (n_spans is a map-side
-    * `size()`, no shuffle); one explode → HashAggregate builds the span
-    * df/keeper table; the join back is INNER against the df >= 2 slice
-    * only, so unique spans (the overwhelming mass of an unduplicated
-    * corpus) never shuffle twice. Join fan-out is the dup-span
-    * occurrence count — linear in corpus size, with AQE skew-split
-    * covering pathological boilerplate spans. */
+    * `size()`, no shuffle); spans are reduced to 60-bit FINGERPRINTS
+    * (one codegen'd md5 per span — [[Text.hash60]], the engine-parity
+    * hash) BEFORE anything shuffles, and the per-span document
+    * frequency and keeper ride the SAME shuffle as window functions
+    * (d02's invertedIndex trick) — no df-table self-join, so the
+    * expensive shingle+digest projection evaluates ONCE and the only
+    * movement is 2 x 8-byte keys per span occurrence (measured sf1:
+    * 9.9 s string-join form, 17.6 s hash-join form — the join
+    * re-evaluated the digests — 6.5 s window form; Lee et al. likewise
+    * dedup on window hashes). A cross-doc fingerprint collision
+    * (p ~ 2^-60 per pair) would count as a shared span on BOTH engines
+    * identically — the oracle mirrors the same hash, so the gate stays
+    * exact by construction. Boilerplate spans skew the window's
+    * partition key the same way they skew a join key; AQE handles the
+    * split either way. */
   def d10SpanDup(s: SparkSession, d: String): DataFrame =
     spanDupStats(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
 
@@ -171,13 +184,16 @@ object Dedup {
       GraftShingles(s, col("text"), SpanK).as("sp"))
     val nSpans = sh.select(col("doc_id"),
       size(col("sp")).cast("bigint").as("n_spans"))
-    val occ = sh.select(col("doc_id"), explode(col("sp")).as("sp"))
-    // Spans are distinct within a doc, so count(*) = document frequency.
-    val dup = occ.groupBy("sp")
-      .agg(count(lit(1)).as("ndocs"), min(col("doc_id")).as("keeper"))
+    val occ = sh.select(col("doc_id"), explode(col("sp")).as("sptext"))
+      .select(col("doc_id"), Text.hash60(col("sptext"), SpanSeed).as("sp"))
+    // Spans are distinct within a doc, so count over the sp partition =
+    // document frequency; min over it = keep-first keeper. One shuffle,
+    // one evaluation of the digest projection.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sp")
+    val perDoc = occ
+      .withColumn("ndocs", count(lit(1)).over(w))
+      .withColumn("keeper", min(col("doc_id")).over(w))
       .filter(col("ndocs") >= 2)
-      .select("sp", "keeper")
-    val perDoc = occ.join(dup, "sp")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup"),
         sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_masked"))

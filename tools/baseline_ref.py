@@ -188,6 +188,79 @@ def main(sf):
                                     "top_2gram_frac", "dup_2gram_frac"])
     res["t06_repetition"] = timed(t06)
 
+    def t08():
+        # corpus-relative rare/hapax token counts — Counter over the
+        # whole corpus, then per-row membership scans (idiomatic pandas:
+        # there is no way to avoid the python-level loops).
+        from collections import Counter
+        d = pd.read_parquet(P("documents"))
+        toks = d.text.str.split()
+        tf = Counter()
+        for t in toks:
+            tf.update(t)
+        rare = {w for w, c in tf.items() if c <= 2}
+        hapax = {w for w, c in tf.items() if c == 1}
+        n = toks.map(len)
+        nr = toks.map(lambda t: sum(1 for w in t if w in rare))
+        toks.map(lambda t: sum(1 for w in t if w in hapax))
+        (nr / n).round(6)
+    res["t08_rare_token_score"] = timed(t08)
+
+    def d10():
+        # cross-doc duplicated 8-token spans with keep-first masking
+        from collections import Counter
+        K = 8
+        d = pd.read_parquet(P("documents"))
+        def spans(t):
+            ws = t.split()
+            return list({" ".join(ws[i:i + K]) for i in range(len(ws) - K + 1)}) \
+                if len(ws) >= K else []
+        sp = d.text.map(spans)
+        cnt = Counter(); keeper = {}
+        for did, ss in zip(d.doc_id, sp):
+            for s_ in ss:
+                cnt[s_] += 1
+                if s_ not in keeper or did < keeper[s_]:
+                    keeper[s_] = did
+        dup = {s_ for s_, c in cnt.items() if c >= 2}
+        nd = [sum(1 for s_ in ss if s_ in dup) for ss in sp]
+        [sum(1 for s_ in ss if s_ in dup and did != keeper[s_])
+         for did, ss in zip(d.doc_id, sp)]
+        pd.Series(nd) / sp.map(len).clip(lower=1)
+    res["d10_span_dup"] = timed(d10)
+
+    def e07():
+        # deterministic k-means (same seeds/sample/iters as the Spark
+        # trainer) + per-cell label mode — numpy/BLAS form
+        e = pd.read_parquet(P("embeddings"))
+        V = np.stack(e.embedding.to_numpy()).astype(np.float64)
+        ids = e.vec_id.to_numpy(); labs = e.label.to_numpy()
+        C = V[ids < 16].copy()
+        h = np.array([int(hashlib.md5(f"23:{i}".encode()).hexdigest()[:15], 16) % 1000
+                      for i in ids])
+        T = V[h < 250]
+        def assign(X, C):
+            s = (X @ C.T) / (np.linalg.norm(X, axis=1)[:, None]
+                             * np.linalg.norm(C, axis=1)[None, :])
+            return np.argmax(s, axis=1)
+        for _ in range(2):
+            a = assign(T, C)
+            for c in np.unique(a):
+                C[c] = np.floor(T[a == c] * 1e6).sum(axis=0) / (np.sum(a == c) * 1e6)
+        cells = assign(V, C)
+        for c in np.unique(cells):
+            np.bincount(labs[cells == c]).argmax()
+    res["e07_cluster_stats"] = timed(e07)
+
+    def x07():
+        # data-card cube: cells once, then the three margins
+        d = pd.read_parquet(P("documents"))
+        d = d.assign(tok=d.text.str.split().map(len))
+        cells = d.groupby(["lang", "source"]).agg(
+            n=("doc_id", "size"), tok=("tok", "sum"), ch=("n_chars", "sum"))
+        cells.groupby("lang").sum(); cells.groupby("source").sum(); cells.sum()
+    res["x07_datasheet"] = timed(x07)
+
     def e01():
         e = pd.read_parquet(P("embeddings"))
         V = np.stack(e.embedding.to_numpy()).astype(np.float64)
