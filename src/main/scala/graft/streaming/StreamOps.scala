@@ -18,6 +18,14 @@ case class SessState(sessNo: Long, startUs: Long, lastUs: Long,
 case class SessOut(user_id: Long, sess_no: Long, n_events: Long,
                    start_us: Long, end_us: Long, sum_value: Double)
 
+/** One LSH band-bucket row of an arriving document: `bucket` encodes
+  * (band, band-signature); `sh` carries the doc's shingle set for exact
+  * verification against bucket peers. */
+case class BandedDoc(doc_id: Long, bucket: String, sh: Seq[String])
+
+/** Verified near-dup pair emitted by the streaming dedup. */
+case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
+
 /** Structured Streaming variants of the §2.F operators. The transforms
   * are shared with batch ([[EventOps.windowAgg]]); sessionization uses
   * flatMapGroupsWithState with event-time timeout so open sessions flush
@@ -45,6 +53,71 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         sessionizeGroup)
+  }
+
+  /** STREAMING banded near-dup — d03's MinHash-LSH dedup as documents
+    * ARRIVE: each doc's 4 band signatures key it into stateful buckets
+    * (flatMapGroupsWithState); a new arrival exact-verifies (Jaccard >=
+    * 0.5) against the docs already in its buckets and joins the state,
+    * so every cross-batch and within-batch pair is emitted exactly when
+    * its second member arrives. The emitted pair SET equals the batch
+    * d03 over the same corpus (StreamNearDupSpec asserts it, including
+    * across a checkpoint restart) — the streaming twin of d09's batch
+    * ingest.
+    *
+    * Scale shape: state is per-BUCKET (band-signature occupancy, the
+    * same key d03 shuffles on), so a bucket's state is the corpus's
+    * band-collision fan-out, never the corpus; the state store
+    * (RocksDB-able, as in StreamRestartSpec) holds shingle sets for
+    * in-bucket verification — at 100 TB hold doc refs + minhash sigs
+    * instead and verify against the shingle store, the same
+    * candidate-then-verify split as d03/d09. Signatures here use the
+    * portable lambda form ([[graft.functions.Text.minhashSig]]) — fine
+    * per arriving row; the batch path's relational aggregate stays the
+    * hot-path form. A pair sharing several buckets is emitted once per
+    * bucket; pair identity dedup is the consumer's `distinct` (or a
+    * downstream dropDuplicates watermark state at scale). */
+  def nearDupStream(docs: DataFrame): Dataset[NearDupPair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = docs
+      .select(col("doc_id"), graft.functions.GraftShingles(s, col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bucketCols = (0 until 4).map { b =>
+      concat_ws(":", lit(b) +: (0 until 4).map(r =>
+        element_at(col("sig"), b * 4 + r + 1)): _*)
+    }
+    sh.withColumn("sig", graft.functions.Text.minhashSig(col("sh"), 16))
+      .select(col("doc_id"), explode(array(bucketCols: _*)).as("bucket"), col("sh"))
+      .as[BandedDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        nearDupGroup)
+  }
+
+  /** Per-bucket transition: verify each arrival against bucket peers
+    * (exact Jaccard, round-6 like d03), then add it to the state. Docs
+    * are processed in doc_id order within a batch, so within-batch
+    * pairs are deterministic regardless of partition iteration order. */
+  private def nearDupGroup(bucket: String, it: Iterator[BandedDoc],
+      state: GroupState[List[BandedDoc]]): Iterator[NearDupPair] = {
+    var seen = state.getOption.getOrElse(Nil)
+    val out = Seq.newBuilder[NearDupPair]
+    it.toSeq.sortBy(_.doc_id).foreach { d =>
+      val a = d.sh.toSet
+      seen.foreach { o =>
+        val b = o.sh.toSet
+        val inter = (a & b).size.toDouble
+        val j = inter / (a.size + b.size - inter)
+        val jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (jr >= 0.5)
+          out += NearDupPair(math.min(d.doc_id, o.doc_id),
+            math.max(d.doc_id, o.doc_id), jr)
+      }
+      seen = d :: seen
+    }
+    state.update(seen)
+    out.result().iterator
   }
 
   private val GapMs = EventOps.GapUs / 1000L

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Streaming banded near-dup (StreamOps.nearDupStream) must find exactly
+  * the pairs batch d03 finds on the same corpus — including pairs whose
+  * members arrive in different micro-batches, and across a checkpoint
+  * restart (state-store survival of the bucket state). */
+class StreamNearDupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** d03's batch pairs at sf0.001 as a comparable set. */
+  private lazy val batchPairs: Set[(Long, Long, Double)] =
+    Queries.production("d03_minhash_lsh")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private lazy val docs: Seq[(Long, String)] =
+    Tables.documents(spark, sf001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("streaming near-dup over two micro-batches equals batch d03") {
+    assert(batchPairs.nonEmpty, "fixture needs at least one d03 pair")
+    // Split so at least one known pair straddles the batch boundary.
+    val (pa, pb, _) = batchPairs.head
+    val split = (pa + pb) / 2
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupStream(stream.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("s_neardup")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.filter(_._1 <= split))
+      q.processAllAvailable()
+      val afterB1 = spark.table("s_neardup").count()
+      stream.addData(docs.filter(_._1 > split))
+      q.processAllAvailable()
+      val got = spark.table("s_neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == batchPairs)
+      // The straddling pair can only be emitted in batch 2, against
+      // batch-1 docs held in the bucket STATE — the incremental property.
+      assert(spark.table("s_neardup").count() > afterB1 ||
+        batchPairs.forall(p => p._1 > split || p._2 <= split))
+      assert(got.contains(batchPairs.head))
+    } finally q.stop()
+  }
+
+  test("bucket state survives a checkpoint restart (cross-restart pairs still found)") {
+    val in = Files.createTempDirectory("graft-neardup-in").toString
+    val chk = Files.createTempDirectory("graft-neardup-chk").toString
+    val out = Files.createTempDirectory("graft-neardup-out").toString
+    val (pa, pb, _) = batchPairs.head
+    val split = (pa + pb) / 2
+    // JSON-encode via the dataframe writer to keep text escaping exact;
+    // stage-then-move so the file source never lists a partial file.
+    def publishDf(name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-neardup-stage").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").json(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".json")).get
+      Files.move(part.toPath, Paths.get(in, name))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def start() = StreamOps.nearDupStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+
+    publishDf("b0.json", docs.filter(_._1 <= split))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    publishDf("b1.json", docs.filter(_._1 > split))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batchPairs)
+    // The known straddling pair was emitted AFTER the restart, against
+    // pre-restart bucket state restored from the checkpoint.
+    assert(got.contains(batchPairs.head))
+  }
+}
