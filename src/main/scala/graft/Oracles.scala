@@ -607,6 +607,43 @@ object Oracles {
            |FROM nt LEFT JOIN pd ON nt.doc_id = pd.doc_id
            |ORDER BY nt.doc_id""".stripMargin,
 
+      // d11: the masking transform — positional windows (1-based here;
+      // only the final text must match), same hash60 fingerprints as
+      // d10, df/keeper per fingerprint, tokens covered by a non-keeper
+      // dup window replaced by the sentinel, text re-joined in token
+      // order (string_agg ORDER BY = Spark's sorted-struct rebuild).
+      "d11_span_mask" -> {
+        val k = graft.operators.Dedup.SpanK
+        val terms = (0 until k)
+          .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]").mkString("||' '||")
+        s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+           |              FROM documents),
+           |win0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) - ${k - 2})) AS i
+           |         FROM toks WHERE len(tk) >= $k),
+           |win AS (SELECT doc_id, i, ${h60(graft.operators.Dedup.SpanSeed, s"($terms)")} AS f
+           |        FROM win0),
+           |pg AS (SELECT doc_id, f, list_sort(list(i)) AS ii FROM win GROUP BY doc_id, f),
+           |dfk AS (SELECT doc_id, f, ii,
+           |          count(*) OVER (PARTITION BY f) AS ndocs,
+           |          min(doc_id) OVER (PARTITION BY f) AS keeper
+           |        FROM pg),
+           |bad0 AS (SELECT doc_id, unnest(ii) AS i
+           |         FROM dfk WHERE ndocs >= 2 AND doc_id <> keeper),
+           |badpos AS (SELECT DISTINCT doc_id, j
+           |           FROM (SELECT doc_id, unnest(range(i, i + $k)) AS j FROM bad0)),
+           |tok0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS j FROM toks),
+           |tokpos AS (SELECT doc_id, j, tk[j] AS tok FROM tok0)
+           |SELECT t.doc_id,
+           |  CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_masked,
+           |  string_agg(CASE WHEN b.doc_id IS NOT NULL
+           |                  THEN '${graft.operators.Dedup.MaskToken}'
+           |                  ELSE t.tok END, ' ' ORDER BY t.j) AS masked_text
+           |FROM tokpos t LEFT JOIN badpos b ON b.doc_id = t.doc_id AND b.j = t.j
+           |GROUP BY t.doc_id
+           |ORDER BY t.doc_id""".stripMargin
+      },
+
       // d08: same inverted index as d02; containment divides by the
       // SMALLER set instead of the union (integer/integer → identical
       // doubles on both engines).

@@ -76,6 +76,7 @@ object Queries {
     "d09_incremental_groups" -> (Incremental.d09IncrementalGroups _),
     "d08_containment"      -> (Dedup.d08Containment _),
     "d10_span_dup"         -> (Dedup.d10SpanDup _),
+    "d11_span_mask"        -> (Dedup.d11SpanMask _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
@@ -146,6 +147,7 @@ object Queries {
     "d09_incremental_groups" -> Seq("doc_id"),
     "d08_containment"      -> Seq("id_a", "id_b"),
     "d10_span_dup"         -> Seq("doc_id"),
+    "d11_span_mask"        -> Seq("doc_id"),
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{CosineSimilarity, GraftShingles, Text}
+import graft.functions.{CosineSimilarity, GraftNgrams, GraftShingles, Text}
 
 /** Deduplication operators for the training-data pipeline (SURVEY §2.B).
   *
@@ -204,6 +204,72 @@ object Dedup {
         when(col("n_spans") > 0L,
           round(coalesce(col("n_dup"), lit(0L)).cast("double") /
             col("n_spans").cast("double"), 6)).otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Sentinel replacing masked tokens in d11's output. */
+  val MaskToken = "[DUP]"
+
+  /** d11: duplicated-span MASKING — the APPLY half of d10 (Lee et al.'s
+    * actual transform): every token covered by a [[SpanK]]-token window
+    * that appears in more than one document is replaced by [[MaskToken]]
+    * in every document EXCEPT the span's keeper (lowest doc_id), and the
+    * masked text is re-emitted alongside the masked-token count. Output
+    * text is the canonical single-space token re-join (whitespace runs
+    * are not preserved — the pipeline's tokenizer-facing form; mirrored
+    * by the oracle).
+    *
+    * Scale shape: positional windows via the codegen'd non-distinct
+    * [[graft.functions.GraftNgrams]] pass, reduced to 60-bit
+    * fingerprints before shuffling (d10's trick); per-(doc, fingerprint)
+    * position lists aggregate on one shuffle, the cross-doc df/keeper
+    * ride a window over the COMPACT (doc, fp) frame (8-byte keys +
+    * short position arrays — the fat token text never enters either
+    * shuffle); masked positions explode only for DUP windows (~0 in a
+    * clean corpus); the final per-doc rebuild is the one inherent
+    * corpus-sized shuffle — masking rewrites the corpus by definition.
+    * Deterministic everywhere: position lists are sort_array'd, the
+    * rebuild sorts by token position, so output is partitioning-
+    * independent and the key hash-gates exactly. */
+  def d11SpanMask(s: SparkSession, d: String): DataFrame =
+    spanMask(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[d11SpanMask]] over any (doc_id, text) frame (spec entry). */
+  def spanMask(s: SparkSession, docs: DataFrame): DataFrame = {
+    // (doc, window-start i [0-based], window fingerprint f)
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(GraftNgrams(s, col("text"), SpanK)).as(Seq("i", "g")))
+      .select(col("doc_id"), col("i"), Text.hash60(col("g"), SpanSeed).as("f"))
+    // Per-(doc, f) position lists — ONE shuffle of compact rows; the
+    // distinct-doc df and keep-first keeper then ride a window over
+    // PARTITION BY f (one row per doc here, so count(*) = doc count).
+    val pg = pos.groupBy("doc_id", "f")
+      .agg(sort_array(collect_list(col("i"))).as("ii"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy("f")
+    val bad = pg
+      .withColumn("ndocs", count(lit(1)).over(wf))
+      .withColumn("keeper", min(col("doc_id")).over(wf))
+      .filter(col("ndocs") >= 2 && col("doc_id") =!= col("keeper"))
+    // Masked token positions: union of [i, i+K) over bad windows.
+    val maskPos = bad
+      .select(col("doc_id"), explode(col("ii")).as("i"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + SpanK - 1)).as("j"))
+      .distinct()
+      .withColumn("mask", lit(true))
+    // Rebuild: positional tokens left-join mask, sentinel where masked,
+    // deterministic order via the sorted (pos, tok) struct aggregate.
+    docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("j", "tok")))
+      .join(maskPos, Seq("doc_id", "j"), "left")
+      .select(col("doc_id"), col("j"),
+        when(col("mask"), lit(MaskToken)).otherwise(col("tok")).as("tok"),
+        coalesce(col("mask"), lit(false)).as("m"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+            x => x.getField("tok"))).as("masked_text"))
   }
 
   private val Bands = 4

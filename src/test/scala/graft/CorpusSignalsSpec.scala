@@ -62,6 +62,50 @@ class CorpusSignalsSpec extends SparkSpecBase {
     assert(r(1).getLong(1) == 1L) // exactly one 8-token window
   }
 
+  // --- d11 -----------------------------------------------------------
+
+  test("d11: later occurrence masked token-by-token, keeper untouched") {
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (10L, span + " alpha"),
+      (20L, span + " beta"),
+      (30L, "no shared words appear anywhere in this one")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanMask(spark, docs).orderBy("doc_id").collect()
+    // keeper (10): nothing masked, text is the canonical re-join
+    assert(r(0).getLong(1) == 0L && r(0).getString(2) == span + " alpha")
+    // doc 20: the 8 span tokens masked, the trailing token kept
+    assert(r(1).getLong(1) == 8L)
+    assert(r(1).getString(2) ==
+      (Seq.fill(8)(Dedup.MaskToken) :+ "beta").mkString(" "))
+    // doc 30: untouched
+    assert(r(2).getLong(1) == 0L &&
+      r(2).getString(2) == "no shared words appear anywhere in this one")
+  }
+
+  test("d11: overlapping dup windows mask the union of their positions") {
+    // 10 tokens sharing a 9-token prefix -> doc 2 has two dup windows
+    // (i=0 and i=1) whose union covers tokens 0..8, leaving only the
+    // 10th token unmasked.
+    val nine = "a b c d e f g h i"
+    val docs = Seq(
+      (1L, nine + " tail1"),
+      (2L, nine + " tail2")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanMask(spark, docs).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 0L)
+    assert(r(1).getLong(1) == 9L)
+    assert(r(1).getString(2) ==
+      (Seq.fill(9)(Dedup.MaskToken) :+ "tail2").mkString(" "))
+  }
+
+  test("d11: short docs pass through unmasked") {
+    val docs = Seq((1L, "too short"), (2L, "too short")).toDF("doc_id", "text")
+    val r = Dedup.spanMask(spark, docs).orderBy("doc_id").collect()
+    assert(r.forall(_.getLong(1) == 0L))
+    assert(r.forall(_.getString(2) == "too short"))
+  }
+
   // --- e07 -----------------------------------------------------------
 
   test("e07: cells partition the corpus; purity well-formed") {

@@ -229,6 +229,32 @@ def main(sf):
         pd.Series(nd) / sp.map(len).clip(lower=1)
     res["d10_span_dup"] = timed(d10)
 
+    def d11():
+        # span masking: window df/keeper dicts, then per-doc position
+        # union + token rebuild
+        from collections import Counter
+        K = 8
+        d = pd.read_parquet(P("documents"))
+        tks = d.text.map(str.split)
+        wins = [[(i, " ".join(t[i:i + K])) for i in range(len(t) - K + 1)]
+                for t in tks]
+        cnt = Counter(); keeper = {}
+        for did, ws in zip(d.doc_id, wins):
+            for w in {w for _, w in ws}:
+                cnt[w] += 1
+                if w not in keeper or did < keeper[w]:
+                    keeper[w] = did
+        out = []
+        for did, t, ws in zip(d.doc_id, tks, wins):
+            mask = set()
+            for i, w in ws:
+                if cnt[w] >= 2 and keeper[w] != did:
+                    mask.update(range(i, i + K))
+            out.append((len(mask),
+                        " ".join("[DUP]" if j in mask else tok
+                                 for j, tok in enumerate(t))))
+    res["d11_span_mask"] = timed(d11)
+
     def e07():
         # deterministic k-means (same seeds/sample/iters as the Spark
         # trainer) + per-cell label mode — numpy/BLAS form
