@@ -49,6 +49,11 @@ def load(path):
 def resolve(args, root):
     if len(args) == 2 and all(os.path.exists(a) for a in args):
         return args[0], args[1]
+    # Anything that looks like a path but didn't resolve above is a
+    # mistake — bail instead of silently diffing the latest two rounds.
+    if any(not a.isdigit() for a in args):
+        sys.exit(f"unusable args {args}: pass two existing files, two round "
+                 "numbers, or nothing (latest two rounds)")
     rounds = sorted(
         int(m.group(1))
         for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
@@ -68,11 +73,18 @@ def main():
     pa, pb = resolve(sys.argv[1:], root)
     a, b = load(pa), load(pb)
     qa, qb = a["queries"], b["queries"]
-    common = sorted(set(qa) & set(qb))
-    added = sorted(set(qb) - set(qa))
-    removed = sorted(set(qa) - set(qb))
+    # graft.Bench records a FAILED key as null — exclude those from the
+    # arithmetic but surface them (a partially-broken run is exactly when
+    # this report matters).
+    failed = sorted(k for k in (set(qa) | set(qb))
+                    if qa.get(k, 0) is None or qb.get(k, 0) is None)
+    common = sorted(k for k in set(qa) & set(qb) if k not in failed)
+    added = sorted(set(qb) - set(qa) - set(failed))
+    removed = sorted(set(qa) - set(qb) - set(failed))
     print(f"# bench diff: {os.path.basename(pa)} -> {os.path.basename(pb)}")
     print(f"# common {len(common)}  added {added or '-'}  removed {removed or '-'}")
+    if failed:
+        print(f"# FAILED (null in either round, excluded): {failed}")
     ta = sum(qa[k] for k in common)
     tb = sum(qb[k] for k in common)
     print(f"# common-key total: {ta:.2f}s -> {tb:.2f}s ({(tb - ta) / ta:+.1%})")
