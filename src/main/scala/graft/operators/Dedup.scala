@@ -162,19 +162,24 @@ object Dedup {
     * [[graft.functions.GraftShingles]] pass (n_spans is a map-side
     * `size()`, no shuffle); spans are reduced to 60-bit FINGERPRINTS
     * (one codegen'd md5 per span — [[Text.hash60]], the engine-parity
-    * hash) BEFORE anything shuffles, and the per-span document
-    * frequency and keeper ride the SAME shuffle as window functions
-    * (d02's invertedIndex trick) — no df-table self-join, so the
-    * expensive shingle+digest projection evaluates ONCE and the only
-    * movement is 2 x 8-byte keys per span occurrence (measured sf1:
-    * 9.9 s string-join form, 17.6 s hash-join form — the join
-    * re-evaluated the digests — 6.5 s window form; Lee et al. likewise
-    * dedup on window hashes). A cross-doc fingerprint collision
-    * (p ~ 2^-60 per pair) would count as a shared span on BOTH engines
-    * identically — the oracle mirrors the same hash, so the gate stays
-    * exact by construction. Boilerplate spans skew the window's
-    * partition key the same way they skew a join key; AQE handles the
-    * split either way. */
+    * hash) BEFORE anything shuffles. The per-fingerprint (df, keeper)
+    * pair is (count, min) — both DECOMPOSABLE — so it is computed as a
+    * partial-combining HashAggregate: a boilerplate span (license
+    * header, nav chrome) collapses to one partial row per map task
+    * before the shuffle, and no reducer ever holds an occurrence list.
+    * The per-doc outputs then need NO join back to the occurrences:
+    * a df=1 span's keeper IS its only document, so
+    * n_dup(doc) = n_spans(doc) − #{sp: df=1 ∧ keeper=doc} and
+    * n_masked(doc) = n_dup(doc) − #{sp: df≥2 ∧ keeper=doc}, both read
+    * off the compact stats frame grouped by keeper (bounded by a doc's
+    * own span count, never corpus-skewed). This replaced an earlier
+    * Window.partitionBy(fingerprint) form: correct and fast at small
+    * SFs, but AQE's skew split applies to shuffle JOINS, not window
+    * partitions, so one hot span would pin its whole cross-corpus
+    * occurrence list in a single window task at 100 TB. A cross-doc
+    * fingerprint collision (p ~ 2^-60 per pair) would count as a
+    * shared span on BOTH engines identically — the oracle mirrors the
+    * same hash, so the gate stays exact by construction. */
   def d10SpanDup(s: SparkSession, d: String): DataFrame =
     spanDupStats(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
 
@@ -186,28 +191,32 @@ object Dedup {
       size(col("sp")).cast("bigint").as("n_spans"))
     val occ = sh.select(col("doc_id"), explode(col("sp")).as("sptext"))
       .select(col("doc_id"), Text.hash60(col("sptext"), SpanSeed).as("sp"))
-    // Spans are distinct within a doc, so count over the sp partition =
-    // document frequency; min over it = keep-first keeper. One shuffle,
-    // one evaluation of the digest projection.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("sp")
-    val perDoc = occ
-      .withColumn("ndocs", count(lit(1)).over(w))
-      .withColumn("keeper", min(col("doc_id")).over(w))
-      .filter(col("ndocs") >= 2)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dup"),
-        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_masked"))
-    nSpans.join(perDoc, Seq("doc_id"), "left")
+    // Spans are distinct within a doc, so count per fingerprint =
+    // document frequency; min = keep-first keeper. Decomposable →
+    // map-side partial combine; no window, no skewable partition.
+    val stats = occ.groupBy("sp")
+      .agg(count(lit(1)).as("ndocs"), min(col("doc_id")).as("keeper"))
+    // Per-doc counts derive from stats alone (no join back to occ):
+    // a df=1 span's keeper is its only document.
+    val byKeeper = stats.groupBy(col("keeper").as("doc_id"))
+      .agg(sum(when(col("ndocs") === 1L, 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("ndocs") >= 2L, 1L).otherwise(0L)).as("n_kept_dup"))
+    val nDup = col("n_spans") - coalesce(col("n_unique"), lit(0L))
+    nSpans.join(byKeeper, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        nDup.as("n_dup"),
+        (nDup - coalesce(col("n_kept_dup"), lit(0L))).as("n_masked"),
         when(col("n_spans") > 0L,
-          round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          round(nDup.cast("double") /
             col("n_spans").cast("double"), 6)).otherwise(lit(0.0)).as("dup_frac"))
   }
 
   /** Sentinel replacing masked tokens in d11's output. */
   val MaskToken = "[DUP]"
+
+  /** Salt-bucket count for d11's stats-to-positions join: a boilerplate
+    * fingerprint's occurrence rows spread over this many reducers. */
+  val SpanSaltBuckets = 16
 
   /** d11: duplicated-span MASKING — the APPLY half of d10 (Lee et al.'s
     * actual transform): every token covered by a [[SpanK]]-token window
@@ -221,12 +230,21 @@ object Dedup {
     * Scale shape: positional windows via the codegen'd non-distinct
     * [[graft.functions.GraftNgrams]] pass, reduced to 60-bit
     * fingerprints before shuffling (d10's trick); per-(doc, fingerprint)
-    * position lists aggregate on one shuffle, the cross-doc df/keeper
-    * ride a window over the COMPACT (doc, fp) frame (8-byte keys +
-    * short position arrays — the fat token text never enters either
-    * shuffle); masked positions explode only for DUP windows (~0 in a
-    * clean corpus); the final per-doc rebuild is the one inherent
-    * corpus-sized shuffle — masking rewrites the corpus by definition.
+    * position lists aggregate on one shuffle (8-byte keys + short
+    * position arrays — the fat token text never enters it). The
+    * cross-doc df/keeper is a partial-combining HashAggregate over the
+    * compact (doc, fp) frame (skew-free by decomposition), re-joined on
+    * fp via [[Skew.saltedJoin]]: a boilerplate fingerprint spreads over
+    * [[SpanSaltBuckets]] reducers BY CONSTRUCTION. Salting, not AQE, is
+    * load-bearing here: OptimizeSkewedJoin only rewrites a join whose
+    * shuffle stage sits DIRECTLY under its sorts, and the stats side's
+    * final aggregate breaks that pattern — so without the salt this
+    * join would pin a hot fingerprint to one reducer exactly like the
+    * former Window.partitionBy(fp) it replaces (whose partitions AQE
+    * cannot split either). Masked positions
+    * explode only for DUP windows (~0 in a clean corpus); the final
+    * per-doc rebuild is the one inherent corpus-sized shuffle —
+    * masking rewrites the corpus by definition.
     * Deterministic everywhere: position lists are sort_array'd, the
     * rebuild sorts by token position, so output is partitioning-
     * independent and the key hash-gates exactly. */
@@ -240,16 +258,22 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(GraftNgrams(s, col("text"), SpanK)).as(Seq("i", "g")))
       .select(col("doc_id"), col("i"), Text.hash60(col("g"), SpanSeed).as("f"))
-    // Per-(doc, f) position lists — ONE shuffle of compact rows; the
-    // distinct-doc df and keep-first keeper then ride a window over
-    // PARTITION BY f (one row per doc here, so count(*) = doc count).
+    // Per-(doc, f) position lists — ONE shuffle of compact rows (reused
+    // by both consumers below).
     val pg = pos.groupBy("doc_id", "f")
       .agg(sort_array(collect_list(col("i"))).as("ii"))
-    val wf = org.apache.spark.sql.expressions.Window.partitionBy("f")
-    val bad = pg
-      .withColumn("ndocs", count(lit(1)).over(wf))
-      .withColumn("keeper", min(col("doc_id")).over(wf))
-      .filter(col("ndocs") >= 2 && col("doc_id") =!= col("keeper"))
+    // One row per (doc, f), so count = distinct-doc df, min = keeper.
+    // Decomposable aggregate (skew-free partials); the join back spreads
+    // any hot fingerprint over SpanSaltBuckets reducers deterministically
+    // (AQE's skew split cannot rewrite this join — see the scaladoc).
+    // toDF re-aliases stats' columns: it shares lineage with pg, and a
+    // same-attribute join key would trip self-join ambiguity resolution.
+    val stats = pg.groupBy("f")
+      .agg(count(lit(1)).as("ndocs"), min(col("doc_id")).as("keeper"))
+      .filter(col("ndocs") >= 2L)
+      .select(col("f"), col("keeper")).toDF("f", "keeper")
+    val bad = Skew.saltedJoin(pg, stats, "f", col("doc_id"), SpanSaltBuckets)
+      .filter(col("doc_id") =!= col("keeper"))
     // Masked token positions: union of [i, i+K) over bad windows.
     val maskPos = bad
       .select(col("doc_id"), explode(col("ii")).as("i"))

@@ -266,4 +266,114 @@ class DedupSpec extends SparkSpecBase {
       .collect().head.getAs[Double]("jaccard")
     assert(jac < 0.2, s"jaccard=$jac should be diluted by the long doc")
   }
+
+  test("d10/d11: a corpus-wide boilerplate span never pins one task (skew-hardened)") {
+    import spark.implicits._
+    // Every doc opens with the SAME 8-token license header (one hot span
+    // fingerprint, df = nDocs) followed by 4 unique tokens — the exact
+    // shape that pinned the former Window.partitionBy(fingerprint) form:
+    // the hot fingerprint's whole occurrence list landed in ONE window
+    // task, and AQE's skew split cannot divide window partitions. The
+    // hardened forms must (a) keep the values exact and (b) spread every
+    // corpus-sized shuffle stage over tasks with no straggler. AQE
+    // thresholds scale down to test size (giant-component recipe);
+    // auto-broadcast off so the d11 stats join exercises the salted
+    // shuffle-join path rather than broadcasting the tiny stats side.
+    val n = 4000
+    val header = (1 to 8).map(i => s"lic$i").mkString(" ")
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit(header + " "),
+        concat_ws(" ", (1 to 4).map(j =>
+          concat(lit(s"u${j}_"), col("id"))): _*)).as("text"))
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    val reads = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        reads.synchronized {
+          if (t.taskMetrics != null)
+            reads += ((t.stageId, t.taskMetrics.shuffleReadMetrics.recordsRead))
+        }
+    }
+    // Shuffle bytes are lz4-compressed and the hot partition is highly
+    // repetitive (one fingerprint), so the skew threshold must sit well
+    // below the raw row volume for the split to trigger at test size.
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4KB")
+    // parallelismFirst coalesces to the core count (4 tasks here), which
+    // would let balanced background load mask a pinned hot partition in
+    // the per-task stats; size-targeted coalescing gives ~32 tasks and a
+    // mean sharp enough for the straggler bound below.
+    conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // The shared test session runs 4 shuffle partitions; a 4-way split
+    // cannot distinguish a pinned hot partition from balanced load.
+    conf.set("spark.sql.shuffle.partitions", "32")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // d10: per-doc stats. 12 tokens → 5 windows; window 0 is the hot
+      // header (df = n), windows 1-4 carry unique tokens (df = 1).
+      val stats = operators.Dedup.spanDupStats(spark, docs)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      assert(stats.size == n)
+      for ((id, (nSpans, nDup, nMasked, frac)) <- stats) {
+        assert(nSpans == 5L, s"doc $id n_spans")
+        assert(nDup == 1L, s"doc $id n_dup")
+        assert(nMasked == (if (id == 0L) 0L else 1L), s"doc $id n_masked")
+        assert(frac == 0.2, s"doc $id dup_frac")
+      }
+      // d11: every non-keeper doc gets its 8 header tokens masked.
+      val masked = operators.Dedup.spanMask(spark, docs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(masked.size == n)
+      assert(masked(0L)._1 == 0L && masked(0L)._2.startsWith(header),
+        "keeper doc 0 stays unmasked")
+      for (id <- 1L until n.toLong) {
+        assert(masked(id)._1 == 8L, s"doc $id masked-token count")
+        assert(masked(id)._2.startsWith(("[DUP] " * 8).trim),
+          s"doc $id header must be masked")
+      }
+    } finally {
+      var last = -1
+      var spins = 0
+      while (reads.synchronized(reads.size) != last && spins < 20) {
+        last = reads.synchronized(reads.size); spins += 1; Thread.sleep(250)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach { case (k, v) => conf.set(k, v) }
+    }
+    // The straggler bound. The hot fingerprint has n = 4000 occurrences;
+    // the former window form shuffle-read all of them in one task. The
+    // hardened forms bound any single task's read strictly below the hot
+    // occurrence count: d10's df/keeper partials collapse the hot span
+    // map-side, and d11's stats join splits under AQE. (Collect-stage
+    // driver reads are not shuffle reads, so the assertion sees only the
+    // real exchanges.)
+    val byStage = reads.synchronized(reads.toList).groupBy(_._1).toList.sortBy(_._1)
+      .map { case (st, ts) => (st, ts.size, ts.map(_._2).max, ts.map(_._2).sum) }
+    info(byStage.map { case (st, k, mx, tot) => s"stage $st: $k tasks max $mx tot $tot" }
+      .mkString("; "))
+    assert(byStage.nonEmpty, "listener captured no tasks")
+    assert(byStage.exists(_._4 >= n), "expected at least one corpus-sized shuffle stage")
+    // A task holding the whole hot occurrence list reads ~n records plus
+    // its balanced share — ≥ 9x the stage mean here — while the hardened
+    // plans stay within ~2x of the mean (map-side partials for d10,
+    // salt-bucket spreading for d11's stats join, hash-balanced doc keys
+    // in the rebuild).
+    for ((st, nTasks, mx, tot) <- byStage if tot >= n) {
+      assert(nTasks >= 4, s"stage $st: $tot records ran as only $nTasks tasks")
+      assert(mx <= 5L * tot / nTasks, s"stage $st: one task shuffle-read $mx of $tot " +
+        s"records across $nTasks tasks — the boilerplate fingerprint pinned a reducer")
+    }
+  }
 }
