@@ -10,10 +10,10 @@ import graft.functions.{CosineSimilarity, GraftNgrams, GraftShingles, Text}
   * Scale design (SURVEY §5): nothing here is O(n²) except the exact
   * verifiers that run AFTER a candidate generator has cut the space —
   *  - d01: one hash shuffle with map-side partial aggregation.
-  *  - d02: inverted-index self-join shuffled BY SHINGLE (never all-pairs);
-  *    intersection sizes fall out of the join group counts. At corpus
-  *    scale, add a document-frequency cutoff on the index (stop-shingles)
-  *    — the LSH operators below are the unconditional scale path.
+  *  - d02: inverted-index self-join shuffled BY SHINGLE (never all-pairs)
+  *    under the stop-shingle df cutoff; intersection sizes fall out of
+  *    the join group counts. The LSH operators below are the
+  *    unconditional scale path.
   *  - d03: MinHash signatures are one map-side pass (O(n·k) md5s), the
   *    shuffle key is (band, band-signature), and exact Jaccard runs only
   *    on within-bucket candidate pairs.
@@ -71,35 +71,55 @@ object Dedup {
   def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(shingled(s, d), threshold = 0.5, maxDf = Some(NgramMaxDf))
 
-  /** Inverted index (doc_id, |shingles|, shingle) with the optional
-    * stop-shingle df cutoff — shared by d02 (Jaccard) and d08
-    * (containment). */
-  private def invertedIndex(sh: DataFrame, maxDf: Option[Int]): DataFrame = {
-    val exploded = sh
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    maxDf.fold(exploded) { cap =>
-      // Single-pass cutoff: count(*) OVER (PARTITION BY shingle) rides the
-      // same shuffle-by-shingle the self-join needs anyway — no second
-      // shingling scan, no separate aggregate + anti-join (which doubled
-      // d02's cost when wired that way).
+  /** Candidate pair rows (id_a, na, id_b, nb), one per shared indexed
+    * shingle, id_a < id_b — shared by d02 (Jaccard) and d08
+    * (containment).
+    *
+    * With a df cap (the cataloged form), the cutoff is count(*) OVER
+    * (PARTITION BY shingle) riding the same shuffle-by-shingle the
+    * self-join needs anyway. This is the ONE deliberately-allowlisted
+    * unbounded window partition in the catalog (PlanAuditSpec): a
+    * stop-shingle's occurrence list does land in a single window task,
+    * which streams it with O(1) aggregation state and drops it at the
+    * cap filter — a bounded, named straggler. The skew-free
+    * alternatives were built and measured at sf1 (warm, this round)
+    * and all lose at every measured SF:
+    *  - bounded-collect posting arrays (MinKPairs cap+1 per shingle,
+    *    pairs from array suffixes): 11.8 s vs 4.1 s — ObjectHashAggregate
+    *    sort-fallback at tens of millions of tiny groups;
+    *  - partial-agg stop list + broadcast anti-join (map-side drop):
+    *    26-30 s — the exact-df aggregate at full shingle cardinality is
+    *    itself sort/spill-bound, and it double-evaluates the shingling
+    *    (the same shape that doubled d02's cost in an earlier round).
+    * The window's marginal cost over the join's own sort is ~zero; at
+    * 100 TB the straggler is one linear spill-sort of the hot list,
+    * strictly cheaper than every alternative measured. Without a cap
+    * (spec/diagnostic paths) the index is the plain exploded self-join —
+    * unbounded by request.
+    */
+  private def candidatePairs(sh: DataFrame, maxDf: Option[Int]): DataFrame = {
+    val exploded = sh.select(col("doc_id"),
+      size(col("sh")).cast("bigint").as("n_sh"), explode(col("sh")).as("s"))
+    val inv = maxDf.fold(exploded) { cap =>
       val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
       exploded.withColumn("df", count(lit(1)).over(w))
         .filter(col("df") <= cap)
         .select("doc_id", "n_sh", "s")
     }
+    val a = inv.toDF("id_a", "na", "s")
+    val b = inv.toDF("id_b", "nb", "s2")
+    a.join(b, col("s") === col("s2") && col("id_a") < col("id_b"))
+      .select("id_a", "na", "id_b", "nb")
   }
 
   def ngramJaccardPairs(sh: DataFrame, threshold: Double,
                         maxDf: Option[Int]): DataFrame = {
-    val inv = invertedIndex(sh, maxDf)
-    val a = inv.toDF("id_a", "na", "s")
-    val b = inv.toDF("id_b", "nb", "s2")
     // Length filter (PPJoin-family): j >= t needs |A∩B| >= t/(1+t)·(na+nb)
     // and |A∩B| <= min(na,nb), which together force min >= t·max. Applied
-    // inside the join it prunes candidate rows BEFORE the pair-count
-    // shuffle; the result set is provably unchanged.
-    a.join(b, col("s") === col("s2") && col("id_a") < col("id_b") &&
-        col("na").cast("double") >= col("nb") * threshold &&
+    // on the candidate rows it prunes BEFORE the pair-count shuffle; the
+    // result set is provably unchanged.
+    candidatePairs(sh, maxDf)
+      .filter(col("na").cast("double") >= col("nb") * threshold &&
         col("nb").cast("double") >= col("na") * threshold)
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
@@ -126,10 +146,7 @@ object Dedup {
   /** [[d08Containment]] over any (doc_id, sh) frame. */
   def containmentPairs(sh: DataFrame, threshold: Double,
                        maxDf: Option[Int]): DataFrame = {
-    val inv = invertedIndex(sh, maxDf)
-    val a = inv.toDF("id_a", "na", "s")
-    val b = inv.toDF("id_b", "nb", "s2")
-    a.join(b, col("s") === col("s2") && col("id_a") < col("id_b"))
+    candidatePairs(sh, maxDf)
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),

@@ -61,4 +61,65 @@ class PlanAuditSpec extends SparkSpecBase {
         s"$name contains BroadcastNestedLoopJoin")
     }
   }
+
+  test("no production plan windows over an unbounded partition key") {
+    // AQE can split a skewed shuffle-join partition but NEVER a window
+    // partition: a Window.partitionBy(k) where one k-value's row count
+    // grows with the corpus pins that value's entire occurrence list in
+    // one task at scale. This killed the first q22/s02 shapes (rewritten
+    // to (user, bucket) windows) and round 8's d10/d11 (rewritten to
+    // decomposable aggregates + a salted join). Every production window
+    // must either partition by a set containing a bounded-cardinality
+    // bucketing component, or be allowlisted here with a justification.
+    //
+    // Generic pass: "bkt" (q22/s02 time buckets), "shard" (x02's fixed
+    // shard count), "__salt" (Skew.saltedJoin buckets).
+    val bucketed = Set("bkt", "shard", "__salt")
+    // Allowlisted (query, partition-key-set) pairs:
+    //  - d02/d08 {s}: the stop-shingle df cutoff rides the self-join's
+    //    own shuffle as count(*) over the shingle partition. A
+    //    stop-shingle streams through ONE window task with O(1) state
+    //    and is dropped at the cap filter — a bounded, named straggler,
+    //    accepted on measurement: the skew-free forms (bounded-collect
+    //    postings; partial-agg stop list + broadcast anti-join) were
+    //    built and measured 2.6-6x slower at sf1 warm (see the
+    //    candidatePairs scaladoc, Dedup.scala).
+    //  - q12 {o_custkey}: rows per customer are bounded by construction
+    //    in TPC-H-style data — the customer count scales WITH the
+    //    corpus, orders-per-customer stays constant.
+    //  - q22/s02 {user_id}: the boundary-stitch windows run over frames
+    //    pre-compacted to one row per (user, bucket) — input is orders
+    //    of magnitude smaller than the event log, bounded by the time
+    //    extent, not the corpus.
+    val allowlisted: Map[String, Set[Set[String]]] = Map(
+      "d02_ngram_jaccard" -> Set(Set("s")),
+      "d08_containment" -> Set(Set("s")),
+      "q12_window_topn" -> Set(Set("o_custkey")),
+      "q22_asof_join" -> Set(Set("user_id")),
+      "s02_sessionize" -> Set(Set("user_id")))
+    val seen = scala.collection.mutable.Set.empty[(String, Set[String])]
+    for ((name, _) <- Queries.production) {
+      val windows = operators(name).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+          w.partitionSpec
+      }
+      for (spec <- windows) {
+        val keys = spec.flatMap(_.references.map(_.name)).toSet
+        seen += ((name, keys))
+        val ok = keys.exists(bucketed) ||
+          allowlisted.getOrElse(name, Set.empty).contains(keys)
+        assert(ok, s"$name windows over partition key set $keys — no bounded " +
+          "bucketing component and not allowlisted; an unbounded hot key pins " +
+          "one task at scale (AQE cannot split window partitions)")
+      }
+    }
+    // Vacuity guard: the audit must actually be seeing the known windows —
+    // if the node match or key extraction silently broke, fail loudly.
+    assert(seen.contains(("d02_ngram_jaccard", Set("s"))) &&
+      seen.contains(("q12_window_topn", Set("o_custkey"))) &&
+      seen.exists { case (n, k) => n == "x02_seq_pack" && k.contains("shard") },
+      s"expected known windows not observed — audit is blind; saw: $seen")
+  }
 }
