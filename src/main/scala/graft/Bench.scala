@@ -9,8 +9,41 @@ package graft
   * row and column is computed and serialized, nothing lands on disk. One
   * untimed warmup pass absorbs session/codegen/JIT startup; the reported
   * numbers are the steady-state second pass.
+  *
+  * Full-catalog runs ALSO write the JSON line to BENCH_LOCAL_r{n}.json
+  * in the working directory (round = 1 + the highest CORRECTNESS_r{n}
+  * present, i.e. the round in progress; override the path with
+  * SPARK_GRAFT_BENCH_OUT). The driver's BENCH_r{n}.json capture
+  * truncates long stdout tails, which starved tools/bench_diff.py —
+  * the committed artifact is the self-contained record. Key-filtered
+  * dev runs never write it (a partial catalog must not masquerade as
+  * the round's record).
   */
 object Bench {
+
+  private def artifactPath(): String =
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      val cwd = new java.io.File(".")
+      val rounds = Option(cwd.list()).toSeq.flatten
+        .flatMap { n =>
+          val m = "CORRECTNESS_r(\\d+)\\.json".r.findFirstMatchIn(n)
+          m.map(_.group(1).toInt)
+        }
+      val r = if (rounds.isEmpty) 0 else rounds.max + 1
+      f"BENCH_LOCAL_r$r%02d.json"
+    }
+
+  private def writeArtifact(line: String): Unit = {
+    val p = artifactPath()
+    try {
+      val w = new java.io.PrintWriter(p)
+      try w.println(line) finally w.close()
+      System.err.println(s"[bench] wrote $p")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -41,7 +74,9 @@ object Bench {
       }.mkString("{", ",", "}")
       val failures = results.collect { case (k, None) => "\"" + k + "\"" }
       val total = results.flatMap(_._2).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"cold","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"cold","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      println(line)
+      if (keyArgs.isEmpty) writeArtifact(line)
       spark.stop(); return
     }
     names.foreach(materialize) // warmup: codegen + JIT + file-footer caches
@@ -59,7 +94,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val failures = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(line)
+    if (keyArgs.isEmpty) writeArtifact(line)
     spark.stop()
   }
 }

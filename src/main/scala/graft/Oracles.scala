@@ -665,6 +665,12 @@ object Oracles {
         s"""WITH $d03Ctes
            |SELECT id_a, id_b, jaccard FROM d03pairs ORDER BY id_a, id_b""".stripMargin,
 
+      // s05's emitted pair set == batch d03 (the streaming parity the
+      // spec asserts per-micro-batch) — its oracle is d03's verbatim.
+      "s05_stream_neardup" ->
+        s"""WITH $d03Ctes
+           |SELECT id_a, id_b, jaccard FROM d03pairs ORDER BY id_a, id_b""".stripMargin,
+
       "d06_dup_groups" -> d06Sql(d03Ctes),
 
       // d09's oracle IS d06's from-scratch SQL: the Spark side ingests
@@ -954,6 +960,52 @@ object Oracles {
            |  ROUND(CAST(p.n AS DOUBLE) / n_vecs, 6) AS purity
            |FROM tot t JOIN top p ON p.cell = t.cell AND p.rr = 1
            |ORDER BY cell""".stripMargin,
+
+      // d12 (here, not the dedup block: it composes e03's Lloyd CTEs):
+      // d05's verified pair set -> connected components (d06's recursive
+      // CTE over embedding vertices) -> SemDeDup keeper = the group
+      // member with the highest 6-dp cosine to its assigned trained
+      // centroid, ties to the lowest vec_id (mirrors Spark's max_by
+      // over (cscore, -id)).
+      "d12_semantic_groups" ->
+        s"""WITH RECURSIVE bands AS (
+           |${rhpBandsSql(rhpBits)}),
+           |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           |         FROM bands x JOIN bands y
+           |         ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+           |d12p AS (SELECT id_a, id_b FROM (
+           |  SELECT id_a, id_b, ROUND(${cosRaw("a.embedding", "b.embedding")}, 6) AS cosine
+           |  FROM cand JOIN embeddings a ON a.vec_id = id_a
+           |            JOIN embeddings b ON b.vec_id = id_b)
+           |  WHERE cosine >= 0.45),
+           |edges AS (SELECT id_a AS ea, id_b AS eb FROM d12p
+           |          UNION ALL SELECT id_b, id_a FROM d12p),
+           |reach(rid, lbl) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON r.rid = e.ea),
+           |lab AS (SELECT rid AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY rid),
+           |cent0 AS (
+           |  SELECT CAST(vec_id AS INT) AS cell,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM embeddings WHERE vec_id < $KmeansCells),
+           |trainset AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
+           |$lloyd,
+           |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
+           |cs AS (SELECT e.vec_id, ROUND(${cosRaw("e.embedding", "c.cv")}, 6) AS cscore
+           |       FROM embeddings e JOIN m${KmeansIters + 1} mf USING (vec_id)
+           |       JOIN cent$KmeansIters c ON c.cell = mf.cell),
+           |mm AS (SELECT l.vec_id, l.group_id, cs.cscore FROM lab l JOIN cs USING (vec_id)),
+           |gs AS (SELECT group_id, COUNT(*) AS group_size FROM mm GROUP BY 1),
+           |kp AS (SELECT group_id, vec_id AS keeper_id FROM (
+           |        SELECT group_id, vec_id,
+           |          ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY cscore DESC, vec_id) AS rr
+           |        FROM mm) WHERE rr = 1)
+           |SELECT mm.vec_id, mm.group_id, gs.group_size, mm.cscore,
+           |  kp.keeper_id, mm.vec_id = kp.keeper_id AS is_keeper
+           |FROM mm JOIN gs USING (group_id) JOIN kp USING (group_id)
+           |ORDER BY mm.vec_id""".stripMargin,
 
       "e01_knn_brute" ->
         s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),

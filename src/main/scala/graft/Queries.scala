@@ -77,6 +77,9 @@ object Queries {
     "d08_containment"      -> (Dedup.d08Containment _),
     "d10_span_dup"         -> (Dedup.d10SpanDup _),
     "d11_span_mask"        -> (Dedup.d11SpanMask _),
+    // d12 rides d05's calibrated pair set (same band-width threading).
+    "d12_semantic_groups"  -> ((s, d) =>
+      Dedup.d12SemanticGroups(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
@@ -92,6 +95,9 @@ object Queries {
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
     "s04_stream_enrich"    -> (EventOps.s04StreamEnrich _),
+    // s05 runs the actual streaming query to completion (memory sink)
+    // and returns the emitted pair set — gated against d03's oracle.
+    "s05_stream_neardup"   -> (graft.streaming.StreamOps.s05StreamNearDup _),
     "x01_hash_sample"      -> (Sampling.x01HashSample _),
     "x04_quota_sample"     -> (Sampling.x04QuotaSample _),
     "x05_strat_split"      -> (Sampling.x05StratSplit _),
@@ -148,6 +154,7 @@ object Queries {
     "d08_containment"      -> Seq("id_a", "id_b"),
     "d10_span_dup"         -> Seq("doc_id"),
     "d11_span_mask"        -> Seq("doc_id"),
+    "d12_semantic_groups"  -> Seq("vec_id"),
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),
@@ -162,6 +169,7 @@ object Queries {
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),
     "s04_stream_enrich"    -> Seq("win_start", "segment", "event_type"),
+    "s05_stream_neardup"   -> Seq("id_a", "id_b"),
     "x01_hash_sample"      -> Seq("doc_id"),
     "x04_quota_sample"     -> Seq("source", "doc_id"),
     "x05_strat_split"      -> Seq("doc_id"),

@@ -504,6 +504,40 @@ object Dedup {
   def connectedComponents(verts: DataFrame, edges: DataFrame): DataFrame =
     connectedComponentsWithRounds(verts, edges)._1
 
+  /** d12: embedding-space duplicate GROUP RESOLUTION with the SemDeDup
+    * keeper rule (Abbas et al. 2023, "SemDeDup") — the APPLY half that
+    * acts on d05's verified cosine pairs, completing the e07 posture:
+    * connected components over the pair graph ([[connectedComponents]],
+    * d06's machinery reused), then per group keep the member with the
+    * HIGHEST cosine to its assigned coarse centroid
+    * ([[Similarity.centroidAffinity]], e03's trained quantizer) — the
+    * member that best represents the semantic cluster — rather than
+    * d06's min-id convention. Ties break to the lowest vec_id (max_by
+    * over (cscore, -id); scores are 6-dp-rounded, mirrored exactly by
+    * the oracle's ROW_NUMBER ORDER BY cscore DESC, vec_id).
+    *
+    * Scale shape: pairs are d05's banded-LSH candidates (never
+    * all-pairs), CC iterates only edge-incident vertices, the centroid
+    * table broadcasts (<= 16 rows), and keeper/size are decomposable
+    * aggregates over the label frame; the final size/keeper join-back
+    * by label matches d06's accepted shape. */
+  def d12SemanticGroups(s: SparkSession, d: String,
+                        bits: Int = Similarity.RhpBits): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val pairs = d05EmbeddingDedup(s, d, bits).select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(e.select(col("vec_id").as("id")), pairs)
+    val m = labels.join(Similarity.centroidAffinity(s, e),
+        col("id") === col("vec_id"))
+      .select(col("id"), col("lbl"), col("cscore"))
+    val keepers = m.groupBy(col("lbl").as("klbl"))
+      .agg(count(lit(1)).as("group_size"),
+        max_by(col("id"), struct(col("cscore"), -col("id"))).as("keeper_id"))
+    m.join(keepers, col("lbl") === col("klbl"))
+      .select(col("id").as("vec_id"), col("lbl").as("group_id"),
+        col("group_size"), col("cscore"), col("keeper_id"),
+        (col("id") === col("keeper_id")).as("is_keeper"))
+  }
+
   /** [[connectedComponents]] plus the number of hop+compress rounds it
     * took to converge (including the final no-change round) — the
     * O(log diameter) claim is spec-asserted against this counter on an

@@ -556,6 +556,20 @@ object Similarity {
     * aggregates map-side — nothing shuffles at corpus volume except the
     * (cell, label) partial rows. Purity is rational (count / count,
     * round 6), so the key stays hash-gated exactly like e03. */
+  /** Per-vector cosine to its ASSIGNED coarse centroid under the trained
+    * quantizer ([[kmeansCentroids]] + [[kmeansAssign]]): (vec_id, cscore)
+    * rounded to 6 dp. The SemDeDup keeper signal — d12 keeps the group
+    * member with the highest affinity to its semantic cluster center.
+    * One broadcast of the <= KmeansCells-row centroid table; the corpus
+    * is scanned once. */
+  def centroidAffinity(s: SparkSession, e: DataFrame): DataFrame = {
+    val centroids = kmeansCentroids(s, e)
+    val cells = kmeansAssign(centroids, e)
+    e.join(cells, "vec_id").join(broadcast(centroids), "cell")
+      .select(col("vec_id"),
+        round(CosineSimilarity(s, col("embedding"), col("cv")), 6).as("cscore"))
+  }
+
   def e07ClusterStats(s: SparkSession, d: String): DataFrame = {
     val full = Tables.embeddings(s, d)
     val e = full.select(col("vec_id"), col("embedding"))

@@ -55,6 +55,31 @@ object StreamOps {
         sessionizeGroup)
   }
 
+  /** s05 as a GATED catalog key: run [[nearDupStream]] over the
+    * documents table via a bounded file-stream read, drain it to
+    * completion, and return the emitted pair set (pair-deduped — a pair
+    * fires once per shared band bucket). The result equals batch d03's
+    * exactly, so the oracle is d03's SQL verbatim and the stream's END
+    * STATE is hash-gated like every other catalog key; the cross-batch
+    * and checkpoint-restart semantics stay spec-gated
+    * (StreamNearDupSpec). The memory sink holds only verified pairs
+    * (corpus-sparse); the blocking drain is the gate harness — a
+    * production deployment keeps the query running. */
+  def s05StreamNearDup(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "s05_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = nearDupStream(src).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).select(col("id_a"), col("id_b"), col("jaccard")).distinct()
+  }
+
   /** STREAMING banded near-dup — d03's MinHash-LSH dedup as documents
     * ARRIVE: each doc's 4 band signatures key it into stateful buckets
     * (flatMapGroupsWithState); a new arrival exact-verifies (Jaccard >=

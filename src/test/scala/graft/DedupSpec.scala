@@ -182,6 +182,32 @@ class DedupSpec extends SparkSpecBase {
     assert(out.count(_._4) == bySize.size, "exactly one keeper per group")
   }
 
+  test("d12 catalog entry: SemDeDup keeper is the group member nearest its centroid") {
+    val out = Queries.production("d12_semantic_groups")(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("group_id"),
+        r.getAs[Long]("group_size"), r.getAs[Double]("cscore"),
+        r.getAs[Long]("keeper_id"), r.getAs[Boolean]("is_keeper")))
+    assert(out.length == Tables.embeddings(spark, sf001).count(),
+      "every embedding gets a group verdict")
+    val lbl = out.map(t => t._1 -> t._2).toMap
+    // every d05 pair lands in one group (transitivity over cosine pairs)
+    val pairs = Queries.production("d05_embedding_dedup")(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty, "fixture needs real embedding near-dup pairs")
+    for ((a, b) <- pairs) assert(lbl(a) == lbl(b), s"pair ($a,$b) split across groups")
+    for ((g, members) <- out.groupBy(_._2)) {
+      assert(g == members.map(_._1).min, "group label is the component minimum")
+      val expect = members.maxBy(m => (m._4, -m._1))._1
+      assert(members.forall(_._5 == expect),
+        s"group $g keeper must be argmax cscore (tie: min id), got ${members.head._5}")
+      assert(members.forall(m => m._6 == (m._1 == m._5)))
+      assert(members.forall(_._3 == members.length), s"group $g size mismatch")
+    }
+    // the keeper rule differs from d06's min-id convention somewhere in a
+    // multi-member group, or the SemDeDup half would be vacuous here
+    assert(out.exists(m => m._3 > 1), "fixture needs a multi-member group")
+  }
+
   test("d06-style resolution is generic: resolves d05 embedding pairs too") {
     import spark.implicits._
     val pairs = Queries.production("d05_embedding_dedup")(spark, sf001)

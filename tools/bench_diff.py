@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
-"""Per-key bench regression diff: BENCH_r{n}.json vs BENCH_r{n-1}.json.
+"""Per-key bench regression diff between two rounds.
 
-The driver wraps graft.Bench's one-line JSON in {n, rc, cpus, sf, tail,
-parsed}; `parsed` is often null because the sbt tail holds extra lines, so
-we re-extract the bench line from `tail`. Usage:
+Per round, prefers the self-contained BENCH_LOCAL_r{n}.json that
+graft.Bench writes (and the round commits), falling back to the driver's
+BENCH_r{n}.json capture — the latter wraps the one-line JSON in {n, rc,
+cpus, sf, tail, parsed} and truncates long tails (r8 lost d01-d03 that
+way), so the committed artifact is authoritative. Usage:
 
     python3 tools/bench_diff.py            # latest two rounds in repo root
     python3 tools/bench_diff.py 6 7        # explicit rounds
@@ -42,8 +44,26 @@ def load(path):
         if isinstance(obj, dict) and "queries" in obj:
             best = obj
     if best is None:
+        # Truncated capture (the r8 failure mode: tail clipped at the
+        # FRONT, losing the "queries":{ opener and the first keys).
+        # Recover the surviving catalog-key-shaped pairs so the diff
+        # still reports on the intersection; clipped keys go missing.
+        qs = {m.group(1): float(m.group(2))
+              for m in re.finditer(r'"([a-z]\d{2}_\w+)":([0-9.]+)', tail)}
+        if qs:
+            print(f"# WARNING: {os.path.basename(path)} is truncated; "
+                  f"recovered {len(qs)} keys (prefer BENCH_LOCAL_r*.json)")
+            return {"queries": qs}
         sys.exit(f"no bench JSON line found in {path}")
     return best
+
+
+def round_file(root, n):
+    """Committed graft.Bench artifact if present, else the driver capture."""
+    local = os.path.join(root, "BENCH_LOCAL_r{:02d}.json".format(n))
+    if os.path.exists(local):
+        return local
+    return os.path.join(root, "BENCH_r{:02d}.json".format(n))
 
 
 def resolve(args, root):
@@ -54,18 +74,22 @@ def resolve(args, root):
     if any(not a.isdigit() for a in args):
         sys.exit(f"unusable args {args}: pass two existing files, two round "
                  "numbers, or nothing (latest two rounds)")
-    rounds = sorted(
+    if len(args) == 1:
+        # One round number is ambiguous (vs what?) — and used to fall
+        # through to the latest-two branch, silently ignoring it.
+        sys.exit(f"single round {args[0]} is ambiguous: pass two rounds, "
+                 "two files, or nothing (latest two rounds)")
+    rounds = sorted({
         int(m.group(1))
-        for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p)))
+        for p in glob.glob(os.path.join(root, "BENCH*_r*.json"))
+        if (m := re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", p))})
     if len(args) == 2:
         a, b = int(args[0]), int(args[1])
     elif len(rounds) >= 2:
         a, b = rounds[-2], rounds[-1]
     else:
-        sys.exit("need at least two BENCH_r*.json rounds")
-    fmt = os.path.join(root, "BENCH_r{:02d}.json")
-    return fmt.format(a), fmt.format(b)
+        sys.exit("need at least two bench rounds (BENCH_LOCAL_r*/BENCH_r*)")
+    return round_file(root, a), round_file(root, b)
 
 
 def main():
