@@ -42,9 +42,17 @@ object IncBench {
     val d09m = marginal(Incremental.mergeFromState(spark, sfDir, s"$stateDir/groups", mod))
     val d09d = marginal(Incremental.mergeDeltaFromState(spark, sfDir, s"$stateDir/groups", mod))
     val e06m = marginal(Incremental.appendFromState(spark, sfDir, s"$stateDir/ann", mod))
+    // Write volume of the delta form (the rows a daily upsert actually
+    // lands) vs the full merge's obligatory corpus rewrite — the claim
+    // BENCH.md's marginal table tracks per batch fraction.
+    val deltaRows =
+      Incremental.mergeDeltaFromState(spark, sfDir, s"$stateDir/groups", mod).count()
+    val fullRows =
+      Incremental.mergeFromState(spark, sfDir, s"$stateDir/groups", mod).count()
     println(s"""{"metric":"incremental_marginal","unit":"sec","sf":"$sfDir","mod":$mod,""" +
       s""""build_group_state":$tGroup,"build_index_state":$tIndex,""" +
-      s""""d09_marginal":$d09m,"d09_delta_marginal":$d09d,"e06_marginal":$e06m}""")
+      s""""d09_marginal":$d09m,"d09_delta_marginal":$d09d,"e06_marginal":$e06m,""" +
+      s""""d09_delta_rows":$deltaRows,"d09_full_rows":$fullRows}""")
     spark.stop()
   }
 }

@@ -727,7 +727,8 @@ object Oracles {
     * so its oracle mirrors the bucketing exactly (rhpBandsSql) and even
     * the "approximate" query is hash-gated; its recall vs e01 is
     * additionally spec-tested. */
-  def similarity(rhpBits: Int = graft.operators.Similarity.RhpBits): Map[String, String] = {
+  def similarity(rhpBits: Int = graft.operators.Similarity.RhpBits,
+                 pqShortlist: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
     val cosQC =
       """list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)))
         |   / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE))))
@@ -767,7 +768,7 @@ object Oracles {
     // PqSubDim-dim slice (sl$m = embedding[lo:hi], 1-based inclusive —
     // Spark's slice(embedding, lo, PqSubDim)). cosRawN is cosRaw at
     // slice width.
-    import graft.operators.Similarity.{PqM, PqSubDim, PqShortlist}
+    import graft.operators.Similarity.{PqM, PqSubDim}
     def cosRawN(a: String, b: String, n: Int): String =
       s"list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))" +
         s" / (sqrt(list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE))))" +
@@ -840,7 +841,7 @@ object Oracles {
            |  JOIN rec r ON r.vec_id = mf.vec_id AND r.vec_id <> p.q_id),
            |short AS (SELECT q_id, c_id FROM (
            |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
-           |    FROM adc) WHERE rr <= $PqShortlist),
+           |    FROM adc) WHERE rr <= $pqShortlist),
            |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
            |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
            |r2 AS (SELECT q_id, c_id, cosine,
@@ -883,7 +884,7 @@ object Oracles {
            |  JOIN rec r ON r.vec_id = mf.vec_id AND r.vec_id <> p.q_id),
            |short AS (SELECT q_id, c_id FROM (
            |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
-           |    FROM adc) WHERE rr <= $PqShortlist),
+           |    FROM adc) WHERE rr <= $pqShortlist),
            |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
            |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
            |r2 AS (SELECT q_id, c_id, cosine,
@@ -903,7 +904,7 @@ object Oracles {
            |  FROM q, rec r WHERE r.vec_id <> q.q_id),
            |short AS (SELECT q_id, c_id FROM (
            |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
-           |    FROM adc) WHERE rr <= $PqShortlist),
+           |    FROM adc) WHERE rr <= $pqShortlist),
            |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
            |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
            |r2 AS (SELECT q_id, c_id, cosine,
@@ -1246,9 +1247,13 @@ object Oracles {
   }
 
   /** Full oracle map. `rhpBits` must match the band width the cataloged
-    * d05/e02 plans will actually use at the SF being verified —
-    * [[graft.Verify]] passes Similarity.calibratedRhpBits(sfDir). */
-  def all(rhpBits: Int = graft.operators.Similarity.RhpBits): Map[String, String] =
-    core ++ text ++ dedup(rhpBits) ++ similarity(rhpBits) ++
+    * d05/e02 plans will actually use at the SF being verified, and
+    * `pqShortlist` the ADC shortlist depth of e04/e05/e06 —
+    * [[graft.Verify]] passes Similarity.calibratedRhpBits /
+    * calibratedPqShortlist(sfDir); both floor at the catalog defaults
+    * at the gate SFs (OracleContractSpec). */
+  def all(rhpBits: Int = graft.operators.Similarity.RhpBits,
+          pqShortlist: Int = graft.operators.Similarity.PqShortlist): Map[String, String] =
+    core ++ text ++ dedup(rhpBits) ++ similarity(rhpBits, pqShortlist) ++
       eventsAndMedia ++ curation ++ x03Sql
 }

@@ -84,9 +84,18 @@ object Queries {
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
-    "e04_pq_ann"           -> (Similarity.e04PqAnn _),
-    "e05_ivfpq"            -> (Similarity.e05IvfPq _),
-    "e06_index_append"     -> (Incremental.e06IndexAppend _),
+    // e04/e05/e06 scale their ADC shortlist with the corpus
+    // (Similarity.scaledPqShortlist): a fixed shortlist is a shrinking
+    // fraction of the candidate pool and PQ noise evicts true
+    // neighbours before the exact re-rank (e05 recall@10 at sf10:
+    // 0.018 fixed -> 0.444 at n/20, measured curve in the scaladoc).
+    // Verify threads the same depth into the oracles.
+    "e04_pq_ann"           -> ((s, d) =>
+      Similarity.e04PqAnn(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
+    "e05_ivfpq"            -> ((s, d) =>
+      Similarity.e05IvfPq(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
+    "e06_index_append"     -> ((s, d) =>
+      Incremental.e06IndexAppend(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "e07_cluster_stats"    -> (Similarity.e07ClusterStats _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),

@@ -19,22 +19,25 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
     * BOUND: this no-arg form embeds the CATALOG-DEFAULT RHP band width
-    * (Similarity.RhpBits = 4) in d05/e02's mirrors, while the cataloged
-    * plans calibrate width from the corpus count. The two agree exactly
-    * while calibration floors at the default — i.e. embeddings count
-    * n with floor(n / perBucket=50) <= 2^RhpBits = 16, so n <= 849
-    * (sf0.001 = 50, sf0.01 = 500: both safely under). At larger
-    * corpora use the
+    * (Similarity.RhpBits = 4) in d05/e02's mirrors and the default ADC
+    * shortlist (Similarity.PqShortlist) in e04/e05/e06's, while the
+    * cataloged plans calibrate both from the corpus count. They agree
+    * exactly while calibration floors at the defaults — i.e. embeddings
+    * count n with floor(n / perBucket=50) <= 2^RhpBits = 16, so n <= 849
+    * (sf0.001 = 50, sf0.01 = 500: both safely under; the shortlist
+    * floor holds to n <= 6000). At larger corpora use the
     * SF-aware overload, as [[Verify]] (the only gate consumer) does;
     * OracleContractSpec asserts both facts. */
   def oracleSql: Map[String, String] = Oracles.all()
 
-  /** SF-aware oracle: d05/e02 size their RHP band width from the corpus
-    * count (Queries catalog ↔ Similarity.calibratedRhpBits), so the
-    * mirror SQL must embed the hyperplanes for the SAME width. Verify
-    * dumps this form; the no-arg [[oracleSql]] keeps the contract shape
-    * (and equals this one at the gate SFs, where calibration floors at
-    * the catalog default). */
+  /** SF-aware oracle: d05/e02 size their RHP band width and e04/e05/e06
+    * their ADC shortlist depth from the corpus count (Queries catalog ↔
+    * Similarity.calibratedRhpBits / calibratedPqShortlist), so the
+    * mirror SQL must embed the hyperplanes and shortlist for the SAME
+    * values. Verify dumps this form; the no-arg [[oracleSql]] keeps the
+    * contract shape (and equals this one at the gate SFs, where both
+    * calibrations floor at the catalog defaults). */
   def oracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
-    Oracles.all(operators.Similarity.calibratedRhpBits(spark, sfDir))
+    Oracles.all(operators.Similarity.calibratedRhpBits(spark, sfDir),
+      operators.Similarity.calibratedPqShortlist(spark, sfDir))
 }

@@ -288,7 +288,8 @@ object Incremental {
     * marginal cost a daily pipeline pays ([[IncBench]] prices this
     * against the self-contained e06). */
   def appendFromState(s: SparkSession, d: String, dir: String,
-                      mod: Int = IngestMod): DataFrame = {
+                      mod: Int = IngestMod,
+                      shortlist: Int = Similarity.PqShortlist): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val batch = e.filter(pmod(col("vec_id"), lit(mod)) === 0)
     val centroids = s.read.parquet(s"$dir/centroids")
@@ -296,7 +297,7 @@ object Incremental {
     val index = s.read.parquet(s"$dir/index")
       .select(col("cell"), col("c_id"), col("recon"))
     val combined = appendToIndex(s, index, centroids, codebooks, batch)
-    Similarity.e05FromIndex(s, e, centroids, combined)
+    Similarity.e05FromIndex(s, e, centroids, combined, shortlist)
   }
 
   /** e06: incremental ANN-index append as a gated key. Quantizers are
@@ -306,7 +307,8 @@ object Incremental {
     * index. The oracle mirrors base-only training + full-corpus encode
     * in SQL, so "append with frozen quantizers equals indexing the
     * combined corpus" is hash-checked, not assumed. */
-  def e06IndexAppend(s: SparkSession, d: String): DataFrame = {
+  def e06IndexAppend(s: SparkSession, d: String,
+                     shortlist: Int = Similarity.PqShortlist): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val isNew = pmod(col("vec_id"), lit(IngestMod)) === 0
     val base = e.filter(!isNew)
@@ -315,6 +317,6 @@ object Incremental {
     val codebooks = Similarity.pqCodebooks(s, base)
     val baseIndex = Similarity.e05IndexFrom(s, base, centroids, codebooks)
     val index = appendToIndex(s, baseIndex, centroids, codebooks, batch)
-    Similarity.e05FromIndex(s, e, centroids, index)
+    Similarity.e05FromIndex(s, e, centroids, index, shortlist)
   }
 }

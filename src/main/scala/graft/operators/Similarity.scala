@@ -73,16 +73,39 @@ object Similarity {
     * and the count re-runs — a path-keyed cache would silently keep the
     * stale band width while a freshly generated oracle counted anew,
     * desyncing plan and mirror. */
-  private val bitsCache = scala.collection.concurrent.TrieMap.empty[String, Int]
-  def calibratedRhpBits(s: SparkSession, d: String): Int = {
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def cachedEmbeddingCount(s: SparkSession, d: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val listing = fs.listStatus(p).map(f =>
       s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
       .sorted.mkString(",")
-    bitsCache.getOrElseUpdate(s"$d|${listing.hashCode}",
-      scaledRhpBits(Tables.embeddings(s, d).count()))
+    countCache.getOrElseUpdate(s"$d|${listing.hashCode}",
+      Tables.embeddings(s, d).count())
   }
+
+  def calibratedRhpBits(s: SparkSession, d: String): Int =
+    scaledRhpBits(cachedEmbeddingCount(s, d))
+
+  /** ADC shortlist depth scaled to the corpus. A FIXED shortlist is a
+    * shrinking fraction of the ADC pool as the corpus grows — 30 of
+    * ~500 candidates at the gate SF, 30 of ~37k at 200k vectors — and
+    * PQ quantization noise then evicts the true neighbours before the
+    * exact re-rank ever sees them: e05 recall@10 measured 0.018 at sf10
+    * under the catalog default. n/20 re-establishes the headroom —
+    * measured at sf10 on one shared index (ShortlistCurveMain): depth
+    * 1000 → 0.176, 2500 → 0.279, 5000 → 0.363, 10000 (= n/20) → 0.444,
+    * i.e. 88% of e03's 0.502 probe-set ceiling — while the exact
+    * re-rank touches 5% of the corpus' real vectors (~2 s of e01's
+    * ~40 s at sf10) and the scan half still reads only 4-byte codes.
+    * Floors at [[PqShortlist]], so gate-SF plans and oracles are
+    * unchanged (the d05/e02 calibration precedent,
+    * OracleContractSpec). */
+  def scaledPqShortlist(n: Long): Int =
+    math.max(PqShortlist, (n / 20L).toInt)
+
+  def calibratedPqShortlist(s: SparkSession, d: String): Int =
+    scaledPqShortlist(cachedEmbeddingCount(s, d))
 
   private def rounded(s: SparkSession, a: Column, b: Column): Column =
     round(CosineSimilarity(s, a, b), 6)
@@ -459,7 +482,8 @@ object Similarity {
         x => x.getField("cv")).as("parts"))
       .select(col("vec_id").as("c_id"), flatten(col("parts")).as("recon"))
 
-  def e04PqAnn(s: SparkSession, d: String): DataFrame = {
+  def e04PqAnn(s: SparkSession, d: String,
+               shortlist: Int = PqShortlist): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val recon = pqRecon(s, e)
     val q = e.filter(col("vec_id") % 100 === 0)
@@ -469,7 +493,7 @@ object Similarity {
     val short = broadcast(q).join(recon, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("recon")).as("adc"))
       .groupBy("q_id")
-      .agg(TopKByScore(s, struct(col("adc"), col("c_id")), PqShortlist).as("top"))
+      .agg(TopKByScore(s, struct(col("adc"), col("c_id")), shortlist).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.id").as("c_id"))
     // Exact re-rank: only shortlist rows ever touch real vectors.
@@ -489,10 +513,11 @@ object Similarity {
     * shortlist. Both halves are the deterministic Lloyd machinery, so
     * the composition stays exactly oracle-gated; recall vs e01 is
     * spec-asserted (LshRecallSpec) >= the product floor of its parts. */
-  def e05IvfPq(s: SparkSession, d: String): DataFrame = {
+  def e05IvfPq(s: SparkSession, d: String,
+               shortlist: Int = PqShortlist): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val centroids = kmeansCentroids(s, e)
-    e05FromIndex(s, e, centroids, e05Index(s, e, centroids))
+    e05FromIndex(s, e, centroids, e05Index(s, e, centroids), shortlist)
   }
 
   /** The PERSISTABLE IVF×PQ index: (cell, c_id, recon) — every corpus
@@ -523,7 +548,8 @@ object Similarity {
     * map-side pass over the cell-pruned index; only the
     * [[PqShortlist]]-deep shortlist touches real vectors. */
   def e05FromIndex(s: SparkSession, e: DataFrame, centroids: DataFrame,
-                   index: DataFrame): DataFrame = {
+                   index: DataFrame,
+                   shortlist: Int = PqShortlist): DataFrame = {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val probed = probedCells(s, q, centroids)
@@ -531,7 +557,7 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("recon")).as("adc"))
     val short = adc.groupBy("q_id")
-      .agg(TopKByScore(s, struct(col("adc"), col("c_id")), PqShortlist).as("top"))
+      .agg(TopKByScore(s, struct(col("adc"), col("c_id")), shortlist).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.id").as("c_id"))
     // Exact re-rank touches only shortlist vectors, as in e04.
