@@ -52,7 +52,16 @@ object Incremental {
     * and min-label merge over component representatives yields the
     * component-global min because each old label is already its
     * component's min. Hence CC(old pairs ∪ new pairs) == from-scratch
-    * CC on the combined corpus — the d09 oracle checks exactly this. */
+    * CC on the combined corpus — the d09 oracle checks exactly this.
+    *
+    * PRECONDITION (id-disjointness): the merge graph mixes old-label
+    * vertices and batch doc ids in one value space, so batch ids must
+    * not collide with existing ids (old labels are component-min doc
+    * ids, so disjoint doc-id spaces suffice). Every real ingest
+    * satisfies this — doc ids are assigned once, corpus-wide — and the
+    * gated mod-split does by construction (IncrementalSpec asserts it);
+    * feeding a batch that REUSES existing doc ids silently mislabels
+    * instead of erroring, so dedupe ids upstream first. */
   def ingestDupGroups(s: SparkSession, oldLabels: DataFrame,
                       oldBands: DataFrame, oldSh: DataFrame,
                       newIds: DataFrame, newSh: DataFrame,

@@ -92,17 +92,20 @@ object StreamOps {
     *
     * Scale shape: state is per-BUCKET (band-signature occupancy, the
     * same key d03 shuffles on), so a bucket's state is the corpus's
-    * band-collision fan-out, never the corpus; the state store
-    * (RocksDB-able, as in StreamRestartSpec) holds shingle sets for
-    * in-bucket verification — at 100 TB hold doc refs + minhash sigs
-    * instead and verify against the shingle store, the same
+    * band-collision fan-out, never the corpus, and per-bucket occupancy
+    * is hard-bounded ([[NearDupBucketCap]] — a bucket that hot is a
+    * degenerate band signature, the stop-shingle class); the state
+    * store (RocksDB-able, as in StreamRestartSpec) holds shingle sets
+    * for in-bucket verification — at 100 TB hold doc refs + minhash
+    * sigs instead and verify against the shingle store, the same
     * candidate-then-verify split as d03/d09. Signatures here use the
     * portable lambda form ([[graft.functions.Text.minhashSig]]) — fine
     * per arriving row; the batch path's relational aggregate stays the
     * hot-path form. A pair sharing several buckets is emitted once per
     * bucket; pair identity dedup is the consumer's `distinct` (or a
     * downstream dropDuplicates watermark state at scale). */
-  def nearDupStream(docs: DataFrame): Dataset[NearDupPair] = {
+  def nearDupStream(docs: DataFrame,
+                    bucketCap: Int = NearDupBucketCap): Dataset[NearDupPair] = {
     val s = docs.sparkSession
     import s.implicits._
     val sh = docs
@@ -117,16 +120,33 @@ object StreamOps {
       .as[BandedDoc]
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        nearDupGroup)
+        nearDupGroup(bucketCap))
   }
 
+  /** Hard bound on per-bucket state (docs retained per band-signature
+    * bucket). A bucket this hot is a DEGENERATE band signature — the
+    * streaming analog of d02's stop-shingles: each additional member
+    * costs O(|bucket|) verifies per arrival and ~KBs of state forever,
+    * while contributing ~no dedup signal of its own (its members still
+    * meet in their other 3 band buckets). Beyond the cap, arrivals
+    * still verify against the retained members (and emit any pairs)
+    * but are not added as future partners. Far above any occupancy the
+    * gate corpora produce (StreamNearDupSpec's d03 equality would fail
+    * if it ever bit there), so s05's hash gate is unaffected. */
+  val NearDupBucketCap = 4096
+
   /** Per-bucket transition: verify each arrival against bucket peers
-    * (exact Jaccard, round-6 like d03), then add it to the state. Docs
-    * are processed in doc_id order within a batch, so within-batch
-    * pairs are deterministic regardless of partition iteration order. */
-  private def nearDupGroup(bucket: String, it: Iterator[BandedDoc],
+    * (exact Jaccard, round-6 like d03), then add it to the state while
+    * the bucket is under [[NearDupBucketCap]]. Docs are processed in
+    * doc_id order within a batch, so within-batch pairs are
+    * deterministic regardless of partition iteration order. State grows
+    * without TTL by design — dedup is against ALL history; deployments
+    * wanting bounded-history dedup set a timeout at the sink contract
+    * instead of silently forgetting corpus here. */
+  private def nearDupGroup(cap: Int)(bucket: String, it: Iterator[BandedDoc],
       state: GroupState[List[BandedDoc]]): Iterator[NearDupPair] = {
     var seen = state.getOption.getOrElse(Nil)
+    var n = seen.size
     val out = Seq.newBuilder[NearDupPair]
     it.toSeq.sortBy(_.doc_id).foreach { d =>
       val a = d.sh.toSet
@@ -139,7 +159,7 @@ object StreamOps {
           out += NearDupPair(math.min(d.doc_id, o.doc_id),
             math.max(d.doc_id, o.doc_id), jr)
       }
-      seen = d :: seen
+      if (n < cap) { seen = d :: seen; n += 1 }
     }
     state.update(seen)
     out.result().iterator

@@ -98,6 +98,32 @@ class IncrementalSpec extends SparkSpecBase {
       "batch vectors present in the appended index")
   }
 
+  test("ingest precondition: gated mod-split base labels and batch ids are value-disjoint") {
+    // The merge graph mixes old-label vertices and batch doc ids in one
+    // value space (Incremental scaladoc precondition): old labels are
+    // component-min BASE doc ids (≢ 0 mod IngestMod) and batch ids are
+    // ≡ 0 — assert the disjointness the relabel maps rely on, so a
+    // future change to the split or the label convention fails loudly
+    // here instead of silently mislabeling.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf001).select(col("doc_id"))
+    val isNew = pmod(col("doc_id"), lit(Incremental.IngestMod)) === 0
+    val baseIds = docs.filter(!isNew).collect().map(_.getLong(0)).toSet
+    val batchIds = docs.filter(isNew).collect().map(_.getLong(0)).toSet
+    assert(batchIds.nonEmpty && baseIds.nonEmpty)
+    assert((baseIds & batchIds).isEmpty)
+    // labels of the base CC are base doc ids — the min-label convention
+    val pairs = operators.Dedup.d03MinhashLsh(spark, sf001)
+      .filter(!(col("id_a") % Incremental.IngestMod === 0) &&
+        !(col("id_b") % Incremental.IngestMod === 0))
+      .select("id_a", "id_b")
+    val verts = docs.filter(!isNew).select(col("doc_id").as("id"))
+    val lbls = operators.Dedup.connectedComponents(verts, pairs)
+      .collect().map(_.getLong(1)).toSet
+    assert(lbls.subsetOf(baseIds), "old labels must live in the base id space")
+    assert((lbls & batchIds).isEmpty, "label values must not collide with batch ids")
+  }
+
   test("d09 catalog output equals d06 on the same corpus (incremental == from-scratch)") {
     val d09 = Queries.production("d09_incremental_groups")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

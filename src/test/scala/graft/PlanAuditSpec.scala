@@ -52,10 +52,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // e04/e05/e06 join the allowlist for the same reason as e03: their
     // nested-loop sides are the 16-row codebook/centroid tables and the
     // n/100 query set (e06 is e05's machinery over an appended index;
-    // e07 profiles cells under the same <=16-row broadcast quantizer).
+    // e07 profiles cells under the same <=16-row broadcast quantizer;
+    // d12's keeper affinity reuses that same broadcast centroid table).
     val broadcastSmallByDesign =
       Set("e01_knn_brute", "e03_ivf_ann", "e04_pq_ann", "e05_ivfpq",
-        "e06_index_append", "e07_cluster_stats")
+        "e06_index_append", "e07_cluster_stats", "d12_semantic_groups")
     for ((name, _) <- Queries.production if !broadcastSmallByDesign(name)) {
       assert(!operators(name).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         s"$name contains BroadcastNestedLoopJoin")

@@ -88,4 +88,27 @@ class StreamNearDupSpec extends SparkSpecBase {
     // pre-restart bucket state restored from the checkpoint.
     assert(got.contains(batchPairs.head))
   }
+
+  test("bucket cap bounds state: beyond-cap arrivals verify but are not retained") {
+    // Five identical docs share every band bucket; at cap 3 only docs
+    // 1-3 are retained as future partners. Docs 4 and 5 still verify
+    // against the retained three (pairs to 1,2,3 emitted), but (4,5)
+    // is the documented loss — neither is in state when the other
+    // arrives. The degraded pair set is exactly C(5,2) minus (4,5).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupStream(stream.toDF.toDF("doc_id", "text"), bucketCap = 3)
+      .writeStream.format("memory").queryName("s_capped")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L to 5L).map(i => (i, text)))
+      q.processAllAvailable()
+      val got = spark.table("s_capped").select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val all = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSet
+      assert(got == all - ((4L, 5L)), s"capped pair set: $got")
+    } finally q.stop()
+  }
 }
