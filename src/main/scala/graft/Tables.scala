@@ -14,18 +14,35 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4 has
-    * no native type for. The session must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.local]] does;
-    * so do Bench/Verify) — we deliberately do NOT mutate session conf here.
-    * Exposes both `ts_ns` (exact bigint nanos) and `ts` (µs-truncated
-    * timestamp via exact integer division — double division would lose
-    * precision at 1e18 magnitudes). */
+  /** Schema-adaptive events loader. The driver has generated `events.ts`
+    * two ways across rounds:
+    *   - parquet TIMESTAMP(NANOS), which Spark 4 surfaces as a bigint when
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.local]]
+    *     sets it; so do Bench/Verify) — we deliberately do NOT mutate
+    *     session conf here;
+    *   - parquet TIMESTAMP(MICROS), surfaced as TIMESTAMP or TIMESTAMP_NTZ
+    *     depending on isAdjustedToUTC.
+    * Both branches normalize to the same contract every downstream
+    * operator depends on: `ts_ns` (exact bigint nanos — integer math only;
+    * double division would lose precision at 1e18 magnitudes) and `ts`
+    * (µs-precision TIMESTAMP). The session timezone is UTC, so the
+    * NTZ→LTZ cast is value-preserving. */
   def eventsWithTs(s: SparkSession, d: String): DataFrame = {
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected bigint nanos " +
+            "(legacy TIMESTAMP(NANOS)) or TIMESTAMP/TIMESTAMP_NTZ (µs)")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
