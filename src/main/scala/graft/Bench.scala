@@ -95,6 +95,10 @@ object Bench {
     val failures = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // s05 drain shape: micro-batch count of the last drain (deterministic
+    // under maxFilesPerTrigger=1; BENCH.md records it per SF).
+    val s05b = graft.streaming.StreamOps.lastS05MicroBatches.get
+    if (s05b >= 0) System.err.println(s"[bench] s05 micro-batches: $s05b")
     println(line)
     if (keyArgs.isEmpty) writeArtifact(line)
     spark.stop()

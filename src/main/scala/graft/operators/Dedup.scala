@@ -534,7 +534,8 @@ object Dedup {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val pairs = d05EmbeddingDedup(s, d, bits).select(col("id_a"), col("id_b"))
     val labels = connectedComponents(e.select(col("vec_id").as("id")), pairs)
-    val m = labels.join(Similarity.centroidAffinity(s, e),
+    val m = labels.join(
+        Similarity.centroidAffinityWith(s, e, Similarity.corpusCentroids(s, d)),
         col("id") === col("vec_id"))
       .select(col("id"), col("lbl"), col("cscore"))
     val keepers = m.groupBy(col("lbl").as("klbl"))

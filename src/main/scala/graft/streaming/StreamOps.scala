@@ -71,14 +71,29 @@ object StreamOps {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
+    // maxFilesPerTrigger=1 pins the micro-batch count to the source's
+    // FILE count (1 data batch per file + the final empty batch), so the
+    // drain cost is deterministic run to run — round 9 measured 6.18 vs
+    // 9.68 s for the same code when batch scheduling was left to the
+    // source's default chunking. The observed count is recorded in
+    // [[lastS05MicroBatches]] for BENCH.md.
     val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1").parquet(d)
     val name = "s05_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = nearDupStream(src).writeStream.format("memory")
       .queryName(name).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
+    lastS05MicroBatches.set(
+      Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L))
     s.table(name).select(col("id_a"), col("id_b"), col("jaccard")).distinct()
   }
+
+  /** Micro-batch count of the most recent [[s05StreamNearDup]] drain
+    * (batchId of the last progress + 1). Deterministic given the source
+    * file layout under maxFilesPerTrigger=1; Bench logs it so BENCH.md
+    * can record the per-SF count alongside the timing. */
+  val lastS05MicroBatches = new java.util.concurrent.atomic.AtomicLong(-1L)
 
   /** STREAMING banded near-dup — d03's MinHash-LSH dedup as documents
     * ARRIVE: each doc's 4 band signatures key it into stateful buckets
@@ -108,6 +123,18 @@ object StreamOps {
                     bucketCap: Int = NearDupBucketCap): Dataset[NearDupPair] = {
     val s = docs.sparkSession
     import s.implicits._
+    bandedDocs(docs)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        nearDupGroup(bucketCap))
+  }
+
+  /** The band-bucket explosion shared by [[nearDupStream]] and the
+    * occupancy probe — one row per (doc, band bucket), 4 buckets/doc.
+    * Works identically on a streaming or batch `docs` frame. */
+  private def bandedDocs(docs: DataFrame): Dataset[BandedDoc] = {
+    val s = docs.sparkSession
+    import s.implicits._
     val sh = docs
       .select(col("doc_id"), graft.functions.GraftShingles(s, col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -118,10 +145,19 @@ object StreamOps {
     sh.withColumn("sig", graft.functions.Text.minhashSig(col("sh"), 16))
       .select(col("doc_id"), explode(array(bucketCols: _*)).as("bucket"), col("sh"))
       .as[BandedDoc]
-      .groupByKey(_.bucket)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        nearDupGroup(bucketCap))
   }
+
+  /** Final per-bucket occupancy the s05 state store reaches after the
+    * whole corpus has arrived — EXACTLY the stream's bucketing
+    * ([[bandedDocs]] is shared), computed batch-side so the
+    * [[NearDupBucketCap]] "never bites at gate SFs" claim can be
+    * MEASURED at the SFs where it would matter (graft.StreamProbe runs
+    * this at sf1/sf10; BENCH.md records the observed max). */
+  def s05BucketOccupancy(docs: DataFrame): DataFrame =
+    bandedDocs(docs).groupBy("bucket").agg(count(lit(1)).as("occupancy"))
+      .agg(count(lit(1)).as("n_buckets"), max("occupancy").as("max_occupancy"),
+        sum(when(col("occupancy") > lit(NearDupBucketCap.toLong), 1L)
+          .otherwise(0L)).as("buckets_over_cap"))
 
   /** Hard bound on per-bucket state (docs retained per band-signature
     * bucket). A bucket this hot is a DEGENERATE band signature — the

@@ -85,7 +85,10 @@ def main(out, src, repl, unit, suffix):
         f"CAST((CAST(hash(vec_id + i*{BASE['embeddings'] * unit}, j) % 400001 AS BIGINT) - 200000) / 1000000.0 AS FLOAT)) "
         f"END AS embedding) FROM '{src}/embeddings.parquet', {rng}")
 
-    # events via pyarrow: preserve exact nanos end-to-end.
+    # events via pyarrow: preserve the SOURCE ts encoding exactly (the
+    # driver has generated both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    # across rounds; Tables.eventsWithTs adapts to either).
+    src_ts = str(pq.read_schema(f"{src}/events.parquet").field("ts").type)
     ev = pq.read_table(f"{src}/events.parquet").to_pandas()
     parts = []
     for i in range(repl):
@@ -95,11 +98,13 @@ def main(out, src, repl, unit, suffix):
         c["ts"] = ev.ts + pd.to_timedelta(i * 1000 * unit, unit="ns")
         parts.append(c)
     allv = pd.concat(parts, ignore_index=True)
-    pq.write_table(pa.Table.from_pandas(allv, preserve_index=False),
-                   f"{out}/events.parquet")
+    t = pa.Table.from_pandas(allv, preserve_index=False)
+    i_ts = t.schema.get_field_index("ts")
+    t = t.set_column(i_ts, "ts", t.column("ts").cast(pa.type_for_alias(src_ts)))
+    pq.write_table(t, f"{out}/events.parquet")
     sch = pq.read_schema(f"{out}/events.parquet")
-    assert str(sch.field("ts").type) == "timestamp[ns]", sch.field("ts")
-    print(f"events: {len(allv)} rows (ts TIMESTAMP(NANOS))", flush=True)
+    assert str(sch.field("ts").type) == src_ts, (sch.field("ts"), src_ts)
+    print(f"events: {len(allv)} rows (ts {src_ts}, matches source)", flush=True)
 
 
 if __name__ == "__main__":
