@@ -113,7 +113,8 @@ object Queries {
     "x06_source_mix"       -> (Sampling.x06SourceMix _),
     "x02_seq_pack"         -> (Sampling.x02SeqPack _),
     "x03_kmv_distinct"     -> (Sampling.x03KmvDistinct _),
-    "x07_datasheet"        -> (Sampling.x07Datasheet _)
+    "x07_datasheet"        -> (Sampling.x07Datasheet _),
+    "x08_curation_decide"  -> (Curation.x08CurationDecide _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -185,7 +186,8 @@ object Queries {
     "x06_source_mix"       -> Seq("doc_id"),
     "x02_seq_pack"         -> Seq("shard", "pack_no"),
     "x03_kmv_distinct"     -> Seq("lang"),
-    "x07_datasheet"        -> Seq("lvl", "lang", "source")
+    "x07_datasheet"        -> Seq("lvl", "lang", "source"),
+    "x08_curation_decide"  -> Seq("doc_id")
   )
 
   /** Verification view: production plan + canonical output order. */
