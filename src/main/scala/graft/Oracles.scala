@@ -528,7 +528,7 @@ object Oracles {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON r.rid = e.ea),
-       |lab AS (SELECT rid AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY rid),
+       |lab AS MATERIALIZED (SELECT rid AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY rid),
        |gs AS (SELECT canonical_id AS cid, COUNT(*) AS group_size FROM lab GROUP BY 1)
        |SELECT doc_id, canonical_id, group_size, doc_id = canonical_id AS is_keeper
        |FROM lab JOIN gs ON canonical_id = cid ORDER BY doc_id""".stripMargin
@@ -740,14 +740,14 @@ object Oracles {
            |contam AS (SELECT DISTINCT doc_id FROM (
            |            SELECT DISTINCT doc_id, gh FROM grams WHERE NOT is_bench) t
            |           JOIN benchg USING (gh)),
-           |stage0 AS (SELECT d.doc_id,
+           |stage0 AS MATERIALIZED (SELECT d.doc_id,
            |    CASE WHEN b.is_bench THEN 'benchmark'
            |         WHEN NOT qk.q_keep THEN 'low_quality'
            |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
            |         ELSE 'clean' END AS st
            |  FROM documents d JOIN benchdoc b USING (doc_id)
            |  JOIN qk USING (doc_id) LEFT JOIN contam c ON d.doc_id = c.doc_id),
-           |clean AS (SELECT doc_id FROM stage0 WHERE st = 'clean'),
+           |clean AS MATERIALIZED (SELECT doc_id FROM stage0 WHERE st = 'clean'),
            |cpairs AS (SELECT id_a, id_b FROM d03pairs
            |           JOIN clean a ON id_a = a.doc_id
            |           JOIN clean b ON id_b = b.doc_id),
@@ -757,7 +757,7 @@ object Oracles {
            |  SELECT doc_id, doc_id FROM clean
            |  UNION
            |  SELECT e.eb, r.lbl FROM reach r JOIN cedges e ON r.rid = e.ea),
-           |lab AS (SELECT rid AS doc_id, MIN(lbl) AS lbl FROM reach GROUP BY rid),
+           |lab AS MATERIALIZED (SELECT rid AS doc_id, MIN(lbl) AS lbl FROM reach GROUP BY rid),
            |tq AS (SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS toks
            |       FROM documents),
            |tb AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -799,8 +799,13 @@ object Oracles {
            |ORDER BY doc_id""".stripMargin
       },
 
+      // bands feeds BOTH sides of the candidate self-join; DuckDB 1.0
+      // INLINES repeated CTE references (measured: the un-hinted d12
+      // mirror ran >4 h at sf1 where the MATERIALIZED form takes ~7 min),
+      // so multiply-referenced expensive CTEs carry the hint. Purely an
+      // evaluation directive — values are unchanged.
       "d05_embedding_dedup" ->
-        s"""WITH bands AS (
+        s"""WITH bands AS MATERIALIZED (
            |${rhpBandsSql(rhpBits)}),
            |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
            |         FROM bands x JOIN bands y
@@ -1059,12 +1064,12 @@ object Oracles {
       // centroid, ties to the lowest vec_id (mirrors Spark's max_by
       // over (cscore, -id)).
       "d12_semantic_groups" ->
-        s"""WITH RECURSIVE bands AS (
+        s"""WITH RECURSIVE bands AS MATERIALIZED (
            |${rhpBandsSql(rhpBits)}),
            |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
            |         FROM bands x JOIN bands y
            |         ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
-           |d12p AS (SELECT id_a, id_b FROM (
+           |d12p AS MATERIALIZED (SELECT id_a, id_b FROM (
            |  SELECT id_a, id_b, ROUND(${cosRaw("a.embedding", "b.embedding")}, 6) AS cosine
            |  FROM cand JOIN embeddings a ON a.vec_id = id_a
            |            JOIN embeddings b ON b.vec_id = id_b)
@@ -1075,7 +1080,7 @@ object Oracles {
            |  SELECT vec_id, vec_id FROM embeddings
            |  UNION
            |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON r.rid = e.ea),
-           |lab AS (SELECT rid AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY rid),
+           |lab AS MATERIALIZED (SELECT rid AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY rid),
            |cent0 AS (
            |  SELECT CAST(vec_id AS INT) AS cell,
            |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -1084,10 +1089,10 @@ object Oracles {
            |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
            |$lloyd,
            |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
-           |cs AS (SELECT e.vec_id, ROUND(${cosRaw("e.embedding", "c.cv")}, 6) AS cscore
+           |cs AS MATERIALIZED (SELECT e.vec_id, ROUND(${cosRaw("e.embedding", "c.cv")}, 6) AS cscore
            |       FROM embeddings e JOIN m${KmeansIters + 1} mf USING (vec_id)
            |       JOIN cent$KmeansIters c ON c.cell = mf.cell),
-           |mm AS (SELECT l.vec_id, l.group_id, cs.cscore FROM lab l JOIN cs USING (vec_id)),
+           |mm AS MATERIALIZED (SELECT l.vec_id, l.group_id, cs.cscore FROM lab l JOIN cs USING (vec_id)),
            |gs AS (SELECT group_id, COUNT(*) AS group_size FROM mm GROUP BY 1),
            |kp AS (SELECT group_id, vec_id AS keeper_id FROM (
            |        SELECT group_id, vec_id,
@@ -1108,7 +1113,7 @@ object Oracles {
            |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
       "e02_ann_lsh" ->
-        s"""WITH bands AS (
+        s"""WITH bands AS MATERIALIZED (
            |${rhpBandsSql(rhpBits)}),
            |cand AS (SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS c_id
            |         FROM bands x JOIN bands y
