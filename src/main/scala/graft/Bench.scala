@@ -47,6 +47,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
+    // Executed-plan fingerprints (see [[PlanCapture]]): per key, the
+    // final (post-AQE) plan of the LAST timed pass, as `plan_fp` in the
+    // JSON artifact; the normalized plan text + per-node metrics go to
+    // SPARK_GRAFT_PLAN_DIR (default target/bench_plans) for diffing.
+    val cap = PlanCapture.install(spark)
+    val planDir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "target/bench_plans"))
+    planDir.mkdirs()
+    val planFps = scala.collection.mutable.Map.empty[String, String]
+    def capturePlan(name: String, prev: Long): Unit =
+      cap.awaitAfter(prev).foreach { qe =>
+        val (fp, norm) = PlanCapture.fingerprint(qe)
+        planFps(name) = fp
+        try {
+          val w = new java.io.PrintWriter(new java.io.File(planDir, s"$name.txt"))
+          try {
+            w.println(s"key: $name  plan_fp: $fp")
+            w.println(norm)
+            w.println("---- node metrics (last pass) ----")
+            w.println(PlanCapture.metricsReport(qe))
+          } finally w.close()
+        } catch { case _: Throwable => () }
+      }
     def materialize(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       try {
@@ -58,6 +81,15 @@ object Bench {
         None
       }
     }
+    def materializeCaptured(name: String): Option[Double] = {
+      val prev = cap.mark()
+      val r = materialize(name)
+      if (r.isDefined) capturePlan(name, prev)
+      r
+    }
+    def fpJson: String = planFps.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     // Optional args are key filters (dev loop: bench one query while
     // iterating); the driver passes none and gets the full catalog.
     // `--cold` switches to ONE timed pass with no warmup — the protocol
@@ -68,13 +100,13 @@ object Bench {
       if (keyArgs.isEmpty) Queries.production.keys.toSeq.sorted
       else Queries.production.keys.toSeq.filter(keyArgs.contains(_)).sorted
     if (cold) {
-      val results = names.map(n => n -> materialize(n))
+      val results = names.map(n => n -> materializeCaptured(n))
       val qs = results.map { case (k, v) =>
         "\"" + k + "\":" + v.fold("null")(_.toString)
       }.mkString("{", ",", "}")
       val failures = results.collect { case (k, None) => "\"" + k + "\"" }
       val total = results.flatMap(_._2).sum
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"cold","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"cold","queries":$qs,"plan_fp":$fpJson,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}"""
       println(line)
       if (keyArgs.isEmpty) writeArtifact(line)
       spark.stop(); return
@@ -87,14 +119,14 @@ object Bench {
     // `failures` so a partially-broken run can't look healthy.
     val pass1 = names.map(n => n -> materialize(n)).toMap
     val results = names.map { n =>
-      n -> (for (a <- pass1(n); b <- materialize(n)) yield math.min(a, b))
+      n -> (for (a <- pass1(n); b <- materializeCaptured(n)) yield math.min(a, b))
     }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("null")(_.toString)
     }.mkString("{", ",", "}")
     val failures = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plan_fp":$fpJson,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // s05 drain shape: micro-batch count of the last drain (deterministic
     // under maxFilesPerTrigger=1; BENCH.md records it per SF).
     val s05b = graft.streaming.StreamOps.lastS05MicroBatches.get

@@ -445,8 +445,10 @@ object Oracles {
         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""".stripMargin,
 
     // t07: every rule is integer arithmetic on counts — engine-exact.
+    // COALESCE(text,'') keeps the gate total (one row per doc even for
+    // NULL text), mirroring qualityFilter's Spark-side coalesce.
     "t07_quality_filter" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(text,'\\s+') AS toks FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(COALESCE(text,''),'\\s+') AS toks FROM documents),
          |t1 AS (SELECT doc_id, unnest(toks) AS g FROM toks),
          |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM t1 GROUP BY 1, 2),
          |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS top,
@@ -724,7 +726,7 @@ object Oracles {
         s"""WITH RECURSIVE $d03Ctes,
            |${shingleCteK("sh8", DecontamN)},
            |qtc AS (SELECT doc_id, g, COUNT(*) AS c FROM (
-           |          SELECT doc_id, unnest(string_split_regex(text,'\\s+')) AS g
+           |          SELECT doc_id, unnest(string_split_regex(COALESCE(text,''),'\\s+')) AS g
            |          FROM documents) t GROUP BY 1, 2),
            |qts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS top,
            |               COUNT(*) AS dist FROM qtc GROUP BY 1),

@@ -23,5 +23,9 @@ object StreamProbe {
       s""""n_buckets":${row.getLong(0)},"max_occupancy":${row.getLong(1)},""" +
       s""""buckets_over_cap":${row.getLong(2)},"cap":${StreamOps.NearDupBucketCap}}""")
     spark.stop()
+    // Over-cap buckets mean s05's pair set depends on arrival order —
+    // FAIL the probe, don't just report (StreamNearDupSpec enforces the
+    // same invariant at the gate SFs).
+    if (row.getLong(2) > 0L) sys.exit(1)
   }
 }

@@ -31,7 +31,7 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
+    val normalized = raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
@@ -43,6 +43,11 @@ object Tables {
           s"events.ts has unsupported type $other — expected bigint nanos " +
             "(legacy TIMESTAMP(NANOS)) or TIMESTAMP/TIMESTAMP_NTZ (µs)")
     }
+    // Fixed output column order regardless of source encoding: the two
+    // branches would otherwise place ts/ts_ns differently (positional
+    // consumers and schema snapshots must not drift across regenerations).
+    val others = raw.columns.filterNot(_ == "ts")
+    normalized.select((others :+ "ts" :+ "ts_ns").map(col): _*)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -227,10 +227,14 @@ object TextAnalysis {
     * Same round-7 shuffle-free rewrite as t06: the per-doc (n, top,
     * distinct) triple comes from one [[graft.functions.GramStats]]
     * projection instead of shuffling every token; the integer gate
-    * rules are unchanged. */
+    * rules are unchanged. NULL text is treated as '' (→ n=1, keep=false)
+    * so the gate stays TOTAL — one decision row per input doc — and the
+    * oracle mirrors the same COALESCE, keeping parity if the driver ever
+    * generates NULL text. */
   def qualityFilter(s: SparkSession, docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), graft.functions.GramStats(s, col("text"), 1).as("t"))
+      .select(col("doc_id"),
+        graft.functions.GramStats(s, coalesce(col("text"), lit("")), 1).as("t"))
       .select(col("doc_id"), col("t.n").as("n"), col("t.top").as("top"),
         col("t.distinct").as("dist"))
       .select(col("doc_id"), col("n").as("n_tokens"),

@@ -48,6 +48,23 @@ class StreamNearDupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("no bucket exceeds NearDupBucketCap at the gate SFs (batching-independence precondition)") {
+    // s05's emitted pair set is only batching-independent (and
+    // maxFilesPerTrigger only safely a performance knob) while every
+    // bucket stays under the cap — beyond it, later arrivals are not
+    // retained as partners, so results would depend on arrival order.
+    // The manual StreamProbe measures this at sf1/sf10; this test makes
+    // the claim part of the AUTOMATED gate at the correctness/bench SFs.
+    for (dir <- Seq(sf001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val row = StreamOps.s05BucketOccupancy(
+        Tables.documents(spark, dir).select("doc_id", "text")).collect()(0)
+      assert(row.getLong(2) == 0L,
+        s"$dir: ${row.getLong(2)} bucket(s) over cap ${StreamOps.NearDupBucketCap} " +
+          s"(max occupancy ${row.getLong(1)}) — s05 results are no longer " +
+          "arrival-order-independent; raise the cap or fix the band hashing")
+    }
+  }
+
   test("bucket state survives a checkpoint restart (cross-restart pairs still found)") {
     val in = Files.createTempDirectory("graft-neardup-in").toString
     val chk = Files.createTempDirectory("graft-neardup-chk").toString

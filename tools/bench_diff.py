@@ -125,6 +125,22 @@ def main():
         print("no per-key moves beyond ±20% and 0.15s")
     for k in added:
         print(f"NEW  {k:24s} {qb[k]:7.3f}s")
+    # Executed-plan fingerprint diff (graft.Bench >= r11 writes plan_fp:
+    # md5 of the normalized post-AQE plan of the last timed pass). A
+    # fingerprint change means the two sessions ran DIFFERENT physical
+    # plans — the r10 d11/q09 lesson: check this before blaming the
+    # machine for a timing swing.
+    fa, fb = a.get("plan_fp") or {}, b.get("plan_fp") or {}
+    if fa and fb:
+        flips = sorted(k for k in set(fa) & set(fb) if fa[k] != fb[k])
+        for k in flips:
+            t = (f" ({qa[k]:.3f}s -> {qb[k]:.3f}s)"
+                 if k in qa and k in qb and qa[k] and qb[k] else "")
+            print(f"PLANFLIP {k:24s} {fa[k]} -> {fb[k]}{t}")
+        if not flips:
+            print(f"# plan_fp: all {len(set(fa) & set(fb))} common keys unchanged")
+    elif fb and not fa:
+        print("# plan_fp present only in the newer artifact (older pre-dates r11)")
 
 
 if __name__ == "__main__":

@@ -91,7 +91,11 @@ def main(out):
     allv = pd.concat(parts, ignore_index=True)
     t = pa.Table.from_pandas(allv, preserve_index=False)
     i_ts = t.schema.get_field_index("ts")
-    t = t.set_column(i_ts, "ts", t.column("ts").cast(pa.type_for_alias(src_ts)))
+    # Cast to the source's pa.DataType OBJECT, not type_for_alias(str):
+    # the alias path can't resolve tz-aware types like
+    # 'timestamp[us, tz=UTC]', which the rest of the system supports.
+    src_ts_type = pq.read_schema(f"{SRC}/events.parquet").field("ts").type
+    t = t.set_column(i_ts, "ts", t.column("ts").cast(src_ts_type))
     pq.write_table(t, f"{out}/events.parquet")
     sch = pq.read_schema(f"{out}/events.parquet")
     assert str(sch.field("ts").type) == src_ts, (sch.field("ts"), src_ts)
