@@ -119,7 +119,13 @@ object Bench {
     // `failures` so a partially-broken run can't look healthy.
     val pass1 = names.map(n => n -> materialize(n)).toMap
     val results = names.map { n =>
-      n -> (for (a <- pass1(n); b <- materializeCaptured(n)) yield math.min(a, b))
+      n -> (for (a <- pass1(n); b <- materializeCaptured(n)) yield {
+        // Per-pass evidence line: min-of-2 hides WHICH pass was slow —
+        // the r10 d11 outlier (both passes >=13 s) needed this to rule
+        // out single-pass jitter from the artifact alone.
+        System.err.println(f"[bench] $n pass1=${a}%.3f pass2=${b}%.3f")
+        math.min(a, b)
+      })
     }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("null")(_.toString)

@@ -1114,19 +1114,35 @@ object Oracles {
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
            |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
-      "e02_ann_lsh" ->
+      "e02_ann_lsh" -> {
+        // Multi-probe mirror: whenever the calibrated width exceeds the
+        // catalog RhpBits, the Spark side probes each query's base
+        // bucket plus all single-bit XOR flips — data-independent, so
+        // the SQL generates the identical probe set. At the gate SFs
+        // the probe CTE degenerates to the plain query-side filter and
+        // the SQL is the round-10 text.
+        val qprobes =
+          if (rhpBits <= graft.operators.Similarity.RhpBits)
+            "SELECT vec_id, tbl, bkt FROM bands WHERE vec_id % 100 = 0"
+          else
+            s"""SELECT vec_id, tbl, bkt FROM bands WHERE vec_id % 100 = 0
+               |           UNION ALL
+               |           SELECT vec_id, tbl, xor(bkt, CAST(1 AS BIGINT) << j) AS bkt
+               |           FROM bands, range(0, $rhpBits) t(j) WHERE vec_id % 100 = 0""".stripMargin
         s"""WITH bands AS MATERIALIZED (
            |${rhpBandsSql(rhpBits)}),
+           |qprobes AS ($qprobes),
            |cand AS (SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS c_id
-           |         FROM bands x JOIN bands y
+           |         FROM qprobes x JOIN bands y
            |         ON x.tbl = y.tbl AND x.bkt = y.bkt
-           |           AND x.vec_id % 100 = 0 AND x.vec_id <> y.vec_id),
+           |           AND x.vec_id <> y.vec_id),
            |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
            |s AS (SELECT cand.q_id, c_id, ROUND($cosQC, 6) AS cosine
            |      FROM cand JOIN q USING (q_id) JOIN embeddings c ON c.vec_id = c_id),
            |r AS (SELECT q_id, c_id, cosine,
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
            |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+      }
     )
   }
 

@@ -68,7 +68,11 @@ object PlanCapture {
   }
 
   /** Strip per-session identifiers the SAME plan does not share across
-    * JVMs; keep everything that encodes a planner/AQE decision. */
+    * JVMs; keep everything that encodes a planner/AQE decision. Noise
+    * classes found by running the full catalog twice and diffing all 69
+    * dumps: lambda identities (JVM-assigned, typed-API nodes), object
+    * hashes, and AQE query-stage NUMBERS (a session-global counter, so
+    * a key's stage ids depend on everything the session ran before it). */
   def normalize(planText: String): String =
     planText
       .replaceAll("#\\d+L?", "#")                 // expression ids
@@ -78,6 +82,17 @@ object PlanCapture {
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
       .replaceAll("memory_\\w+", "memory_x")      // memory-sink table names
       .replaceAll("s05_sink_\\w+", "s05_sink_x")
+      .replaceAll("\\$\\$?Lambda[$/][\\w/.$]*(@[0-9a-fA-F]+)?", ".Lambda")
+      .replaceAll("@[0-9a-fA-F]{6,16}\\b", "@x")  // Object.toString hashes
+      .replaceAll("QueryStage \\d+", "QueryStage x")
+      // codegen stage ids are assigned in AQE stage-materialization
+      // order, which is concurrent and nondeterministic; the codegen
+      // SPAN stays visible through the tree structure
+      .replaceAll("\\*\\(\\d+\\)", "*(x)")
+      .replaceAll("WholeStageCodegen \\(\\d+\\)", "WholeStageCodegen (x)")
+      .replaceAll("ExistingRDD\\[\\d*\\]", "ExistingRDD[x]")
+      .replaceAll("rdd_\\d+", "rdd_x")
+      .replaceAll("cachedrdd-\\d+", "cachedrdd-x")
 
   def md5Hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

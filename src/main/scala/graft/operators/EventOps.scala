@@ -233,26 +233,31 @@ object EventOps {
 
   /** Skew-hardened sessionization: the single-window form concentrates a
     * hot user's entire history in one task (AQE cannot split window
-    * partitions), so the heavy windows here partition by (user, week
-    * bucket) and an EXACT merge stitches sessions that straddle bucket
-    * edges:
+    * partitions), so the EVENT-scale window here partitions by (user,
+    * week bucket) — each partition bounded by one user-week — and a
+    * SESSION-scale second pass merges across bucket edges:
     *
-    *  1. local sessions within each (user, bucket) — the only windows
-    *     that see event-scale data, each bounded by one user-week;
-    *  2. only a bucket's FIRST and LAST local session can merge across a
-    *     boundary (interior sessions are fenced by > gap on both sides),
-    *     so chain detection runs on ≤ 2 rows per occupied bucket — the
-    *     per-user chain window is bounded by the time range, not the
-    *     event count. The same gap rule applied to these boundary
-    *     sessions finds exactly the cross-boundary merges: within-bucket
-    *     consecutive sessions are > gap apart by construction, and
-    *     non-adjacent occupied buckets are >= a bucket width apart.
-    *  3. session numbers (per user, by start time) come from per-bucket
-    *     final-session counts prefix-summed over the tiny bucket axis —
-    *     no event-scale per-user window anywhere.
+    *  1. local sessions within each (user, bucket) — the only window
+    *     that sees event-scale data;
+    *  2. the plain gap rule re-applied per user over ALL local sessions
+    *     in (bkt, local_no) order IS the exact global merge: within a
+    *     bucket, consecutive local sessions are > gap apart by
+    *     construction (that is what split them), so the rule is a no-op
+    *     there, and across a boundary it makes exactly the straddle
+    *     decision. The running new-session count in the same window is
+    *     the final per-user session number (numbered by start time).
+    *     This one window replaces the former boundary-row chain
+    *     detection + per-bucket offset prefix sums + two join-backs
+    *     (r11: 3.28 → ~1 s at sf1) — no joins anywhere.
     *
-    * Per-chain value sums stay in exact DECIMAL until the final cast, so
-    * results are bit-identical to [[sessionize]] (spec + oracle). */
+    * The second window's partition key is bare user_id, but its input is
+    * SESSION-scale: a user's local-session count is bounded by
+    * time_range / gap (sessions are > gap apart), independent of event
+    * volume — the hot-user hazard the bucketing exists for cannot reach
+    * it (PlanAuditSpec allowlists s02 {user_id} with this argument).
+    *
+    * Per-session value sums stay in exact DECIMAL until the final cast,
+    * so results are bit-identical to [[sessionize]] (spec + oracle). */
   def sessionizeBucketed(events: DataFrame, bucketUs: Long): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val ev = events.withColumn("bkt", expr(s"ts_us DIV $bucketUs"))
@@ -263,52 +268,27 @@ object EventOps {
           col("ts_us") - lag("ts_us", 1).over(w1) > GapUs, 1L).otherwise(0L))
       .withColumn("local_no", sum("new_sess")
         .over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Local sessions: grouping keys contain the window partition keys,
+    // so this aggregate runs on the same exchange (no extra shuffle).
     val ls = flagged.groupBy("user_id", "bkt", "local_no")
       .agg(count(lit(1)).as("n_events"),
         min("ts_us").as("start_us"), max("ts_us").as("end_us"),
         sum(col("value").cast(dec)).as("dec_sum"))
-    val nloc = ls.groupBy("user_id", "bkt").agg(max("local_no").as("n_local"))
-    val lsf = ls.join(nloc, Seq("user_id", "bkt"))
-      .withColumn("is_first", col("local_no") === 1)
-      .withColumn("is_last", col("local_no") === col("n_local"))
-    // chain detection over boundary sessions only (bounded per user)
+    // Session-scale exact merge + numbering in ONE per-user window:
+    // (bkt, local_no) order is start_us order (bucket fencing), lag-gap
+    // re-check merges exactly the straddling sessions, and the running
+    // flag sum numbers final sessions by start time.
     val wb = Window.partitionBy("user_id").orderBy("bkt", "local_no")
-    val chained = lsf.filter(col("is_first") || col("is_last"))
+    val numbered = ls
       .withColumn("new_chain",
         when(lag("end_us", 1).over(wb).isNull ||
           col("start_us") - lag("end_us", 1).over(wb) > GapUs, 1L).otherwise(0L))
-      .withColumn("chain_id", sum("new_chain")
+      .withColumn("sess_no", sum("new_chain")
         .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val chains = chained.groupBy("user_id", "chain_id")
+    numbered.groupBy("user_id", "sess_no")
       .agg(sum("n_events").as("n_events"),
         min("start_us").as("start_us"), max("end_us").as("end_us"),
-        sum("dec_sum").as("dec_sum"),
-        min(struct(col("bkt"), col("local_no"))).as("fm"))
-    // numbering: final sessions starting in a bucket = local sessions
-    // minus the first one when it merged backward into an earlier chain
-    val mb = chained.filter(col("is_first") && col("new_chain") === 0)
-      .select(col("user_id"), col("bkt"), lit(1L).as("mb"))
-    val bucketInfo = nloc.join(mb, Seq("user_id", "bkt"), "left")
-      .select(col("user_id"), col("bkt"), coalesce(col("mb"), lit(0L)).as("mb"),
-        (col("n_local") - coalesce(col("mb"), lit(0L))).as("c"))
-    val wo = Window.partitionBy("user_id").orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketInfo
-      .withColumn("offset", coalesce(sum("c").over(wo), lit(0L)))
-      .select("user_id", "bkt", "mb", "offset")
-    val interior = lsf.filter(!col("is_first") && !col("is_last"))
-      .join(offsets, Seq("user_id", "bkt"))
-      .select(col("user_id"),
-        (col("offset") + col("local_no") - col("mb")).as("sess_no"),
-        col("n_events"), col("start_us"), col("end_us"), col("dec_sum"))
-    val merged = chains
-      .select(col("user_id"), col("fm.bkt").as("bkt"), col("fm.local_no").as("local_no"),
-        col("n_events"), col("start_us"), col("end_us"), col("dec_sum"))
-      .join(offsets, Seq("user_id", "bkt"))
-      .select(col("user_id"),
-        (col("offset") + col("local_no") - col("mb")).as("sess_no"),
-        col("n_events"), col("start_us"), col("end_us"), col("dec_sum"))
-    interior.unionByName(merged)
+        sum("dec_sum").as("dec_sum"))
       .select(col("user_id"), col("sess_no"), col("n_events"),
         col("start_us"), col("end_us"), col("dec_sum").cast("double").as("sum_value"))
   }

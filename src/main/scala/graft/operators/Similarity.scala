@@ -289,16 +289,41 @@ object Similarity {
     * embeddings, which are near-orthogonal — real clustered embeddings
     * need fewer tables for the same recall).
     *
+    * MULTI-PROBE at scale (r11): [[scaledRhpBits]] widens the band to
+    * keep bucket occupancy constant, but a qualifying pair must then
+    * agree on more sign bits, and fixed L=16 collapses (measured sf10
+    * recall@10 = 0.110 at bits=12 — per-table collision p^12 ≈ 0.007).
+    * Whenever the calibrated width exceeds the catalog [[RhpBits]], the
+    * QUERY side therefore probes, per table, its base bucket plus every
+    * single-bit-flip neighbor (bits+1 buckets): a near neighbor whose
+    * code differs in at most one bit of a table is now found there.
+    * Expected per-table hit rate rises from p^b to p^b + b·p^(b-1)(1−p)
+    * — measured sf10 recall 0.110 → ~0.5 with candidate volume still
+    * L·(bits+1)·occupancy ≈ 10k per query (5% of the sf10 corpus; the
+    * exhaustive alternative IS e01). Probing is data-independent
+    * (XOR over the already-deterministic codes), so the oracle mirrors
+    * it verbatim and e02 stays hash-gated at EVERY calibration; at the
+    * gate SFs bits == RhpBits and the plan is bit-for-bit the round-10
+    * one. Only query rows multiply — the corpus side stays at L rows
+    * per vector, so the band build and the big side of the join are
+    * unchanged at any scale.
+    *
     * Shuffle hygiene: the candidate distinct keys on (q_id, c_id) ONLY —
     * 16 bytes/row — and the vectors rejoin after dedup (query side
     * broadcast: it is 1% of the corpus; corpus side an equi-join on
     * c_id). The earlier form deduped on (q_id, qv, c_id, cv), hashing
     * and shipping ~512 B of float payload per candidate row. */
   def e02AnnLsh(s: SparkSession, d: String,
-                bits: Int = RhpBits, tables: Int = RhpTables): DataFrame = {
+                bits: Int = RhpBits, tables: Int = RhpTables,
+                multiProbe: Boolean = true): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val bands = rhpBands(s, e, bits, tables)
-    val q = bands.filter(col("vec_id") % 100 === 0).toDF("q_id", "tbl", "bkt")
+    val qbase = bands.filter(col("vec_id") % 100 === 0).toDF("q_id", "tbl", "bkt")
+    val q =
+      if (!multiProbe || bits <= RhpBits) qbase
+      else qbase.select(col("q_id"), col("tbl"),
+        explode(array(col("bkt") +:
+          (0 until bits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
     val c = bands.toDF("c_id", "tbl2", "bkt2")
     val cand = broadcast(q)
       .join(c, col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&

@@ -32,23 +32,35 @@ class LshRecallSpec extends SparkSpecBase {
     assert(graft.operators.Similarity.scaledRhpBits(200L) == 4) // floored at catalog default
   }
 
-  test("scaled-config recall floor: wider bands recover recall by raising L") {
-    // The trade scaledRhpBits documents — recall across L tables is
-    // 1−(1−p^bits)^L, so each extra bit multiplies per-table recall by
-    // p < 1 and L must rise to compensate — asserted with measured
-    // numbers, not formula faith. At bits=6 (the calibration's pick
-    // around 3k vectors): L=16 measured 0.60 here, L=48 measured 0.92.
+  test("scaled-config recall floor: multi-probe recovers what wider bands lose") {
+    // The trade scaledRhpBits documents — per-table recall is p^bits, so
+    // each extra bit multiplies it by p < 1. Two recovery levers,
+    // asserted with measured numbers, not formula faith, at bits=6 (the
+    // calibration's pick around 3k vectors):
+    //  - raising L (the pre-r11 story): L=16 measured 0.60 base-bucket-
+    //    only here, L=48 measured 0.92;
+    //  - MULTI-PROBE (the r11 production lever, on whenever the
+    //    calibrated width exceeds the catalog RhpBits): probing the
+    //    bits single-bit-flip neighbors lifts per-table recall to
+    //    ~p^(b-1)(b−(b−1)p) at fixed L — measured 1.0 at bits=6/L=16 on
+    //    this corpus, strictly above the base-only 0.60.
     val exact = pairs("e01_knn_brute")
-    def recallAt(bits: Int, l: Int): Double = {
-      val got = operators.Similarity.e02AnnLsh(spark, sf001, bits = bits, tables = l)
+    def recallAt(bits: Int, l: Int, probe: Boolean): Double = {
+      val got = operators.Similarity
+        .e02AnnLsh(spark, sf001, bits = bits, tables = l, multiProbe = probe)
         .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
       (exact & got).size.toDouble / exact.size
     }
-    val narrow = recallAt(6, 16)
-    val wide = recallAt(6, 48)
+    val narrow = recallAt(6, 16, probe = false)
+    val wide = recallAt(6, 48, probe = false)
     assert(wide >= 0.85, s"recall@10 = $wide at bits=6/L=48 — scaled config below floor")
     assert(wide > narrow,
       s"raising L must recover recall lost to wider bands ($narrow -> $wide)")
+    val probed = recallAt(6, 16, probe = true)
+    assert(probed > narrow,
+      s"multi-probe must beat base-bucket-only at the same L ($narrow -> $probed)")
+    assert(probed >= 0.85,
+      s"recall@10 = $probed at bits=6/L=16 with multi-probe — below floor")
   }
 
   test("e03 IVF recall@10 vs e01 beats its scan fraction on learned cells") {

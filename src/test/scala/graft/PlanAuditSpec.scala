@@ -110,10 +110,15 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q12 {o_custkey}: rows per customer are bounded by construction
     //    in TPC-H-style data — the customer count scales WITH the
     //    corpus, orders-per-customer stays constant.
-    //  - q22/s02 {user_id}: the boundary-stitch windows run over frames
+    //  - q22 {user_id}: the boundary-stitch windows run over frames
     //    pre-compacted to one row per (user, bucket) — input is orders
     //    of magnitude smaller than the event log, bounded by the time
     //    extent, not the corpus.
+    //  - s02 {user_id}: the merge window runs over LOCAL SESSIONS (one
+    //    row per (user, bkt, local_no)); a user's session count is
+    //    bounded by time_range / gap — sessions are > gap apart by
+    //    definition — independent of event volume, so the hot-user
+    //    hazard cannot reach this window.
     val allowlisted: Map[String, Set[Set[String]]] = Map(
       "d02_ngram_jaccard" -> Set(Set("s")),
       "d08_containment" -> Set(Set("s")),
