@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Text
+import graft.functions.{GraftShingles, Text}
 
 /** The curation DECISION operator (SURVEY §2.H): the end-to-end
   * composition CurationPipelineSpec exercises, materialized as ONE
@@ -40,41 +40,59 @@ import graft.functions.Text
   * all-pairs, CC over edge-incident vertices only), and the assembly
   * is doc_id/label equi-joins over corpus-sparse frames. The stage
   * verdicts are decomposable per-doc flags, so the union'd decision
-  * frame partitions like the corpus. */
+  * frame partitions like the corpus.
+  *
+  * The INCREMENTAL half ([[curationState]]/[[mergeCuration]]/
+  * [[curationDelta]] and their persisted-dir wrappers) is the shape a
+  * pipeline runs DAILY: the decision frame and its supporting
+  * structures are persisted once per corpus, and a new batch is merged
+  * for its marginal cost — see the scaladoc on each method for the
+  * boundedness argument. Exactness (incremental == from-scratch on the
+  * combined corpus) is frame-asserted by CurationIncSpec, including the
+  * one genuinely non-monotone case: a batch minting new benchmark docs
+  * can CONTAMINATE previously-clean corpus docs, whose removal can
+  * SPLIT a near-dup component — handled by re-running CC only on the
+  * touched components from the persisted pair graph. */
 object Curation {
 
-  def x08CurationDecide(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val marked = docs.select(col("doc_id"),
-      (pmod(Text.hash60(col("doc_id").cast("string"), Dedup.DecontamSeed),
-        lit(Dedup.DecontamBenchMod)) === 0).as("is_bench"))
-    val q = TextAnalysis.t07QualityFilter(s, d)
+  /** The is-benchmark rule (d07's deterministic 1-in-20 md5 slice). */
+  private def isBenchCol = pmod(
+    Text.hash60(col("doc_id").cast("string"), Dedup.DecontamSeed),
+    lit(Dedup.DecontamBenchMod)) === 0
+
+  /** Per-doc stage-0 verdict (doc_id, stage0 ∈ {benchmark, low_quality,
+    * contaminated, clean}) — the per-document half of the decision,
+    * shared by the from-scratch and incremental paths. */
+  private def stage0Of(s: SparkSession, docs: DataFrame): DataFrame = {
+    val marked = docs.select(col("doc_id"), isBenchCol.as("is_bench"))
+    val q = TextAnalysis.qualityFilter(s, docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("keep").as("q_keep"))
-    val contam = Dedup.d07Decontaminate(s, d)
+    val contam = Dedup.decontaminate(s,
+        docs.select(col("doc_id"), col("text"), isBenchCol.as("is_bench")))
       .select(col("doc_id"), col("contaminated"))
     // d07's frame covers only non-bench docs; bench rows take the
     // 'benchmark' branch first, so the left-join null never decides.
-    val staged = marked.join(q, "doc_id").join(contam, Seq("doc_id"), "left")
+    marked.join(q, "doc_id").join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("is_bench"), "benchmark")
           .when(!col("q_keep"), "low_quality")
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")
           .otherwise("clean").as("stage0"))
-    val clean = staged.filter(col("stage0") === "clean").select("doc_id")
-    // d03's verified pairs, both endpoints restricted to clean docs.
-    val pairs = Dedup.d03MinhashLsh(s, d).select(col("id_a"), col("id_b"))
-      .join(clean.toDF("id_a"), "id_a")
-      .join(clean.toDF("id_b"), "id_b")
-    val labels = Dedup.connectedComponents(
-      clean.select(col("doc_id").as("id")), pairs).toDF("doc_id", "lbl")
-    val quality = TextAnalysis.t02QualityScore(s, d)
-      .select(col("doc_id"), col("quality"))
+  }
+
+  /** Resolve clean-doc labels + per-doc quality + splits + non-clean
+    * verdicts into the final decision frame — the assembly tail shared
+    * by every path (from-scratch, full merge, delta). `labels` may
+    * cover a SUBSET of components (the delta path feeds only changed
+    * ones); group stats aggregate whatever membership it carries, so
+    * the caller must pass complete components. */
+  private def assembleDecisions(labels: DataFrame, quality: DataFrame,
+                                split: DataFrame, nonClean: DataFrame): DataFrame = {
     val m = labels.join(quality, "doc_id")
     val groups = m.groupBy("lbl")
       .agg(count(lit(1)).as("group_size"),
         max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
           .as("keeper_id"))
-    val split = Sampling.x05StratSplit(s, d).select(col("doc_id"), col("split"))
     val cleanRows = m.select("doc_id", "lbl").join(groups, "lbl")
       .join(split, "doc_id")
       .select(col("doc_id"),
@@ -84,11 +102,314 @@ object Curation {
         when(col("doc_id") === col("keeper_id"), col("split"))
           .otherwise("none").as("split"),
         (col("doc_id") === col("keeper_id")).as("keep"))
-    val dropRows = staged.filter(col("stage0") =!= "clean")
+    val dropRows = nonClean
       .select(col("doc_id"), col("stage0").as("stage"),
         lit(-1L).as("group_id"), lit(0L).as("group_size"),
         lit(-1L).as("keeper_id"), lit("none").as("split"),
         lit(false).as("keep"))
     cleanRows.unionByName(dropRows)
   }
+
+  /** [[x08CurationDecide]] over any documents frame (doc_id, text, lang,
+    * n_chars, ...) — the from-scratch decision, factored so the
+    * incremental path can build base-corpus state from a subset. */
+  def curationDecideDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    val staged = stage0Of(s, docs)
+    val clean = staged.filter(col("stage0") === "clean").select("doc_id")
+    // d03's verified pairs, both endpoints restricted to clean docs.
+    val pairs = Dedup.minhashLshPairs(s, Dedup.shingledDocs(s, docs))
+      .select(col("id_a"), col("id_b"))
+      .join(clean.toDF("id_a"), "id_a")
+      .join(clean.toDF("id_b"), "id_b")
+    val labels = Dedup.connectedComponents(
+      clean.select(col("doc_id").as("id")), pairs).toDF("doc_id", "lbl")
+    val quality = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val split = Sampling.stratSplit(docs).select(col("doc_id"), col("split"))
+    assembleDecisions(labels, quality, split,
+      staged.filter(col("stage0") =!= "clean"))
+  }
+
+  def x08CurationDecide(s: SparkSession, d: String): DataFrame =
+    curationDecideDocs(s, Tables.documents(s, d))
+
+  // -------------------------------------------------------------------
+  // Incremental curation: persisted state + marginal batch merge
+  // -------------------------------------------------------------------
+
+  /** Everything a pipeline persists between curation runs. All frames
+    * cover the BASE corpus only:
+    *  - decisions: the x08 output (the artifact downstream consumes);
+    *  - bands/shingles: d03's LSH band table + shingle store for CLEAN
+    *    docs (non-clean docs can never pair, so storing them would be
+    *    waste);
+    *  - pairs: the verified clean-clean pair graph, labeled by its
+    *    component (so a component's subgraph is one label-filter away —
+    *    the structure that makes component SPLITS re-computable without
+    *    touching the corpus);
+    *  - quality/splits: per-doc keeper inputs for clean docs (a
+    *    duplicate can become keeper when groups restructure, so its
+    *    quality and split must be on hand without re-reading its text);
+    *  - benchGrams: the benchmark's decontamination gram-hash set;
+    *  - cleanGrams: (doc_id, gh) for clean docs — the decontamination
+    *    index that lets NEW benchmark grams flag old docs map-side. */
+  final case class CurationState(decisions: DataFrame, bands: DataFrame,
+                                 shingles: DataFrame, pairs: DataFrame,
+                                 quality: DataFrame, splits: DataFrame,
+                                 benchGrams: DataFrame, cleanGrams: DataFrame)
+
+  /** Distinct [[Dedup.DecontamN]]-gram hashes per doc — d07's gram
+    * projection, reused for the persisted decontamination index. */
+  private def gramsOf(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(GraftShingles(s, col("text"), Dedup.DecontamN)).as("g"))
+      .select(col("doc_id"),
+        Text.hash60(col("g"), Dedup.DecontamSeed).as("gh"))
+      .distinct()
+
+  /** Build the persisted curation state for a base corpus (in-memory
+    * frames; [[writeCurationState]] lands them as parquet). The
+    * once-per-corpus cost — every later batch pays only [[mergeCuration]]. */
+  def curationState(s: SparkSession, base: DataFrame): CurationState = {
+    val decisions = curationDecideDocs(s, base)
+    val clean = decisions.filter(col("stage").isin("kept", "duplicate"))
+      .select("doc_id")
+    val shClean = Dedup.shingledDocs(s, base).join(clean, "doc_id")
+    val bands = Dedup.minhashBands(shClean)
+    // Restricting band rows to clean docs BEFORE pairing equals
+    // restricting pairs to clean endpoints after (candidate generation
+    // is an equi-self-join, so endpoint filters commute through it).
+    val pairs = Dedup.minhashLshPairs(s, shClean)
+      .select(col("id_a"), col("id_b"))
+      .join(decisions.select(col("doc_id").as("id_a"),
+        col("group_id").as("lbl")), "id_a")
+      .select("id_a", "id_b", "lbl")
+    val quality = TextAnalysis.qualityScore(base)
+      .select(col("doc_id"), col("quality")).join(clean, "doc_id")
+    val splits = Sampling.stratSplit(base)
+      .select(col("doc_id"), col("split")).join(clean, "doc_id")
+    val marked = base.select(col("doc_id"), col("text"), isBenchCol.as("is_bench"))
+    val benchGrams = gramsOf(s, marked.filter(col("is_bench")))
+      .select("gh").distinct()
+    val cleanGrams = gramsOf(s, base.join(clean, "doc_id"))
+    CurationState(decisions, bands, shClean, pairs, quality, splits,
+      benchGrams, cleanGrams)
+  }
+
+  /** The shared intermediates of a batch merge (built once, consumed by
+    * the full and delta forms). */
+  private final case class MergeParts(
+      stagedB: DataFrame, batchClean: DataFrame, removed: DataFrame,
+      oldUntouched: DataFrame, relabel: DataFrame, survivorFinal: DataFrame,
+      batchFinal: DataFrame, quality: DataFrame, splits: DataFrame)
+
+  /** Merge a new batch into persisted curation state. Work is bounded by
+    * the batch plus what it disturbs:
+    *  - per-doc stages (bench/quality/contamination) run on the batch
+    *    only; the batch's NEW benchmark grams broadcast against the
+    *    persisted cleanGrams index to find old docs they contaminate —
+    *    one map-side scan, no gram recompute (contamination is MONOTONE:
+    *    the gram set only grows, so old verdicts can only flip
+    *    clean → contaminated, never back);
+    *  - a contaminated old doc leaves the pair graph, which can SPLIT
+    *    its component: CC re-runs on the TOUCHED components' persisted
+    *    subgraphs only (label-filtered pairs), never the corpus;
+    *  - batch docs band-probe the persisted band table semi-joined to
+    *    the buckets the batch occupies (d09's pre-filter), so new-pair
+    *    generation shuffles the batch's fan-out, not the band table;
+    *  - the merge CC runs in d09's mixed label space — untouched
+    *    components enter as their (component-min) label, touched
+    *    members and batch docs as raw ids — so its graph is bounded by
+    *    touched components + batch fan-out;
+    *  - group stats re-aggregate only changed components' members.
+    * The only corpus-sized passes are map-side: the cleanGrams semi-join
+    * and (full form only) the relabel of the decision frame. */
+  private def mergeParts(s: SparkSession, st: CurationState,
+                         batch: DataFrame): MergeParts = {
+    // --- batch per-doc stages ---
+    val markedB = batch.select(col("doc_id"), isBenchCol.as("is_bench"))
+    val qB = TextAnalysis.qualityFilter(s, batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val gramsB = gramsOf(s, batch)
+    val bgNew = gramsB.join(markedB.filter(col("is_bench")), "doc_id")
+      .select("gh").distinct()
+    // Batch contamination checks against the COMBINED benchmark gram
+    // set (base store ∪ batch bench grams) — exactly d07 on the
+    // combined corpus restricted to batch docs.
+    val bgAll = st.benchGrams.unionByName(bgNew).distinct()
+    val contamB = gramsB.join(markedB.filter(!col("is_bench")), "doc_id")
+      .join(bgAll, Seq("gh"), "leftsemi")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    val stagedB = markedB.join(qB, "doc_id")
+      .join(contamB, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_bench"), "benchmark")
+          .when(!col("q_keep"), "low_quality")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .otherwise("clean").as("stage0"))
+    val batchClean = stagedB.filter(col("stage0") === "clean").select("doc_id")
+
+    // --- old docs newly contaminated by the batch's benchmark grams ---
+    val removed = st.cleanGrams.join(broadcast(bgNew), Seq("gh"), "leftsemi")
+      .select("doc_id").distinct()
+
+    // --- touched components: re-derive their subgraph from state ---
+    val oldClean = st.decisions.filter(col("stage").isin("kept", "duplicate"))
+      .select(col("doc_id"), col("group_id").as("lbl"))
+    val touched = removed.join(oldClean, "doc_id").select("lbl").distinct()
+    val survivors = oldClean.join(broadcast(touched), "lbl")
+      .select("doc_id")
+      .join(removed, Seq("doc_id"), "left_anti")
+    val subEdges = st.pairs.join(broadcast(touched), "lbl")
+      .join(removed.toDF("id_a"), Seq("id_a"), "left_anti")
+      .join(removed.toDF("id_b"), Seq("id_b"), "left_anti")
+      .select("id_a", "id_b")
+
+    // --- new pairs: batch clean probes live bands + its own ---
+    val shB = Dedup.shingledDocs(s, batch).join(batchClean, "doc_id")
+    val newBands = Dedup.minhashBands(shB)
+    val n = s.sessionState.conf.numShufflePartitions
+    val probe = newBands.toDF("id_a", "band", "bsig")
+      .repartition(n, col("band"), col("bsig"))
+    val touchedBuckets = newBands
+      .select(col("band").as("band2"), col("bsig").as("bsig2")).distinct()
+    val build = st.bands.join(removed, Seq("doc_id"), "left_anti")
+      .unionByName(newBands).toDF("id_b", "band2", "bsig2")
+      .join(broadcast(touchedBuckets), Seq("band2", "bsig2"), "leftsemi")
+      .repartition(n, col("band2"), col("bsig2"))
+    val cand = probe
+      .join(build, col("band") === col("band2") && col("bsig") === col("bsig2") &&
+        col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val newPairs = Dedup.verifyJaccard(cand, st.shingles.unionByName(shB), 0.5)
+      .select(col("id_a"), col("id_b"))
+
+    // --- merge CC in mixed space (d09's trick + touched raw subgraphs):
+    // an endpoint in an UNTOUCHED old component is lifted to its label
+    // (the component min, so min-propagation stays exact); touched
+    // members and batch docs stay raw. Batch/old id spaces are disjoint
+    // (ids are assigned once, corpus-wide — d09's same precondition).
+    val oldUntouched = oldClean.join(broadcast(touched), Seq("lbl"), "left_anti")
+    val edgesNew = newPairs
+      .join(oldUntouched.select(col("doc_id").as("id_a"), col("lbl").as("la")),
+        Seq("id_a"), "left")
+      .join(oldUntouched.select(col("doc_id").as("id_b"), col("lbl").as("lb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("la"), col("id_a")).as("id_a"),
+        coalesce(col("lb"), col("id_b")).as("id_b"))
+    val edges = subEdges.unionByName(edgesNew)
+    val verts = batchClean.toDF("id")
+      .unionByName(survivors.toDF("id"))
+      .unionByName(edges.select(col("id_a").as("id")))
+      .unionByName(edges.select(col("id_b").as("id")))
+      .distinct()
+    val merged = Dedup.connectedComponents(verts, edges).toDF("id", "nl")
+
+    val relabel = broadcast(merged.toDF("lbl", "nl"))
+    val survivorFinal = merged.toDF("doc_id", "lbl").join(survivors, "doc_id")
+      .select("doc_id", "lbl")
+    val batchFinal = batchClean
+      .join(merged.toDF("doc_id", "lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+
+    val qualB = TextAnalysis.qualityScore(batch)
+      .select(col("doc_id"), col("quality")).join(batchClean, "doc_id")
+    val splitB = Sampling.stratSplit(batch)
+      .select(col("doc_id"), col("split")).join(batchClean, "doc_id")
+    MergeParts(stagedB, batchClean, removed, oldUntouched, relabel,
+      survivorFinal, batchFinal,
+      st.quality.unionByName(qualB), st.splits.unionByName(splitB))
+  }
+
+  /** Non-clean verdict rows of a merge: the batch's drops, the old
+    * corpus's standing drops, and the newly-contaminated old docs. */
+  private def mergedNonClean(st: CurationState, p: MergeParts,
+                             includeOld: Boolean): DataFrame = {
+    val batchDrops = p.stagedB.filter(col("stage0") =!= "clean")
+    val newContam = p.removed
+      .select(col("doc_id"), lit("contaminated").as("stage0"))
+    if (!includeOld) batchDrops.unionByName(newContam)
+    else batchDrops.unionByName(newContam).unionByName(
+      st.decisions.filter(!col("stage").isin("kept", "duplicate"))
+        .select(col("doc_id"), col("stage").as("stage0")))
+  }
+
+  /** The FULL merged decision frame over base ∪ batch — frame-equal to
+    * [[curationDecideDocs]] on the combined corpus (CurationIncSpec).
+    * Re-emits the whole corpus (one map-side relabel scan); the row-set
+    * a daily pipeline persists is [[curationDelta]]. */
+  def mergeCuration(s: SparkSession, st: CurationState,
+                    batch: DataFrame): DataFrame = {
+    val p = mergeParts(s, st, batch)
+    val untouchedFinal = p.oldUntouched.join(p.relabel, Seq("lbl"), "left")
+      .select(col("doc_id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+    val labels = untouchedFinal.unionByName(p.survivorFinal)
+      .unionByName(p.batchFinal)
+    assembleDecisions(labels, p.quality, p.splits,
+      mergedNonClean(st, p, includeOld = true))
+  }
+
+  /** The DELTA of a merge — only rows whose decision changed: every
+    * batch doc, every newly-contaminated old doc, and every member of a
+    * component that gained/lost members or was relabeled (its
+    * group_size/keeper/stage fields change even when its label does
+    * not). Upserting the delta over the old decisions reproduces
+    * [[mergeCuration]] row for row (CurationIncSpec asserts it), so a
+    * daily batch writes O(batch fan-out + touched components), never
+    * the corpus. */
+  def curationDelta(s: SparkSession, st: CurationState,
+                    batch: DataFrame): DataFrame = {
+    val p = mergeParts(s, st, batch)
+    // Untouched components incident to new edges: their label appears
+    // as a vertex in the merge CC (= a key of the relabel map).
+    val incidentFinal = p.oldUntouched
+      .join(p.relabel, Seq("lbl"))
+      .select(col("doc_id"), col("nl").as("lbl"))
+    val labels = incidentFinal.unionByName(p.survivorFinal)
+      .unionByName(p.batchFinal)
+    assembleDecisions(labels, p.quality, p.splits,
+      mergedNonClean(st, p, includeOld = false))
+  }
+
+  /** Persist the curation state for the base slice (doc_id ≢ 0 mod
+    * `mod`) of a corpus — the once-per-corpus artifact [[IncBench]]'s
+    * curation phases price. */
+  def writeCurationState(s: SparkSession, d: String, dir: String,
+                         mod: Int = Incremental.IngestMod): Unit = {
+    val base = Tables.documents(s, d)
+      .filter(!(pmod(col("doc_id"), lit(mod)) === 0))
+    val st = curationState(s, base)
+    st.decisions.write.mode("overwrite").parquet(s"$dir/decisions")
+    st.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    st.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    st.pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    st.quality.write.mode("overwrite").parquet(s"$dir/quality")
+    st.splits.write.mode("overwrite").parquet(s"$dir/splits")
+    st.benchGrams.write.mode("overwrite").parquet(s"$dir/benchgrams")
+    st.cleanGrams.write.mode("overwrite").parquet(s"$dir/cleangrams")
+  }
+
+  private def readState(s: SparkSession, dir: String): CurationState =
+    CurationState(
+      s.read.parquet(s"$dir/decisions"), s.read.parquet(s"$dir/bands"),
+      s.read.parquet(s"$dir/shingles"), s.read.parquet(s"$dir/pairs"),
+      s.read.parquet(s"$dir/quality"), s.read.parquet(s"$dir/splits"),
+      s.read.parquet(s"$dir/benchgrams"), s.read.parquet(s"$dir/cleangrams"))
+
+  private def batchOf(s: SparkSession, d: String, mod: Int): DataFrame =
+    Tables.documents(s, d).filter(pmod(col("doc_id"), lit(mod)) === 0)
+
+  /** The production merge: full combined decisions from PERSISTED state. */
+  def mergeCurationFromState(s: SparkSession, d: String, dir: String,
+                             mod: Int = Incremental.IngestMod): DataFrame =
+    mergeCuration(s, readState(s, dir), batchOf(s, d, mod))
+
+  /** The production delta: changed decision rows from PERSISTED state. */
+  def curationDeltaFromState(s: SparkSession, d: String, dir: String,
+                             mod: Int = Incremental.IngestMod): DataFrame =
+    curationDelta(s, readState(s, dir), batchOf(s, d, mod))
 }

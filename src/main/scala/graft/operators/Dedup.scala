@@ -46,7 +46,11 @@ object Dedup {
     * the portable Text.shingles (spec-asserted), one codegen'd loop per
     * row instead of interpreted per-element lambdas. */
   private[operators] def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shingledDocs(s, Tables.documents(s, d))
+
+  /** [[shingled]] over any (doc_id, text, ...) frame. */
+  def shingledDocs(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), GraftShingles(s, col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -327,8 +331,13 @@ object Dedup {
   /** d03: MinHash(16) + LSH(4 bands × 4 rows) candidate pairs,
     * exact-verified at Jaccard >= 0.5. The shuffle key is
     * (band, band-signature); exact verification touches only candidates. */
-  def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
+  def d03MinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshPairs(s, shingled(s, d))
+
+  /** [[d03MinhashLsh]] over any (doc_id, sh) shingle frame — the same
+    * band/verify pipeline, factored so the incremental curation path
+    * ([[Curation]]) can run it over a document subset. */
+  def minhashLshPairs(s: SparkSession, sh: DataFrame): DataFrame = {
     val bands = minhashBands(sh)
     // Explicit repartition: exempt from AQE input-size coalescing, which
     // would otherwise run this pair-generating self-join in one task

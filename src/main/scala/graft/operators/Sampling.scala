@@ -161,7 +161,11 @@ object Sampling {
     * per-stratum unbiased, so each language's 90/5/5 holds in
     * expectation; map-side only, no shuffle. */
   def x05StratSplit(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    stratSplit(Tables.documents(s, d))
+
+  /** [[x05StratSplit]] over any (doc_id, lang, ...) frame. */
+  def stratSplit(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         pmod(Text.hash60(col("doc_id").cast("string"), SplitSeed), lit(100))
           .as("bucket"))

@@ -74,9 +74,14 @@ object TextAnalysis {
   /** t02: document quality score from length, stopword ratio, and
     * lexical diversity — the length/punct/stopword heuristics of LLM data
     * curation, in deterministic rational arithmetic. */
-  def t02QualityScore(s: SparkSession, d: String): DataFrame = {
+  def t02QualityScore(s: SparkSession, d: String): DataFrame =
+    qualityScore(Tables.documents(s, d))
+
+  /** [[t02QualityScore]] over any (doc_id, text, n_chars, ...) frame —
+    * factored so the incremental curation path can score a batch. */
+  def qualityScore(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("n_chars"),
         size(toks).cast("bigint").as("n_tokens"),
         Text.markerCount(toks, Seq("the", "a")).cast("double").as("n_stop"),

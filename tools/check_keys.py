@@ -40,6 +40,10 @@ def main(sf_dir, out_dir, keys):
     import os, time
     con = duckdb.connect()
     con.execute(f"SET threads TO {int(os.environ.get('CHECK_THREADS', '8'))}")
+    # Parallel batches each default to ~80% of RAM and OOM each other at
+    # big SFs; cap per-process memory explicitly (e.g. CHECK_MEM=24GB).
+    if os.environ.get("CHECK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['CHECK_MEM']}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
