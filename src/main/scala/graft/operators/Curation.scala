@@ -242,6 +242,17 @@ object Curation {
       .join(bgAll, Seq("gh"), "leftsemi")
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(true))
+    // Lineage cuts on the small, multiply-referenced frames (the d10/d11
+    // lesson): stagedB feeds the verdict union, batchClean (4 consumers)
+    // and the delta filter; removed feeds touched/survivors/subEdges
+    // (both sides)/build/newContam and its lineage is the corpus-sized
+    // gram-index semi-join. Without the cuts, every downstream reference
+    // re-runs that upstream IN THE FINAL PLAN (measured at sf1 mod50:
+    // the final assembly pass alone cost 25.9 s, the warm IncBench
+    // marginal 27.7 s — batch-size-INDEPENDENT because the re-run
+    // upstreams are corpus-sized; with the cuts the marginal is 6.3 s at
+    // a 2% batch / 9.3 s at 20%, tracking the batch again. Both frames
+    // are batch-bounded, ≤ batch + disturbed rows).
     val stagedB = markedB.join(qB, "doc_id")
       .join(contamB, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -249,11 +260,13 @@ object Curation {
           .when(!col("q_keep"), "low_quality")
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")
           .otherwise("clean").as("stage0"))
+      .localCheckpoint()
     val batchClean = stagedB.filter(col("stage0") === "clean").select("doc_id")
 
     // --- old docs newly contaminated by the batch's benchmark grams ---
     val removed = st.cleanGrams.join(broadcast(bgNew), Seq("gh"), "leftsemi")
       .select("doc_id").distinct()
+      .localCheckpoint()
 
     // --- touched components: re-derive their subgraph from state ---
     val oldClean = st.decisions.filter(col("stage").isin("kept", "duplicate"))
@@ -301,13 +314,18 @@ object Curation {
         Seq("id_b"), "left")
       .select(coalesce(col("la"), col("id_a")).as("id_a"),
         coalesce(col("lb"), col("id_b")).as("id_b"))
-    val edges = subEdges.unionByName(edgesNew)
+    // Same cut class: edges is read by CC AND twice by verts; merged by
+    // relabel/survivorFinal/batchFinal. Each is bounded by touched
+    // components + batch fan-out, while its lineage is the whole
+    // candidate-generation + verify pipeline.
+    val edges = subEdges.unionByName(edgesNew).localCheckpoint()
     val verts = batchClean.toDF("id")
       .unionByName(survivors.toDF("id"))
       .unionByName(edges.select(col("id_a").as("id")))
       .unionByName(edges.select(col("id_b").as("id")))
       .distinct()
     val merged = Dedup.connectedComponents(verts, edges).toDF("id", "nl")
+      .localCheckpoint()
 
     val relabel = broadcast(merged.toDF("lbl", "nl"))
     val survivorFinal = merged.toDF("doc_id", "lbl").join(survivors, "doc_id")

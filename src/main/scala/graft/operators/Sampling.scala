@@ -73,22 +73,23 @@ object Sampling {
   /** KMV over any (lang, text) frame — split out so specs can feed a
     * synthetic corpus with a known cardinality. */
   def kmvDistinct(docs: DataFrame): DataFrame = {
-    // Dedup BEFORE hashing, twice: array_distinct kills within-document
-    // repetition map-side (measured: its per-array pass beats shipping
-    // 2.3× the rows into the aggregate), then a distinct on (lang, tok)
-    // collapses cross-document repetition — its partial HashAggregate
-    // dedups each partition before the shuffle, so the exchange ships
-    // at most (per-partition vocabulary × partitions) short strings,
-    // and md5 then runs once per VOCABULARY entry, not once per
-    // occurrence. Heaps' law makes this the scale winner: vocabulary
-    // grows ~√corpus while occurrences grow linearly. The trailing
-    // distinct on (lang, h) is vocabulary-sized (trivial) and only
-    // collapses md5 collisions, keeping the result identical to
-    // hash-then-dedup.
+    // array_distinct kills within-document repetition map-side
+    // (measured: its per-array pass beats shipping 2.3× the rows into
+    // the aggregate); then hash FIRST and distinct ONCE on (lang, h) —
+    // exactly the oracle's shape (Oracles.x03Sql: DISTINCT lang,
+    // h60(tok)). A dedup-before-hash form (distinct on (lang, tok),
+    // project md5, distinct on (lang, h)) plans IDENTICALLY:
+    // RemoveRedundantAggregates drops the lower keys-only aggregate
+    // under the duplicate-agnostic upper distinct, so both sources
+    // produce the same 2-exchange physical plan (verified by plan_fp
+    // 691d9cac3da9 on both, sf1 1.96 s both) — this source just says
+    // what actually executes. The one exchange ships 8-byte longs, its
+    // partial HashAggregate dedups each partition map-side, so it
+    // carries at most (per-partition hash-vocabulary × partitions)
+    // longs; md5 runs once per post-array_distinct occurrence.
     val hashes = docs
       .select(col("lang"),
         explode(array_distinct(Text.tokens(col("text")))).as("tok"))
-      .distinct()
       .select(col("lang"), Text.hash60(col("tok"), KmvSeed).as("h"))
       .distinct()
     // One bounded aggregate does both jobs: graft_mink (MinKLong) is a
