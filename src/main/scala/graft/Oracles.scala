@@ -1366,7 +1366,12 @@ object Oracles {
     * calibratedPqShortlist(sfDir); both floor at the catalog defaults
     * at the gate SFs (OracleContractSpec). */
   def all(rhpBits: Int = graft.operators.Similarity.RhpBits,
-          pqShortlist: Int = graft.operators.Similarity.PqShortlist): Map[String, String] =
-    core ++ text ++ dedup(rhpBits) ++ similarity(rhpBits, pqShortlist) ++
+          pqShortlist: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
+    val m = core ++ text ++ dedup(rhpBits) ++ similarity(rhpBits, pqShortlist) ++
       eventsAndMedia ++ curation ++ x03Sql
+    // x09 (incremental curation merge) is frame-equal to x08 on the
+    // full corpus BY DESIGN — gating it against x08's mirror verbatim
+    // is the point: the oracle proves incremental == from-scratch.
+    m + ("x09_curation_merge" -> m("x08_curation_decide"))
+  }
 }

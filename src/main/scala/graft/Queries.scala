@@ -114,7 +114,8 @@ object Queries {
     "x02_seq_pack"         -> (Sampling.x02SeqPack _),
     "x03_kmv_distinct"     -> (Sampling.x03KmvDistinct _),
     "x07_datasheet"        -> (Sampling.x07Datasheet _),
-    "x08_curation_decide"  -> (Curation.x08CurationDecide _)
+    "x08_curation_decide"  -> (Curation.x08CurationDecide _),
+    "x09_curation_merge"   -> (Curation.x09CurationMerge _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -187,7 +188,8 @@ object Queries {
     "x02_seq_pack"         -> Seq("shard", "pack_no"),
     "x03_kmv_distinct"     -> Seq("lang"),
     "x07_datasheet"        -> Seq("lvl", "lang", "source"),
-    "x08_curation_decide"  -> Seq("doc_id")
+    "x08_curation_decide"  -> Seq("doc_id"),
+    "x09_curation_merge"   -> Seq("doc_id")
   )
 
   /** Verification view: production plan + canonical output order. */

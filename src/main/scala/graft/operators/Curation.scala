@@ -133,6 +133,42 @@ object Curation {
   def x08CurationDecide(s: SparkSession, d: String): DataFrame =
     curationDecideDocs(s, Tables.documents(s, d))
 
+  /** x09: the incremental curation MERGE as a gated key (d09/e06's
+    * pattern): build base-corpus state in-query for the doc_id ≢ 0 mod
+    * [[Incremental.IngestMod]] slice, then [[mergeCuration]] the
+    * held-out 20% batch. The merge is frame-equal to
+    * [[curationDecideDocs]] on the full corpus, so the oracle is x08's
+    * mirror VERBATIM — the gate hash-proves incremental == from-scratch
+    * on every run, on real data, including the non-monotone
+    * component-split path (the batch's benchmark docs contaminate base
+    * docs, splitting their components).
+    *
+    * NOTE ON THE BENCH NUMBER: like d09/e06, this self-contained form
+    * pays base-build + merge so the oracle sees one closed plan; the
+    * production marginal from persisted state is priced by
+    * [[IncBench]]'s x08 phases. */
+  def x09CurationMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mod = Incremental.IngestMod
+    val base = docs.filter(!(pmod(col("doc_id"), lit(mod)) === 0))
+    val batch = docs.filter(pmod(col("doc_id"), lit(mod)) === 0)
+    val st = curationState(s, base)
+    // Materialize the state frames — the in-query analog of
+    // writeCurationState + readState. Production state is parquet
+    // (opaque to the optimizer); rebuilding it transparently in-query
+    // would (a) re-run the base pipeline once per downstream state
+    // reference and (b) leak foldable literals (the -1 group_id of
+    // non-clean decision rows) into the merge's anti-join keys, where
+    // FoldablePropagation folds the key away and plans a banned
+    // BroadcastNestedLoopJoin.
+    val mst = CurationState(
+      st.decisions.localCheckpoint(), st.bands.localCheckpoint(),
+      st.shingles.localCheckpoint(), st.pairs.localCheckpoint(),
+      st.quality.localCheckpoint(), st.splits.localCheckpoint(),
+      st.benchGrams.localCheckpoint(), st.cleanGrams.localCheckpoint())
+    mergeCuration(s, mst, batch)
+  }
+
   // -------------------------------------------------------------------
   // Incremental curation: persisted state + marginal batch merge
   // -------------------------------------------------------------------
