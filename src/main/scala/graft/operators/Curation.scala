@@ -152,7 +152,6 @@ object Curation {
     val mod = Incremental.IngestMod
     val base = docs.filter(!(pmod(col("doc_id"), lit(mod)) === 0))
     val batch = docs.filter(pmod(col("doc_id"), lit(mod)) === 0)
-    val st = curationState(s, base)
     // Materialize the state frames — the in-query analog of
     // writeCurationState + readState. Production state is parquet
     // (opaque to the optimizer); rebuilding it transparently in-query
@@ -160,9 +159,14 @@ object Curation {
     // reference and (b) leak foldable literals (the -1 group_id of
     // non-clean decision rows) into the merge's anti-join keys, where
     // FoldablePropagation folds the key away and plans a banned
-    // BroadcastNestedLoopJoin.
+    // BroadcastNestedLoopJoin. `decisions` is checkpointed FIRST: five
+    // of the state frames filter it, and checkpointing them off the
+    // shared materialization avoids re-running the whole decision
+    // pipeline (CC included) per frame.
+    val decisionsM = curationDecideDocs(s, base).localCheckpoint()
+    val st = curationStateFrom(s, base, decisionsM)
     val mst = CurationState(
-      st.decisions.localCheckpoint(), st.bands.localCheckpoint(),
+      decisionsM, st.bands.localCheckpoint(),
       st.shingles.localCheckpoint(), st.pairs.localCheckpoint(),
       st.quality.localCheckpoint(), st.splits.localCheckpoint(),
       st.benchGrams.localCheckpoint(), st.cleanGrams.localCheckpoint())
@@ -207,8 +211,15 @@ object Curation {
   /** Build the persisted curation state for a base corpus (in-memory
     * frames; [[writeCurationState]] lands them as parquet). The
     * once-per-corpus cost — every later batch pays only [[mergeCuration]]. */
-  def curationState(s: SparkSession, base: DataFrame): CurationState = {
-    val decisions = curationDecideDocs(s, base)
+  def curationState(s: SparkSession, base: DataFrame): CurationState =
+    curationStateFrom(s, base, curationDecideDocs(s, base))
+
+  /** [[curationState]] over a PRECOMPUTED decision frame — lets the
+    * in-query gated key (x09) checkpoint `decisions` once before the
+    * five state frames that filter it are derived, instead of
+    * re-running the full decision pipeline per frame. */
+  private[graft] def curationStateFrom(s: SparkSession, base: DataFrame,
+                                       decisions: DataFrame): CurationState = {
     val clean = decisions.filter(col("stage").isin("kept", "duplicate"))
       .select("doc_id")
     val shClean = Dedup.shingledDocs(s, base).join(clean, "doc_id")
