@@ -245,8 +245,9 @@ object Curation {
   }
 
   /** The shared intermediates of a batch merge (built once, consumed by
-    * the full and delta forms). */
-  private final case class MergeParts(
+    * the full and delta forms; package-visible so ScaleGuardSpec can
+    * assert the fan-out bounds on the real frames). */
+  private[graft] final case class MergeParts(
       stagedB: DataFrame, batchClean: DataFrame, removed: DataFrame,
       oldUntouched: DataFrame, relabel: DataFrame, survivorFinal: DataFrame,
       batchFinal: DataFrame, quality: DataFrame, splits: DataFrame)
@@ -269,18 +270,46 @@ object Curation {
     *    components enter as their (component-min) label, touched
     *    members and batch docs as raw ids — so its graph is bounded by
     *    touched components + batch fan-out;
+    *  - the merge-CC vertex set holds ONLY edge-incident ids (isolated
+    *    batch docs and isolated survivors resolve to their own id via
+    *    the coalesce in batchFinal/survivorFinal — d09's shape), so the
+    *    CC, its `merged` output, and the relabel map are all bounded by
+    *    the batch's FAN-OUT (touched components + verified new pairs),
+    *    never the batch itself;
     *  - group stats re-aggregate only changed components' members.
     * The only corpus-sized passes are map-side: the cleanGrams semi-join
-    * and (full form only) the relabel of the decision frame. */
-  private def mergeParts(s: SparkSession, st: CurationState,
-                         batch: DataFrame): MergeParts = {
+    * and (full form only) the relabel of the decision frame.
+    *
+    * Broadcasts here are SIZE-GUARDED ([[Skew.boundedBroadcast]]): the
+    * hinted frames (new bench grams, touched labels, touched buckets,
+    * the relabel map) are fan-out-bounded under the daily-batch
+    * assumption, but a hostile batch (~100% near-dups of the corpus)
+    * pushes fan-out toward corpus scale — the guard counts each
+    * materialized frame and lets an oversized one degrade to a shuffle
+    * join instead of a forced driver collect.
+    *
+    * Lineage-cut caveat (cluster deployments): the localCheckpoints
+    * below — needed so multiply-referenced batch-bounded frames don't
+    * re-run their corpus-sized upstreams per consumer, measured 27.7 vs
+    * 6.3 s at a 2% sf1 batch — use EXECUTOR-LOCAL storage. On a real
+    * cluster an executor loss during the merge fails the job (no
+    * lineage to recompute) and it must be resubmitted; a batch merge is
+    * minutes of work, so rerun-on-failure is the right trade vs paying
+    * a reliable-checkpoint (DFS write) per intermediate. Pipelines that
+    * cannot rerun should swap the cuts for `checkpoint()` against a
+    * reliable dir. */
+  private[graft] def mergeParts(s: SparkSession, st: CurationState,
+                                batch: DataFrame): MergeParts = {
     // --- batch per-doc stages ---
     val markedB = batch.select(col("doc_id"), isBenchCol.as("is_bench"))
     val qB = TextAnalysis.qualityFilter(s, batch.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("keep").as("q_keep"))
     val gramsB = gramsOf(s, batch)
+    // Checkpointed so (a) its two consumers don't re-run the batch gram
+    // pass and (b) the broadcast guard below can count it for free.
     val bgNew = gramsB.join(markedB.filter(col("is_bench")), "doc_id")
       .select("gh").distinct()
+      .localCheckpoint()
     // Batch contamination checks against the COMBINED benchmark gram
     // set (base store ∪ batch bench grams) — exactly d07 on the
     // combined corpus restricted to batch docs.
@@ -311,18 +340,26 @@ object Curation {
     val batchClean = stagedB.filter(col("stage0") === "clean").select("doc_id")
 
     // --- old docs newly contaminated by the batch's benchmark grams ---
-    val removed = st.cleanGrams.join(broadcast(bgNew), Seq("gh"), "leftsemi")
+    // Guarded: bgNew grows with the batch's benchmark gram count; over
+    // the cap the semi-join shuffles instead of broadcasting.
+    val removed = st.cleanGrams
+      .join(Skew.boundedBroadcast(bgNew), Seq("gh"), "leftsemi")
       .select("doc_id").distinct()
       .localCheckpoint()
 
     // --- touched components: re-derive their subgraph from state ---
     val oldClean = st.decisions.filter(col("stage").isin("kept", "duplicate"))
       .select(col("doc_id"), col("group_id").as("lbl"))
+    // Checkpointed: three consumers, each would re-run the decision-scan
+    // join; bounded by `removed`. The guard covers the hostile case
+    // where nearly every component is touched.
     val touched = removed.join(oldClean, "doc_id").select("lbl").distinct()
-    val survivors = oldClean.join(broadcast(touched), "lbl")
+      .localCheckpoint()
+    val touchedB = Skew.boundedBroadcast(touched)
+    val survivors = oldClean.join(touchedB, "lbl")
       .select("doc_id")
       .join(removed, Seq("doc_id"), "left_anti")
-    val subEdges = st.pairs.join(broadcast(touched), "lbl")
+    val subEdges = st.pairs.join(touchedB, "lbl")
       .join(removed.toDF("id_a"), Seq("id_a"), "left_anti")
       .join(removed.toDF("id_b"), Seq("id_b"), "left_anti")
       .select("id_a", "id_b")
@@ -333,11 +370,15 @@ object Curation {
     val n = s.sessionState.conf.numShufflePartitions
     val probe = newBands.toDF("id_a", "band", "bsig")
       .repartition(n, col("band"), col("bsig"))
+    // Guarded: bucket count grows with the batch's band fan-out; over
+    // the cap the pre-filter becomes a shuffle semi-join (still
+    // candidate-preserving, still cheaper than no filter).
     val touchedBuckets = newBands
       .select(col("band").as("band2"), col("bsig").as("bsig2")).distinct()
+      .localCheckpoint()
     val build = st.bands.join(removed, Seq("doc_id"), "left_anti")
       .unionByName(newBands).toDF("id_b", "band2", "bsig2")
-      .join(broadcast(touchedBuckets), Seq("band2", "bsig2"), "leftsemi")
+      .join(Skew.boundedBroadcast(touchedBuckets), Seq("band2", "bsig2"), "leftsemi")
       .repartition(n, col("band2"), col("bsig2"))
     val cand = probe
       .join(build, col("band") === col("band2") && col("bsig") === col("bsig2") &&
@@ -353,7 +394,7 @@ object Curation {
     // (the component min, so min-propagation stays exact); touched
     // members and batch docs stay raw. Batch/old id spaces are disjoint
     // (ids are assigned once, corpus-wide — d09's same precondition).
-    val oldUntouched = oldClean.join(broadcast(touched), Seq("lbl"), "left_anti")
+    val oldUntouched = oldClean.join(touchedB, Seq("lbl"), "left_anti")
     val edgesNew = newPairs
       .join(oldUntouched.select(col("doc_id").as("id_a"), col("lbl").as("la")),
         Seq("id_a"), "left")
@@ -366,17 +407,22 @@ object Curation {
     // components + batch fan-out, while its lineage is the whole
     // candidate-generation + verify pipeline.
     val edges = subEdges.unionByName(edgesNew).localCheckpoint()
-    val verts = batchClean.toDF("id")
-      .unionByName(survivors.toDF("id"))
-      .unionByName(edges.select(col("id_a").as("id")))
+    // EDGE-INCIDENT vertices only (d09's mergeGraph shape): an isolated
+    // clean batch doc or isolated survivor is its own singleton
+    // component by definition and resolves via the coalesce in
+    // batchFinal/survivorFinal — feeding the whole batch into the CC
+    // (and therefore into `merged` and the relabel broadcast) made both
+    // BATCH-sized, the r11 scale defect.
+    val verts = edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id")))
       .distinct()
     val merged = Dedup.connectedComponents(verts, edges).toDF("id", "nl")
       .localCheckpoint()
 
-    val relabel = broadcast(merged.toDF("lbl", "nl"))
-    val survivorFinal = merged.toDF("doc_id", "lbl").join(survivors, "doc_id")
-      .select("doc_id", "lbl")
+    val relabel = Skew.boundedBroadcast(merged.toDF("lbl", "nl"))
+    val survivorFinal = survivors
+      .join(merged.toDF("doc_id", "lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
     val batchFinal = batchClean
       .join(merged.toDF("doc_id", "lbl"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))

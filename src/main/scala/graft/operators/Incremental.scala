@@ -71,13 +71,16 @@ object Incremental {
     // component minima, so a bridge through a new doc correctly pulls
     // both sides down to the global min); untouched components and
     // isolated new docs keep their own. The relabel maps are bounded by
-    // touched labels + batch ids — broadcast them so the corpus-sized
-    // label table maps in place instead of shuffling (the CC loop's
-    // checkpointed lineage gives AQE no size estimate to do it alone).
-    val relabelOld = broadcast(merged.toDF("lbl", "nl"))
+    // the batch's edge FAN-OUT (mergeGraph's vertex set is
+    // edge-incident only) and broadcast so the corpus-sized label table
+    // maps in place instead of shuffling — SIZE-GUARDED
+    // ([[Skew.boundedBroadcast]]): a ~100%-near-dup batch (the crawl
+    // case) makes fan-out ≈ batch, and the guard lets the relabel
+    // degrade to a shuffle join instead of a forced driver collect.
+    val relabelOld = Skew.boundedBroadcast(merged.toDF("lbl", "nl"))
     val oldFinal = oldLabels.join(relabelOld, Seq("lbl"), "left")
       .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
-    val relabelNew = broadcast(merged.toDF("id", "nl"))
+    val relabelNew = Skew.boundedBroadcast(merged.toDF("id", "nl"))
     val newFinal = newIds.join(relabelNew, Seq("id"), "left")
       .select(col("id"), coalesce(col("nl"), col("id")).as("lbl"))
     oldFinal.unionByName(newFinal)
@@ -97,11 +100,11 @@ object Incremental {
                            newIds: DataFrame, newSh: DataFrame,
                            threshold: Double = 0.5): DataFrame = {
     val merged = mergeGraph(s, oldLabels, oldBands, oldSh, newIds, newSh, threshold)
-    val changed = broadcast(merged.toDF("lbl", "nl")
+    val changed = Skew.boundedBroadcast(merged.toDF("lbl", "nl")
       .filter(col("nl") =!= col("lbl")))
     val oldChanged = oldLabels.join(changed, Seq("lbl"))
       .select(col("id"), col("nl").as("lbl"))
-    val relabelNew = broadcast(merged.toDF("id", "nl"))
+    val relabelNew = Skew.boundedBroadcast(merged.toDF("id", "nl"))
     val newFinal = newIds.join(relabelNew, Seq("id"), "left")
       .select(col("id"), coalesce(col("nl"), col("id")).as("lbl"))
     oldChanged.unionByName(newFinal)
@@ -109,11 +112,17 @@ object Incremental {
 
   /** Candidate generation + verify + label-space CC shared by the full
     * and delta ingest forms: returns the merged labelling of the
-    * touched graph (old labels + batch ids incident to new edges). */
-  private def mergeGraph(s: SparkSession, oldLabels: DataFrame,
-                         oldBands: DataFrame, oldSh: DataFrame,
-                         newIds: DataFrame, newSh: DataFrame,
-                         threshold: Double): DataFrame = {
+    * touched graph (old labels + batch ids incident to new edges).
+    * The vertex set is EDGE-INCIDENT only — an isolated batch doc is
+    * its own singleton component and resolves via the
+    * coalesce-to-own-id in the callers' relabel joins — so the CC, its
+    * output, and the relabel broadcasts are all bounded by the batch's
+    * verified-pair fan-out, not the batch (package-visible so
+    * ScaleGuardSpec can assert that bound on the real frame). */
+  private[graft] def mergeGraph(s: SparkSession, oldLabels: DataFrame,
+                                oldBands: DataFrame, oldSh: DataFrame,
+                                newIds: DataFrame, newSh: DataFrame,
+                                threshold: Double = 0.5): DataFrame = {
     val n = s.sessionState.conf.numShufflePartitions
     val newBands = Dedup.minhashBands(newSh)
     // New-vs-(corpus ∪ batch) candidates: the probe side is the batch
@@ -146,20 +155,26 @@ object Incremental {
       .select(col("id_a"), col("id_b"))
     // Lift pair endpoints into LABEL space: an old endpoint stands for
     // its whole (already-connected) component, so the merge graph is
-    // labels + new ids, with one edge per verified pair.
+    // labels + new ids, with one edge per verified pair. Checkpointed:
+    // verts reads it twice and CC once, and its lineage is the whole
+    // candidate-generation + verify pipeline.
     val edges = pairs
       .join(oldLabels.toDF("id_a", "la"), Seq("id_a"), "left")
       .join(oldLabels.toDF("id_b", "lb"), Seq("id_b"), "left")
       .select(coalesce(col("la"), col("id_a")).as("id_a"),
         coalesce(col("lb"), col("id_b")).as("id_b"))
-    // `newIds` covers the WHOLE batch (a shingle-less doc is its own
-    // component, like d06's vertex set); newSh covers its shingled docs.
-    val verts = newIds
-      .unionByName(edges.select(col("id_a").as("id")))
+      .localCheckpoint()
+    // EDGE-INCIDENT vertices only: feeding all of newIds into the CC
+    // made `merged` — and the relabel broadcasts built from it —
+    // BATCH-sized; isolated batch docs need no CC row (the callers
+    // coalesce a missing relabel hit to the doc's own id).
+    val verts = edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id")))
       .distinct()
-    // The merge CC: tiny by construction (touched labels + batch ids).
-    Dedup.connectedComponents(verts, edges)
+    // The merge CC: fan-out-bounded by construction (touched labels +
+    // edge-incident batch ids). Checkpointed so the two relabel maps
+    // and the size-guard counts read materialized rows.
+    Dedup.connectedComponents(verts, edges).localCheckpoint()
   }
 
   /** Append a batch of vectors to a persisted IVF×PQ index with FROZEN

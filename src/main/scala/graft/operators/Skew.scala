@@ -42,4 +42,26 @@ object Skew {
     l.join(r, l("__salt") === r("__salt") && l(key) === r(key), how)
       .drop(l("__salt")).drop(r("__salt")).drop(r(key))
   }
+
+  /** Row cap for [[boundedBroadcast]]: 4M rows of a two-long relabel map
+    * is ~64 MB serialized — comfortably inside Spark's broadcast limits
+    * and a sane driver/executor memory budget, while anything larger
+    * falls back to a shuffle join. */
+  val BroadcastRowCap: Long = 4L << 20
+
+  /** Size-GUARDED broadcast hint. A forced `broadcast()` is honored by
+    * the planner REGARDLESS of runtime size — the frame is collected to
+    * the driver and shipped to every executor, so a hint on a frame
+    * that is merely EXPECTED to be small (a relabel map bounded by
+    * "daily batches are small") turns into a driver-OOM scale-killer
+    * the day a batch is not (the ~100%-near-dup crawl batch). This
+    * guard counts the frame and hints only under `capRows`; an
+    * oversized frame returns UNhinted, so the join degrades to a
+    * shuffle — slower, never fatal.
+    *
+    * `df` must be cheap to count: already materialized
+    * (localCheckpoint/cache) or a narrow projection/filter over a
+    * materialized frame — otherwise the count re-runs its lineage. */
+  def boundedBroadcast(df: DataFrame, capRows: Long = BroadcastRowCap): DataFrame =
+    if (df.count() <= capRows) broadcast(df) else df
 }
