@@ -21,20 +21,34 @@ import graft.operators.{Curation, Incremental}
   * [[Incremental.IngestMod]] (ids ≡ 0 mod `mod` form the batch, so
   * mod 5 = a 20% batch, mod 50 = 2% — the slope of marginal cost in
   * batch fraction is the incremental-ingestion scaling claim, measured).
+  *
+  * `--adversarial` runs the WORST-case ingest instead: the batch is a
+  * near-copy of 1-in-`mod` of the corpus (ids shifted into a disjoint
+  * space, one token appended — Jaccard ≈ 0.97 to its source doc), so
+  * the edge fan-out is ~100% of the batch — the crawl-ingest hazard the
+  * daily-batch-small assumption waves away. Reported: the merged-CC
+  * row count (must track batch size, not corpus), whether the relabel
+  * maps exceeded [[graft.operators.Skew.BroadcastRowCap]] (set
+  * SPARK_GRAFT_BROADCAST_CAP low to exercise the shuffle-degrade path
+  * at real scale), and the marginal ingest time — bounded either way,
+  * never an OOM.
   */
 object IncBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse(
+    val adversarial = args.contains("--adversarial")
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    val stateDir = args.lift(1).getOrElse(
+    val stateDir = pos.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-inc-state").toString)
-    val mod = args.lift(2).map(_.toInt).getOrElse(Incremental.IngestMod)
+    val mod = pos.lift(2).map(_.toInt).getOrElse(Incremental.IngestMod)
     val spark = Sessions.local()
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def noop(df: => org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    if (adversarial) { runAdversarial(spark, sfDir, stateDir, mod); spark.stop(); return }
     val tGroup = timed(Incremental.writeGroupState(spark, sfDir, s"$stateDir/groups", mod))
     val tIndex = timed(Incremental.writeIndexState(spark, sfDir, s"$stateDir/ann", mod))
     def marginal(df: => org.apache.spark.sql.DataFrame): Double = {
@@ -69,5 +83,51 @@ object IncBench {
       s""""x08_delta_marginal":$x08d,"x08_delta_rows":$x08DeltaRows,""" +
       s""""x08_full_rows":$x08FullRows}""")
     spark.stop()
+  }
+
+  /** The worst-case ingest: every batch doc is a near-dup of a corpus
+    * doc, so edge fan-out ≈ batch size and the relabel maps are as
+    * large as they can get. State covers the FULL corpus; the batch is
+    * built by shifting 1-in-`mod` of the docs into a disjoint id space
+    * and appending one token. */
+  private def runAdversarial(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String, stateDir: String, mod: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Skew}
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // Full-corpus base state: a modulus beyond the id range keeps every
+    // doc in the base slice (pmod(id, m) == 0 only at id 0; ids start at 1).
+    val allMod = Int.MaxValue
+    val dir = s"$stateDir/adv_groups"
+    val tState = timed(Incremental.writeGroupState(spark, sfDir, dir, allMod))
+    val IdShift = 1L << 40
+    val batchDocs = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select((col("doc_id") + IdShift).as("doc_id"),
+        concat(col("text"), lit(" zzadversarialmarker")).as("text"))
+    val newIds = batchDocs.select(col("doc_id").as("id"))
+    val newSh = Dedup.shingledDocs(spark, batchDocs)
+    def labels = spark.read.parquet(s"$dir/labels")
+    def bands = spark.read.parquet(s"$dir/bands")
+    def sh = spark.read.parquet(s"$dir/shingles")
+    val batchRows = newIds.count()
+    val corpusRows = labels.count()
+    // Fan-out evidence: the merge-CC output must track the batch (each
+    // batch doc + its source's label), never the corpus beyond that.
+    val mergedRows = Incremental
+      .mergeGraph(spark, labels, bands, sh, newIds, newSh).count()
+    def ingest = Incremental.ingestDupGroups(spark, labels, bands, sh, newIds, newSh)
+    def noop(df: => org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    noop(ingest) // warmup
+    val tIngest = math.min(timed(noop(ingest)), timed(noop(ingest)))
+    val ingestRows = ingest.count()
+    println(s"""{"metric":"incremental_adversarial","unit":"sec","sf":"$sfDir","mod":$mod,""" +
+      s""""build_state":$tState,"batch_rows":$batchRows,"corpus_rows":$corpusRows,""" +
+      s""""merged_cc_rows":$mergedRows,"broadcast_cap":${Skew.BroadcastRowCap},""" +
+      s""""relabel_degraded":${mergedRows > Skew.BroadcastRowCap},""" +
+      s""""ingest_marginal":$tIngest,"ingest_rows":$ingestRows}""")
   }
 }

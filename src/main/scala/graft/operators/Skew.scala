@@ -46,8 +46,12 @@ object Skew {
   /** Row cap for [[boundedBroadcast]]: 4M rows of a two-long relabel map
     * is ~64 MB serialized — comfortably inside Spark's broadcast limits
     * and a sane driver/executor memory budget, while anything larger
-    * falls back to a shuffle join. */
-  val BroadcastRowCap: Long = 4L << 20
+    * falls back to a shuffle join. Tunable per deployment via
+    * SPARK_GRAFT_BROADCAST_CAP (rows) — smaller executors want a lower
+    * cap; IncBench --adversarial uses it to demonstrate the degraded
+    * path at real scale. */
+  lazy val BroadcastRowCap: Long =
+    sys.env.get("SPARK_GRAFT_BROADCAST_CAP").map(_.toLong).getOrElse(4L << 20)
 
   /** Size-GUARDED broadcast hint. A forced `broadcast()` is honored by
     * the planner REGARDLESS of runtime size — the frame is collected to
