@@ -1213,6 +1213,26 @@ object Oracles {
         |  'wav' AS format
         |FROM x ORDER BY doc_id""".stripMargin,
 
+    // m04: the MP4 generation rule in closed form. Fixed box overhead is
+    // 439 bytes (ftyp 24 + moov 407 + mdat header 8); duration is the
+    // same integer division the box walker computes from mvhd.
+    "m04_video_meta" ->
+      """WITH g AS (SELECT doc_id,
+        |    128 + doc_id % 1792 AS w,
+        |    96 + n_chars % 984 AS h,
+        |    600 * (1 + doc_id % 4) AS ts,
+        |    600 + (n_chars * 37) % 72000 AS du,
+        |    4 + doc_id % 32 AS pad
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(439 + pad AS BIGINT) AS n_bytes,
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS codec,
+        |  CAST((du * 1000) // ts AS BIGINT) AS duration_ms,
+        |  'mp4' AS format
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "s03_stream_dedup" -> {
       import graft.operators.EventOps.DupIdShift
       s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

@@ -100,6 +100,7 @@ object Queries {
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
+    "m04_video_meta"       -> (Multimodal.m04VideoMeta _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
@@ -176,6 +177,7 @@ object Queries {
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
     "m03_audio_meta"       -> Seq("doc_id"),
+    "m04_video_meta"       -> Seq("doc_id"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),

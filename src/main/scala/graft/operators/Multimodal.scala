@@ -20,6 +20,10 @@ case class AudioMeta(doc_id: Long, n_bytes: Long, channels: Long,
                      sample_rate: Long, bits_per_sample: Long,
                      n_samples: Long, duration_ms: Long, format: String)
 
+/** Decoded video-container metadata. */
+case class VideoMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
+                     codec: String, duration_ms: Long, format: String)
+
 /** Multimodal column handling (SURVEY §2.E): media as opaque `binary`
   * columns + typed decode metadata.
   *
@@ -178,6 +182,73 @@ object Multimodal {
       }
       val dur = if (byteRate > 0) dataSize * 1000L / byteRate else 0L
       (ch, sr, bits, dataSize, dur, "wav")
+    }
+  }
+
+  /** Real ISO-BMFF (MP4/MOV) box walk — the video sibling of
+    * [[HeaderDecode]]/[[RiffDecode]]: verify the leading `ftyp` box,
+    * then recursively descend the container boxes
+    * (moov → trak → mdia → minf → stbl), reading the movie header
+    * (`mvhd`, version 0 AND 1 layouts: timescale + duration) and the
+    * first sample-description entry (`stsd`: codec fourcc + coded
+    * width/height). Duration falls out as units·1000 / timescale
+    * (integer division — deterministic, oracle-mirrorable). Pure byte
+    * arithmetic over any actual MP4; no codec library, no sample
+    * decode — exactly the structure pass a video ingest runs to shard
+    * by resolution/codec before any expensive frame work. */
+  object BmffDecode {
+    private def be64(b: Array[Byte], i: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < 8) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+      v
+    }
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be16(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 8) | (b(i + 1) & 0xffL)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b.slice(i, i + 4), "US-ASCII")
+
+    private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    /** (width, height, codec, durationMs, format); zeros + "unknown"
+      * for non-BMFF bytes — the permissive posture of the other
+      * decoders. */
+    def decode(b: Array[Byte]): (Long, Long, String, Long, String) = {
+      if (b.length < 12 || tag(b, 4) != "ftyp")
+        return (0L, 0L, "unknown", 0L, "unknown")
+      var (ts, du, w, h) = (0L, 0L, 0L, 0L)
+      var codec = "unknown"
+      def walk(from: Int, to: Int): Unit = {
+        var i = from
+        var ok = true
+        while (ok && i + 8 <= to) {
+          val size = be32(b, i).toInt
+          val typ = tag(b, i + 4)
+          if (size < 8 || i + size > to) ok = false
+          else {
+            if (Containers(typ)) walk(i + 8, i + size)
+            else if (typ == "mvhd" && i + 28 <= to) {
+              // v0: ver/flags ctime4 mtime4 ts4 dur4; v1: 8-byte times.
+              if ((b(i + 8) & 0xff) == 1 && i + 40 <= to) {
+                ts = be32(b, i + 28); du = be64(b, i + 32)
+              } else { ts = be32(b, i + 20); du = be32(b, i + 24) }
+            } else if (typ == "stsd" && codec == "unknown" && i + 16 + 36 <= to) {
+              // ver/flags(4) entry_count(4), then the first sample
+              // entry: size(4) fourcc(4) reserved(6) data_ref(2)
+              // pre/rsv(16) width(2) height(2) ...
+              val e = i + 16
+              codec = tag(b, e + 4)
+              w = be16(b, e + 32); h = be16(b, e + 34)
+            }
+            i += size
+          }
+        }
+      }
+      walk(0, b.length)
+      val dur = if (ts > 0) du * 1000L / ts else 0L
+      (w, h, codec, dur, "mp4")
     }
   }
 
@@ -374,6 +445,104 @@ object Multimodal {
       .flatMap { r =>
         SegmentWalk.walk(r.payload).iterator.zipWithIndex.map {
           case ((m, len, cs, kf), i) => FrameRow(r.doc_id, i.toLong, m, len, cs, kf)
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic video parameters per document — the generation rule
+    * the m04 oracle mirrors as ground truth. Dims stay under 16 bits
+    * (the sample-entry field width); duration units / timescale give a
+    * non-trivial integer-division duration. */
+  private def vWidthCol = (lit(128) + col("doc_id") % 1792).cast("bigint")
+  private def vHeightCol = (lit(96) + col("n_chars") % 984).cast("bigint")
+  private def vTimescaleCol = (lit(600) * (lit(1) + col("doc_id") % 4)).cast("bigint")
+  private def vDurUnitsCol = (lit(600) + (col("n_chars") * 37) % 72000).cast("bigint")
+  private def vPadCol = (lit(4) + col("doc_id") % 32).cast("bigint")
+
+  /** Identity transform matrix of mvhd/tkhd (9 × 16.16 fixed-point). */
+  private val BmffMatrixHex =
+    "00010000" + "00000000" + "00000000" +
+    "00000000" + "00010000" + "00000000" +
+    "00000000" + "00000000" + "40000000"
+
+  /** Synthesized byte-valid ISO-BMFF payload: `ftyp` (isom), `moov`
+    * containing a version-0 `mvhd` (real timescale/duration), one
+    * `trak` with `tkhd` (16.16 width/height), `mdia` → `mdhd` + `hdlr`
+    * (vide) + `minf` → `stbl` → `stsd` with ONE visual sample entry
+    * (avc1 for even doc_ids, hvc1 for odd; real 16-bit coded dims),
+    * and an `mdat` with its declared payload bytes. Box sizes are
+    * exact, so any generic box walker — [[BmffDecode]] included, with
+    * no generation-specific shortcuts — parses it like a real MP4.
+    * Fixed sizes: sample entry 86, stsd 102, stbl 110, minf 118,
+    * hdlr 33, mdhd 32, mdia 191, tkhd 92, trak 291, mvhd 108,
+    * moov 407, ftyp 24 → n_bytes = 439 + mdat data bytes. */
+  private def mp4PayloadCol = {
+    val ftyp = unhex(lit("00000018" + "66747970" + "69736F6D" + "00000200" +
+      "69736F6D" + "69736F32"))
+    val mvhd = concat(
+      unhex(lit("0000006C" + "6D766864" + "00000000" +
+        "00000000" + "00000000")),                     // ver/flags, ctime, mtime
+      be4(vTimescaleCol), be4(vDurUnitsCol),
+      unhex(lit("00010000" + "0100" + "0000" +          // rate, volume, reserved
+        "0000000000000000" +                            // reserved(8)
+        BmffMatrixHex +
+        ("00" * 24) +                                   // pre_defined(24)
+        "00000002")))                                   // next_track_ID
+    val tkhd = concat(
+      unhex(lit("0000005C" + "746B6864" + "00000007" +  // ver/flags (enabled)
+        "00000000" + "00000000" + "00000001" + "00000000")), // times, track 1, rsv
+      be4(vDurUnitsCol),
+      unhex(lit("0000000000000000" +                    // reserved(8)
+        "0000" + "0000" + "0000" + "0000" +             // layer, alt, volume, rsv
+        BmffMatrixHex)),
+      be4(shiftleft(vWidthCol, 16)), be4(shiftleft(vHeightCol, 16)))
+    val mdhd = concat(
+      unhex(lit("00000020" + "6D646864" + "00000000" + "00000000" + "00000000")),
+      be4(vTimescaleCol), be4(vDurUnitsCol),
+      unhex(lit("55C4" + "0000")))                      // language 'und'
+    val hdlr = unhex(lit("00000021" + "68646C72" + "00000000" + "00000000" +
+      "76696465" + "000000000000000000000000" + "00"))  // 'vide', reserved, name ""
+    val sampleEntry = concat(
+      unhex(lit("00000056")),
+      when(col("doc_id") % 2 === 0, lit("avc1")).otherwise(lit("hvc1"))
+        .cast("binary"),
+      unhex(lit("000000000000" + "0001" + "0000" + "0000" +
+        "000000000000000000000000")),                   // rsv, data_ref 1, pre/rsv
+      be2(vWidthCol), be2(vHeightCol),
+      unhex(lit("00480000" + "00480000" + "00000000" + "0001" + // 72dpi, frames 1
+        ("00" * 32) +                                   // compressorname
+        "0018" + "FFFF")))                              // depth 24, pre_defined
+    val stsd = concat(
+      unhex(lit("00000066" + "73747364" + "00000000" + "00000001")), sampleEntry)
+    val stbl = concat(unhex(lit("0000006E" + "7374626C")), stsd)
+    val minf = concat(unhex(lit("00000076" + "6D696E66")), stbl)
+    val mdia = concat(unhex(lit("000000BF" + "6D646961")), mdhd, hdlr, minf)
+    val trak = concat(unhex(lit("00000123" + "7472616B")), tkhd, mdia)
+    val moov = concat(unhex(lit("00000197" + "6D6F6F76")), mvhd, trak)
+    val mdat = concat(be4(lit(8L) + vPadCol), lit("mdat").cast("binary"),
+      repeat(lit("A"), vPadCol.cast("int")).cast("binary"))
+    concat(ftyp, moov, mdat)
+  }
+
+  /** The (doc_id, payload) frame m04 decodes — exposed for specs. */
+  def m04Payloads(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), mp4PayloadCol.as("payload"))
+
+  /** m04: video modality — attach a binary MP4 payload and decode its
+    * container metadata (coded dims, codec fourcc, duration) from the
+    * box structure via [[BmffDecode]]; same per-partition typed decode
+    * shape as m01/m03, same oracle strategy (the deterministic
+    * generation rule is the independent ground truth the SQL mirror
+    * recomputes). */
+  def m04VideoMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    m04Payloads(s, d)
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, codec, dur, fmt) = BmffDecode.decode(r.payload)
+          VideoMeta(r.doc_id, r.payload.length.toLong, w, h, codec, dur, fmt)
         }
       }
       .toDF()

@@ -106,6 +106,51 @@ class MultimodalSpec extends SparkSpecBase {
     assert(RiffDecode.decode(Array[Byte]())._6 == "unknown")
   }
 
+  test("BMFF box walk: hand-assembled MP4, v1 mvhd, non-generator layout") {
+    import graft.operators.Multimodal.BmffDecode
+    def be8(v: Long): Array[Byte] = be4(v >> 32) ++ be4(v & 0xffffffffL)
+    def box(typ: String, content: Array[Byte]): Array[Byte] =
+      be4(content.length + 8L) ++ typ.getBytes("US-ASCII") ++ content
+    // Layout deliberately unlike the generator's: a `free` box inside
+    // moov, a VERSION-1 mvhd (64-bit times), no tkhd/mdhd/hdlr at all —
+    // a generic box walker must still land on mvhd and the stsd entry.
+    val entry = be4(86) ++ "hvc1".getBytes ++ Array.fill[Byte](24)(0) ++
+      be2(3840) ++ be2(2160) ++ Array.fill[Byte](50)(0)
+    val stsd = box("stsd", be4(0) ++ be4(1) ++ entry)
+    val trak = box("trak", box("mdia", box("minf", box("stbl", stsd))))
+    // truncated-but-offset-correct v1 mvhd: verflags, ctime8, mtime8,
+    // timescale 90000, duration(64) 123456789
+    val mvhd = box("mvhd",
+      hexBytes("01000000") ++ be8(7L) ++ be8(9L) ++ be4(90000) ++ be8(123456789L))
+    val moov = box("moov", box("free", Array[Byte](1, 2)) ++ mvhd ++ trak)
+    val ftyp = box("ftyp", "isom".getBytes ++ be4(0))
+    val mp4 = ftyp ++ moov
+    assert(BmffDecode.decode(mp4) ==
+      ((3840L, 2160L, "hvc1", 123456789000L / 90000L, "mp4")))
+    assert(BmffDecode.decode("no ftyp here".getBytes("UTF-8"))._5 == "unknown")
+    assert(BmffDecode.decode(Array[Byte]())._5 == "unknown")
+    // a size-0 box must terminate the walk, not loop forever
+    val broken = ftyp ++ be4(0) ++ "moov".getBytes
+    assert(BmffDecode.decode(broken)._3 == "unknown")
+  }
+
+  test("m04 payloads round-trip: decoded video fields equal the generation rule") {
+    val out = Queries.production("m04_video_meta")(spark, sf001)
+    assert(out.filter(col("format") =!= "mp4").count() == 0,
+      "every generated payload must parse as an ISO-BMFF container")
+    val docs = Tables.documents(spark, sf001).select(col("doc_id"), col("n_chars"))
+    val bad = out.join(docs, "doc_id").filter(
+      col("width") =!= (lit(128) + col("doc_id") % 1792) ||
+      col("height") =!= (lit(96) + col("n_chars") % 984) ||
+      col("codec") =!= when(col("doc_id") % 2 === 0, "avc1").otherwise("hvc1") ||
+      col("n_bytes") =!= (lit(443) + col("doc_id") % 32) ||
+      col("duration_ms") =!=
+        expr("(600 + (n_chars * 37) % 72000) * 1000 DIV (600 * (1 + doc_id % 4))"))
+      .count()
+    assert(bad == 0)
+    assert(out.count() == docs.count())
+  }
+
   test("m03 payloads round-trip: decoded audio fields equal the generation rule") {
     val out = Queries.production("m03_audio_meta")(spark, sf001)
     assert(out.filter(col("format") =!= "wav").count() == 0,
