@@ -405,6 +405,192 @@ def main(sf):
             out[lang] = (len(hs), len(hs) if len(hs) < K else round((K - 1) * SPACE / hs[K - 1], 6))
     res["x03_kmv_distinct"] = timed(x03)
 
+    # ---- curation composition (x08) + incremental merge (x09), the
+    # reference-technology form: dict/Counter passes for the five stages,
+    # numpy for the minhash affine family, union-find for components —
+    # the same semantics (md5 seeds, thresholds, keeper policy) as the
+    # gated Spark keys, in idiomatic single-process pandas/python ----
+    from collections import Counter
+    MHM = 1 << 30
+    MA = np.array([((2654435761 * (j + 1)) % MHM) | 1 for j in range(16)])
+    MB = np.array([(1779033703 * (j + 1)) % MHM for j in range(16)])
+
+    def h60(s, seed):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    def doc_pass(df):
+        """Per-doc stage-0 inputs: token stats, quality, decontam grams."""
+        st = {}
+        for did, t, nch in zip(df.doc_id, df.text, df.n_chars):
+            toks = t.split()
+            n = len(toks) if toks else 1
+            tc = Counter(toks)
+            top = max(tc.values()) if tc else 0
+            dist = len(tc)
+            keep = not (n < 30 or top * 8 > n or dist * 5 < 2 * n)
+            nstop = tc.get("the", 0) + tc.get("a", 0)
+            q = round(min(nch, 500) / 500 * 0.5 + (1 - nstop / n) * 0.3
+                      + dist / n * 0.2, 6)
+            grams = {h60(" ".join(toks[i:i + 8]), 19) for i in range(n - 7)} \
+                if len(toks) >= 8 else set()
+            sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)} \
+                if len(toks) >= 3 else set()
+            st[did] = (h60(str(did), 19) % 20 == 0, keep, q, grams, sh)
+        return st
+
+    def stages_of(st, bench_grams):
+        out = {}
+        for did, (isb, keep, q, grams, _) in st.items():
+            out[did] = ("benchmark" if isb else
+                        "low_quality" if not keep else
+                        "contaminated" if grams & bench_grams else "clean")
+        return out
+
+    def band_table(sh_map):
+        """(band, 4-row sig) -> [doc_id]; same affine minhash family."""
+        bands = {}
+        for did, ss in sh_map.items():
+            if not ss:
+                continue
+            hb = np.fromiter((h60(s_, 0) % MHM for s_ in ss), dtype=np.int64)
+            sig = ((hb[:, None] * MA[None, :] + MB[None, :]) % MHM).min(0)
+            for b in range(4):
+                bands.setdefault((b, tuple(sig[b * 4:(b + 1) * 4])), []).append(did)
+        return bands
+
+    def verified_pairs(bands, sh_map):
+        cand = set()
+        for ids in bands.values():
+            ids = sorted(set(ids))
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    cand.add((ids[x], ids[y]))
+        return [(a, b) for a, b in cand
+                if round(len(sh_map[a] & sh_map[b])
+                         / len(sh_map[a] | sh_map[b]), 6) >= 0.5]
+
+    def cc_min(ids, pairs):
+        parent = {i: i for i in ids}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in ids}
+
+    def split_of(did):
+        b = h60(str(did), 29) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    def assemble(stages, labels, quality):
+        rows = []
+        groups = {}
+        for did, lbl in labels.items():
+            g = groups.setdefault(lbl, [0, None, -2.0])
+            g[0] += 1
+            q = quality[did]
+            if (q, -did) > (g[2], -(g[1] if g[1] is not None else 1 << 62)):
+                g[1], g[2] = did, q
+        for did, stg in stages.items():
+            if stg != "clean":
+                rows.append((did, stg, -1, 0, -1, "none", False))
+            else:
+                lbl = labels[did]
+                size_, keeper, _ = groups[lbl]
+                kept = did == keeper
+                rows.append((did, "kept" if kept else "duplicate", lbl, size_,
+                             keeper, split_of(did) if kept else "none", kept))
+        return pd.DataFrame(rows, columns=["doc_id", "stage", "group_id",
+                                           "group_size", "keeper_id",
+                                           "split", "keep"])
+
+    def curation_decide(df):
+        st = doc_pass(df)
+        bench_grams = set().union(*(g for isb, _, _, g, _ in st.values() if isb),
+                                  set())
+        stages = stages_of(st, bench_grams)
+        sh_clean = {d: st[d][4] for d, s_ in stages.items() if s_ == "clean"}
+        pairs = verified_pairs(band_table(sh_clean), sh_clean)
+        labels = cc_min(list(sh_clean), pairs)
+        quality = {d: st[d][2] for d in sh_clean}
+        return assemble(stages, labels, quality)
+
+    def x08():
+        curation_decide(pd.read_parquet(P("documents")))
+    res["x08_curation_decide"] = timed(x08)
+
+    def x09():
+        # the incremental merge, self-contained like the gated key:
+        # build base state (doc_id % 5 != 0), then merge the 20% batch —
+        # batch stages against the combined bench-gram set, newly
+        # contaminated base docs found via the persisted gram index,
+        # touched components re-solved from the persisted pair graph,
+        # batch docs probed against the live band table, merge CC over
+        # the touched graph only, full decision frame re-assembled.
+        d = pd.read_parquet(P("documents"))
+        base, batch = d[d.doc_id % 5 != 0], d[d.doc_id % 5 == 0]
+        # --- state build (the once-per-corpus half) ---
+        stB = doc_pass(base)
+        bgBase = set().union(*(g for isb, _, _, g, _ in stB.values() if isb), set())
+        stagesB = stages_of(stB, bgBase)
+        shC = {x: stB[x][4] for x, s_ in stagesB.items() if s_ == "clean"}
+        bandsC = band_table(shC)
+        pairsC = verified_pairs(bandsC, shC)
+        labelsC = cc_min(list(shC), pairsC)
+        gram_index = {}
+        for x, s_ in stagesB.items():
+            if s_ == "clean":
+                for gh in stB[x][3]:
+                    gram_index.setdefault(gh, []).append(x)
+        # --- the merge (the per-batch half) ---
+        stN = doc_pass(batch)
+        bgNew = set().union(*(g for isb, _, _, g, _ in stN.values() if isb), set())
+        stagesN = stages_of(stN, bgBase | bgNew)
+        removed = {x for gh in bgNew for x in gram_index.get(gh, ())}
+        touched = {labelsC[x] for x in removed}
+        survivors = {x for x, l in labelsC.items()
+                     if l in touched and x not in removed}
+        sub_edges = [(a, b) for a, b in pairsC
+                     if labelsC[a] in touched
+                     and a not in removed and b not in removed]
+        shN = {x: stN[x][4] for x, s_ in stagesN.items() if s_ == "clean"}
+        bandsN = band_table(shN)
+        cand = set()
+        for key, ids in bandsN.items():
+            live = [x for x in bandsC.get(key, ()) if x not in removed]
+            for a in ids:
+                for b in live + [x for x in ids if x != a]:
+                    cand.add((min(a, b), max(a, b)))
+        shAll = {**shC, **shN}
+        new_pairs = [(a, b) for a, b in cand
+                     if round(len(shAll[a] & shAll[b])
+                              / len(shAll[a] | shAll[b]), 6) >= 0.5]
+        # merge CC in mixed label space over edge-incident ids only
+        lift = lambda x: labelsC.get(x, x) if x not in removed and \
+            x in labelsC and labelsC[x] not in touched else x
+        edges = sub_edges + [(lift(a), lift(b)) for a, b in new_pairs]
+        verts = {v for e in edges for v in e}
+        merged = cc_min(verts, edges)
+        # final labels: untouched map through merged, survivors/batch
+        # resolve directly (isolated -> own id)
+        labels = {}
+        for x, l in labelsC.items():
+            if x in removed:
+                continue
+            labels[x] = merged.get(x, x) if l in touched else merged.get(l, l)
+        for x in shN:
+            labels[x] = merged.get(x, x)
+        stages = {**stagesB, **stagesN}
+        for x in removed:
+            stages[x] = "contaminated"
+        quality = {x: (stB.get(x) or stN.get(x))[2] for x in labels}
+        assemble(stages, labels, quality)
+    res["x09_curation_merge"] = timed(x09)
+
     total = round(sum(res.values()), 3)
     print(json.dumps({"metric": "baseline_total", "value": total,
                       "unit": "sec", "queries": res, "sf": sf}))
