@@ -313,17 +313,30 @@ object Similarity {
     * broadcast: it is 1% of the corpus; corpus side an equi-join on
     * c_id). The earlier form deduped on (q_id, qv, c_id, cv), hashing
     * and shipping ~512 B of float payload per candidate row. */
+  /** XOR masks for multi-probe at a given radius: the base bucket, all
+    * single-bit flips, and (radius 2) all two-bit flips — the probe-set
+    * generator behind the catalog default (radius 1) and the
+    * ProbeCurveMain recall/cost frontier sweep. */
+  private[graft] def probeMasks(bits: Int, radius: Int): Seq[Long] =
+    Seq(0L) ++
+      (if (radius >= 1) (0 until bits).map(1L << _) else Nil) ++
+      (if (radius >= 2)
+        for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield (1L << i) | (1L << j)
+      else Nil)
+
   def e02AnnLsh(s: SparkSession, d: String,
                 bits: Int = RhpBits, tables: Int = RhpTables,
-                multiProbe: Boolean = true): DataFrame = {
+                multiProbe: Boolean = true, probeRadius: Int = 1): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val bands = rhpBands(s, e, bits, tables)
     val qbase = bands.filter(col("vec_id") % 100 === 0).toDF("q_id", "tbl", "bkt")
     val q =
-      if (!multiProbe || bits <= RhpBits) qbase
+      if (!multiProbe || bits <= RhpBits || probeRadius == 0) qbase
       else qbase.select(col("q_id"), col("tbl"),
         explode(array(col("bkt") +:
-          (0 until bits).map(j => col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+          probeMasks(bits, probeRadius).tail
+            .map(m => col("bkt").bitwiseXOR(lit(m))): _*)).as("bkt"))
     val c = bands.toDF("c_id", "tbl2", "bkt2")
     val cand = broadcast(q)
       .join(c, col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&
