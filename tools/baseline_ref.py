@@ -9,11 +9,15 @@ reference's own technology), on the same sf parquet tables, on the same
 machine. Timings include the parquet read (Spark's bench times include
 the scan too).
 
-Usage: baseline_ref.py <sfDir>   -> one JSON line, and stores per-op secs
+Usage: baseline_ref.py <sfDir> [key ...]  -> one JSON line, per-op secs
+  (optional keys restrict the run — big-SF additions without re-paying
+  the whole suite)
 """
 import sys, time, json, re, hashlib
 import pandas as pd
 import numpy as np
+
+ONLY = set()
 
 def timed(fn):
     t0 = time.perf_counter()
@@ -24,6 +28,10 @@ def main(sf):
     P = lambda t: f"{sf}/{t}.parquet"
     res = {}
 
+    def maybe(key, fn):
+        if not ONLY or key in ONLY:
+            res[key] = timed(fn)
+
     def q01():
         li = pd.read_parquet(P("lineitem"))
         li = li[li.l_shipdate < "1998-09-03"]
@@ -31,7 +39,7 @@ def main(sf):
             sum_qty=("l_quantity", "sum"), sum_base=("l_extendedprice", "sum"),
             avg_qty=("l_quantity", "mean"), avg_disc=("l_discount", "mean"),
             n=("l_quantity", "size"))
-    res["q01_agg"] = timed(q01)
+    maybe("q01_agg", q01)
 
     def q03():
         c = pd.read_parquet(P("customer")); o = pd.read_parquet(P("orders"))
@@ -43,12 +51,12 @@ def main(sf):
             l, left_on="o_orderkey", right_on="l_orderkey")
         m["rev"] = m.l_extendedprice * (1 - m.l_discount)
         m.groupby(["l_orderkey", "o_orderdate"]).rev.sum().nlargest(20)
-    res["q03_join_agg"] = timed(q03)
+    maybe("q03_join_agg", q03)
 
     def q05():
         o = pd.read_parquet(P("orders"))
         o.sort_values(["o_orderdate", "o_orderkey"]).drop_duplicates("o_custkey")
-    res["q05_dedup_key"] = timed(q05)
+    maybe("q05_dedup_key", q05)
 
     def q07():
         o = pd.read_parquet(P("orders"))
@@ -69,19 +77,19 @@ def main(sf):
             if mp: return float(re.sub(r"[,\.]", "", mp.group(1)))
             return np.nan
         raw.apply(parse)
-    res["q07_parse_dollars"] = timed(q07)
+    maybe("q07_parse_dollars", q07)
 
     def q10():
         o = pd.read_parquet(P("orders"))
         o.pivot_table(index="o_custkey", columns="o_orderstatus",
                       values="o_orderkey", aggfunc="count").fillna(0)
-    res["q10_pivot"] = timed(q10)
+    maybe("q10_pivot", q10)
 
     def q12():
         o = pd.read_parquet(P("orders"))
         o.sort_values(["o_totalprice", "o_orderkey"],
                       ascending=[False, True]).groupby("o_custkey").head(3)
-    res["q12_window_topn"] = timed(q12)
+    maybe("q12_window_topn", q12)
 
     def q19():
         o = pd.read_parquet(P("orders")); c = pd.read_parquet(P("customer"))
@@ -91,14 +99,14 @@ def main(sf):
         m.groupby(["c_mktsegment", "pc"]).agg(
             n=("o_orderkey", "size"), rev=("o_totalprice", "sum"),
             bal=("c_acctbal", "mean"))
-    res["q19_etl_pipeline"] = timed(q19)
+    maybe("q19_etl_pipeline", q19)
 
     def d01():
         d = pd.read_parquet(P("documents"))
         dd = pd.concat([d, d.assign(doc_id=d.doc_id + 1000000)])
         dd["h"] = dd.text.map(lambda t: hashlib.sha256(t.encode()).hexdigest())
         dd.groupby("h").agg(keep=("doc_id", "min"), n=("doc_id", "size"))
-    res["d01_dedup_exact"] = timed(d01)
+    maybe("d01_dedup_exact", d01)
 
     def d02():
         d = pd.read_parquet(P("documents"))
@@ -119,7 +127,7 @@ def main(sf):
                     inter[(ids[x], ids[y])] += 1
         [(a, b) for (a, b), c in inter.items()
          if c / (len(sh[a]) + len(sh[b]) - c) >= 0.5]
-    res["d02_ngram_jaccard"] = timed(d02)
+    maybe("d02_ngram_jaccard", d02)
 
     def d08():
         # containment pairs: same inverted index + df cutoff as d02, but
@@ -142,7 +150,7 @@ def main(sf):
                     inter[(ids[x], ids[y])] += 1
         [(a, b) for (a, b), c in inter.items()
          if c / min(len(sh[a]), len(sh[b])) >= 0.85]
-    res["d08_containment"] = timed(d08)
+    maybe("d08_containment", d08)
 
     def t03():
         d = pd.read_parquet(P("documents"))
@@ -150,7 +158,7 @@ def main(sf):
         pd.DataFrame({"n": toks.map(len),
                       "w": d.text.map(lambda t: len(re.findall("[a-z]+", t))),
                       "u": toks.map(lambda x: len(set(x)))})
-    res["t03_token_count"] = timed(t03)
+    maybe("t03_token_count", t03)
 
     def t04():
         d = pd.read_parquet(P("documents"))
@@ -163,7 +171,7 @@ def main(sf):
                 acc = (acc + h * pw[i % 8]) % P61
             return acc
         d.text.map(fp)
-    res["t04_fingerprint"] = timed(t04)
+    maybe("t04_fingerprint", t04)
 
     def t06():
         # per-doc token/bigram repetition stats (top-count and duplicate
@@ -186,7 +194,7 @@ def main(sf):
         pd.DataFrame(rows, columns=["doc_id", "n_tokens", "top_tok_frac",
                                     "dup_tok_frac", "n_2grams",
                                     "top_2gram_frac", "dup_2gram_frac"])
-    res["t06_repetition"] = timed(t06)
+    maybe("t06_repetition", t06)
 
     def t08():
         # corpus-relative rare/hapax token counts — Counter over the
@@ -204,7 +212,7 @@ def main(sf):
         nr = toks.map(lambda t: sum(1 for w in t if w in rare))
         toks.map(lambda t: sum(1 for w in t if w in hapax))
         (nr / n).round(6)
-    res["t08_rare_token_score"] = timed(t08)
+    maybe("t08_rare_token_score", t08)
 
     def d10():
         # cross-doc duplicated 8-token spans with keep-first masking
@@ -227,7 +235,7 @@ def main(sf):
         [sum(1 for s_ in ss if s_ in dup and did != keeper[s_])
          for did, ss in zip(d.doc_id, sp)]
         pd.Series(nd) / sp.map(len).clip(lower=1)
-    res["d10_span_dup"] = timed(d10)
+    maybe("d10_span_dup", d10)
 
     def d11():
         # span masking: window df/keeper dicts, then per-doc position
@@ -253,7 +261,7 @@ def main(sf):
             out.append((len(mask),
                         " ".join("[DUP]" if j in mask else tok
                                  for j, tok in enumerate(t))))
-    res["d11_span_mask"] = timed(d11)
+    maybe("d11_span_mask", d11)
 
     def e07():
         # deterministic k-means (same seeds/sample/iters as the Spark
@@ -276,7 +284,7 @@ def main(sf):
         cells = assign(V, C)
         for c in np.unique(cells):
             np.bincount(labs[cells == c]).argmax()
-    res["e07_cluster_stats"] = timed(e07)
+    maybe("e07_cluster_stats", e07)
 
     def x07():
         # data-card cube: cells once, then the three margins
@@ -285,7 +293,7 @@ def main(sf):
         cells = d.groupby(["lang", "source"]).agg(
             n=("doc_id", "size"), tok=("tok", "sum"), ch=("n_chars", "sum"))
         cells.groupby("lang").sum(); cells.groupby("source").sum(); cells.sum()
-    res["x07_datasheet"] = timed(x07)
+    maybe("x07_datasheet", x07)
 
     def e01():
         e = pd.read_parquet(P("embeddings"))
@@ -294,7 +302,7 @@ def main(sf):
         Q = V[ids % 100 == 0]
         sims = (Q @ V.T) / (np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(V, axis=1)[None, :])
         np.argsort(-np.round(sims, 6), axis=1)[:, :11]
-    res["e01_knn_brute"] = timed(e01)
+    maybe("e01_knn_brute", e01)
 
     def e04():
         # product-quantization ANN, numpy/BLAS form: per-subspace
@@ -331,7 +339,7 @@ def main(sf):
         for qi in range(len(qids)):
             s = cosm(Q[qi:qi+1], V[short[qi]])[0]
             np.argsort(-np.round(s, 6))[:10]
-    res["e04_pq_ann"] = timed(e04)
+    maybe("e04_pq_ann", e04)
 
     def s02():
         ev = pd.read_parquet(P("events"))
@@ -343,7 +351,7 @@ def main(sf):
         ev.assign(sess=sess, us=us).groupby(["user_id", "sess"]).agg(
             n=("event_id", "size"), a=("us", "min"), b=("us", "max"),
             v=("value", "sum"))
-    res["s02_sessionize"] = timed(s02)
+    maybe("s02_sessionize", s02)
 
     def m01():
         # round-4 semantics: synthesize real PNG/JPEG headers, then parse
@@ -374,14 +382,14 @@ def main(sf):
                     i += 2 + struct.unpack(">H", b[i + 2:i + 4])[0]
             return (len(b), 0, 0, "unknown")
         d.apply(build, axis=1).map(parse)
-    res["m01_multimodal_meta"] = timed(m01)
+    maybe("m01_multimodal_meta", m01)
 
     def x01():
         d = pd.read_parquet(P("documents"))
         bucket = d.doc_id.map(lambda i: int(hashlib.md5(f"11:{i}".encode()).hexdigest()[:15], 16) % 1000)
         rate = d.lang.map(lambda l: 500 if l == "en" else (800 if l == "zh" else 1000))
         d[bucket < rate]
-    res["x01_hash_sample"] = timed(x01)
+    maybe("x01_hash_sample", x01)
 
     def x02():
         d = pd.read_parquet(P("documents"))
@@ -392,7 +400,7 @@ def main(sf):
         f["pack"] = (cum - f.n) // 2048
         f.groupby(["shard", "pack"]).agg(n_docs=("doc_id", "size"), tokens=("n", "sum"),
                                          first=("doc_id", "min"), last=("doc_id", "max"))
-    res["x02_seq_pack"] = timed(x02)
+    maybe("x02_seq_pack", x02)
 
     def x03():
         d = pd.read_parquet(P("documents"))
@@ -403,7 +411,7 @@ def main(sf):
             for t in texts: vocab.update(re.split(r"\s+", t))  # \s+ split, as the Spark plan
             hs = sorted({int(hashlib.md5(f"17:{w}".encode()).hexdigest()[:15], 16) for w in vocab})
             out[lang] = (len(hs), len(hs) if len(hs) < K else round((K - 1) * SPACE / hs[K - 1], 6))
-    res["x03_kmv_distinct"] = timed(x03)
+    maybe("x03_kmv_distinct", x03)
 
     # ---- curation composition (x08) + incremental merge (x09), the
     # reference-technology form: dict/Counter passes for the five stages,
@@ -521,7 +529,7 @@ def main(sf):
 
     def x08():
         curation_decide(pd.read_parquet(P("documents")))
-    res["x08_curation_decide"] = timed(x08)
+    maybe("x08_curation_decide", x08)
 
     def x09():
         # the incremental merge, self-contained like the gated key:
@@ -589,11 +597,12 @@ def main(sf):
             stages[x] = "contaminated"
         quality = {x: (stB.get(x) or stN.get(x))[2] for x in labels}
         assemble(stages, labels, quality)
-    res["x09_curation_merge"] = timed(x09)
+    maybe("x09_curation_merge", x09)
 
     total = round(sum(res.values()), 3)
     print(json.dumps({"metric": "baseline_total", "value": total,
                       "unit": "sec", "queries": res, "sf": sf}))
 
 if __name__ == "__main__":
+    ONLY = set(sys.argv[2:])
     main(sys.argv[1])
