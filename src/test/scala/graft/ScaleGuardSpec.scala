@@ -108,6 +108,21 @@ class ScaleGuardSpec extends SparkSpecBase {
     assert(labels(1100L) == 1100L && labels(7L) == 7L)
   }
 
+  test("e02 probe masks: counts, uniqueness, and radius nesting") {
+    import graft.operators.Similarity
+    for (bits <- Seq(4, 8, 12)) {
+      val m0 = Similarity.probeMasks(bits, 0)
+      val m1 = Similarity.probeMasks(bits, 1)
+      val m2 = Similarity.probeMasks(bits, 2)
+      assert(m0 == Seq(0L))
+      assert(m1.size == 1 + bits && m2.size == 1 + bits + bits * (bits - 1) / 2)
+      assert(m2.distinct.size == m2.size, "masks must be unique buckets")
+      assert(m2.startsWith(m1) && m1.startsWith(m0),
+        "radius sets must nest so deeper probes only ADD buckets")
+      assert(m2.forall(m => java.lang.Long.bitCount(m) <= 2))
+    }
+  }
+
   test("x09's checkpointed sub-plans are cartesian/BNLJ-free (ADVICE r11)") {
     val qes = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
     val l = new QueryExecutionListener {
