@@ -1262,19 +1262,29 @@ object Oracles {
         |FROM events LEFT JOIN customer ON c_custkey = user_id AND c_custkey < 150
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
-    "s02_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
-        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |                       OR ts_us - lag(ts_us) OVER w > 1800000000
-        |                     THEN 1 ELSE 0 END AS new_sess
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no FROM f)
-        |SELECT user_id, sess_no, COUNT(*) AS n_events,
-        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    "s02_sessionize" -> s02SessionizeSql,
+
+    // s06's drained streaming sessionization equals batch s02 (the
+    // parity StreamingParitySpec asserts per-micro-batch) — its oracle
+    // is s02's verbatim, so the hash gate proves the STREAMING state
+    // path against the same ground truth every round.
+    "s06_stream_sessionize" -> s02SessionizeSql
   )
+
+  // lazy: referenced by the eventsAndMedia map above, which would
+  // otherwise initialize first and capture null
+  private lazy val s02SessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |                       OR ts_us - lag(ts_us) OVER w > 1800000000
+      |                     THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no FROM f)
+      |SELECT user_id, sess_no, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Curation block (SURVEY §2.H): deterministic md5-derived sampling
     * and packing — randomness-free, so exactly mirrorable. */

@@ -108,6 +108,9 @@ object Queries {
     // s05 runs the actual streaming query to completion (memory sink)
     // and returns the emitted pair set — gated against d03's oracle.
     "s05_stream_neardup"   -> (graft.streaming.StreamOps.s05StreamNearDup _),
+    // s06 drains the flatMapGroupsWithState sessionization over a bounded
+    // file stream — emitted sessions equal batch s02, gated by s02's oracle.
+    "s06_stream_sessionize" -> (graft.streaming.StreamOps.s06StreamSessionize _),
     "x01_hash_sample"      -> (Sampling.x01HashSample _),
     "x04_quota_sample"     -> (Sampling.x04QuotaSample _),
     "x05_strat_split"      -> (Sampling.x05StratSplit _),
@@ -183,6 +186,7 @@ object Queries {
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),
     "s04_stream_enrich"    -> Seq("win_start", "segment", "event_type"),
     "s05_stream_neardup"   -> Seq("id_a", "id_b"),
+    "s06_stream_sessionize" -> Seq("user_id", "sess_no"),
     "x01_hash_sample"      -> Seq("doc_id"),
     "x04_quota_sample"     -> Seq("source", "doc_id"),
     "x05_strat_split"      -> Seq("doc_id"),

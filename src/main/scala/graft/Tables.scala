@@ -27,10 +27,16 @@ object Tables {
     * double division would lose precision at 1e18 magnitudes) and `ts`
     * (µs-precision TIMESTAMP). The session timezone is UTC, so the
     * NTZ→LTZ cast is value-preserving. */
-  def eventsWithTs(s: SparkSession, d: String): DataFrame = {
+  def eventsWithTs(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** The ts-normalization half of [[eventsWithTs]], factored out so a
+    * STREAMING events read (s06's file-stream source, which must supply
+    * its own schema) shares the exact same branch logic — schema drift is
+    * handled identically whether the frame is batch or streaming. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = load(s, d, "events")
     val normalized = raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumnRenamed("ts", "ts_ns")

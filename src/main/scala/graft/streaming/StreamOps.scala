@@ -1,5 +1,6 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -10,9 +11,14 @@ import graft.operators.EventOps
 case class SessEvent(user_id: Long, event_id: Long, ts_us: Long,
                      value: Double, ts: java.sql.Timestamp)
 
-/** Open-session state carried across micro-batches. */
+/** Open-session state carried across micro-batches. The value sum is
+  * held as EXACT scaled cents (value cast to 2-decimal, HALF_UP — the
+  * same rounding Spark's double→DECIMAL(18,2) cast applies), so the
+  * emitted session sum is bit-equal to the batch form's exact-decimal
+  * aggregate regardless of arrival order — a float accumulator would be
+  * order-dependent and break the hash gate. */
 case class SessState(sessNo: Long, startUs: Long, lastUs: Long,
-                     n: Long, sum: Double)
+                     n: Long, sumCents: Long)
 
 /** Emitted (closed) session. */
 case class SessOut(user_id: Long, sess_no: Long, n_events: Long,
@@ -203,6 +209,17 @@ object StreamOps {
 
   private val GapMs = EventOps.GapUs / 1000L
 
+  /** value → exact cents, with the rounding Spark's double→DECIMAL(18,2)
+    * cast applies (BigDecimal.valueOf = shortest-repr, HALF_UP). */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  private def emit(uid: Long, o: SessState): SessOut =
+    SessOut(uid, o.sessNo, o.n, o.startUs, o.lastUs,
+      java.math.BigDecimal.valueOf(o.sumCents, 2).doubleValue())
+
   /** Per-group state transition: extend the open session, or close it and
     * start the next; on watermark timeout, flush the final open session. */
   private def sessionizeGroup(uid: Long, it: Iterator[SessEvent],
@@ -210,7 +227,7 @@ object StreamOps {
     if (state.hasTimedOut) {
       val o = state.get
       state.remove()
-      Iterator(SessOut(uid, o.sessNo, o.n, o.startUs, o.lastUs, o.sum))
+      Iterator(emit(uid, o))
     } else {
       // Within a micro-batch the group iterator is unordered; sessions are
       // defined on event time, so sort (events must not straddle batches
@@ -220,12 +237,13 @@ object StreamOps {
       var st = state.getOption
       evs.foreach { e =>
         st = st match {
-          case None => Some(SessState(1L, e.ts_us, e.ts_us, 1L, e.value))
+          case None => Some(SessState(1L, e.ts_us, e.ts_us, 1L, cents(e.value)))
           case Some(o) if e.ts_us - o.lastUs <= EventOps.GapUs =>
-            Some(o.copy(lastUs = e.ts_us, n = o.n + 1, sum = o.sum + e.value))
+            Some(o.copy(lastUs = e.ts_us, n = o.n + 1,
+              sumCents = o.sumCents + cents(e.value)))
           case Some(o) =>
-            out += SessOut(uid, o.sessNo, o.n, o.startUs, o.lastUs, o.sum)
-            Some(SessState(o.sessNo + 1, e.ts_us, e.ts_us, 1L, e.value))
+            out += emit(uid, o)
+            Some(SessState(o.sessNo + 1, e.ts_us, e.ts_us, 1L, cents(e.value)))
         }
       }
       st.foreach { o =>
@@ -234,5 +252,90 @@ object StreamOps {
       }
       out.result().iterator
     }
+  }
+
+  /** s06 as a GATED catalog key: [[sessionizeStream]] (flatMapGroups-
+    * WithState, event-time timeout) driven over the events table by a
+    * bounded file-stream read and drained to completion; the emitted
+    * session set equals batch s02 exactly, so s02's oracle gates the
+    * STREAMING sessionization path hash-exact every round (previously
+    * only parity-spec'd on synthetic frames). The s05 harness pattern:
+    * the blocking drain is the gate shape — production keeps the query
+    * running.
+    *
+    * Drain mechanics: the source dir holds a symlink to the real
+    * events.parquet plus two strictly-newer one-row sentinel files for a
+    * throwaway user (user_id = −1) whose timestamps sit past
+    * max(ts) + gap. With maxFilesPerTrigger=1 the corpus arrives as
+    * micro-batch 0; the first sentinel batch advances the watermark to
+    * the corpus max (flushing every session closed more than a gap
+    * before the end), and the second advances it past every open
+    * session's timeout — by the time the drain settles, ALL real
+    * sessions have been emitted (watermarks are computed from the
+    * PREVIOUS batch's max event time, hence two files, the same
+    * two-step the parity spec uses). Sentinel rows are filtered from
+    * the returned frame.
+    *
+    * Scale shape: state is one open session per user (O(keys), not
+    * O(events)); the per-group in-batch sort is bounded by a user's
+    * per-batch arrival volume. The gate corpus's 150-user key space
+    * makes parallelism user-bounded here — a real event stream's key
+    * space is orders of magnitude wider (and a hot user's arrival rate
+    * within one micro-batch is the operator's real bound, the same
+    * hazard s02's bucketed batch form defends against across a whole
+    * history). */
+  def s06StreamSessionize(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val maxUs = graft.Tables.eventsWithTs(s, d)
+      .agg(max(expr("ts_ns DIV 1000"))).head().getLong(0)
+    val srcFile = Paths.get(d, "events.parquet").toAbsolutePath
+    val rawSchema = s.read.parquet(srcFile.toString).schema
+
+    val dir = Files.createTempDirectory("graft_s06_")
+    Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile)
+    val tsType = rawSchema("ts").dataType
+    def sentinelDf(us: Long, eid: Long): DataFrame = {
+      val cols = rawSchema.fields.map { f =>
+        (f.name match {
+          case "event_id"   => lit(eid)
+          case "user_id"    => lit(-1L)
+          case "event_type" => lit("sentinel")
+          case "value"      => lit(0.0)
+          case "ts" => tsType match {
+            case org.apache.spark.sql.types.LongType => lit(us * 1000L) // legacy nanos
+            case t => timestamp_micros(lit(us)).cast(t)
+          }
+          case _ => lit(null).cast(f.dataType)
+        }).as(f.name)
+      }
+      s.range(1).select(cols.toSeq: _*)
+    }
+    val t1 = maxUs + EventOps.GapUs + 3600000000L
+    val baseMs = math.max(System.currentTimeMillis(),
+      Files.getLastModifiedTime(srcFile).toMillis)
+    Seq((t1, -1L, 1), (t1 + 60000000L, -2L, 2)).foreach { case (us, eid, i) =>
+      val w = Files.createTempDirectory("graft_s06_w_")
+      sentinelDf(us, eid).coalesce(1).write.mode("overwrite").parquet(w.toString)
+      val part = Files.list(w).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(s"sentinel_$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(baseMs + 60000L * i); ()
+    }
+
+    val src = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val ev = graft.Tables.normalizeEventTs(src)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns DIV 1000").as("ts_us"), col("value"), col("ts"))
+      .as[SessEvent]
+    val name = "s06_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessionizeStream(ev).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("sess_no"), col("n_events"),
+        col("start_us"), col("end_us"), col("sum_value"))
   }
 }

@@ -157,13 +157,28 @@ class StreamingParitySpec extends SparkSpecBase {
           r.getAs[Long]("n_events"), r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
         .toSet
       assert(got == expected)
-      // sums match to float tolerance (batch sums in exact decimal)
+      // sums match EXACTLY: the streaming state accumulates scaled cents
+      // (the same double→DECIMAL(18,2) HALF_UP rounding as batch dsum),
+      // so session sums are bit-equal regardless of arrival order
       val sums = spark.table("s02_par").filter(col("user_id") =!= 999L)
         .select(sum("sum_value")).collect()(0).getDouble(0)
       val expSum = EventOps.sessionize(batchDf)
         .select(sum("sum_value")).collect()(0).getDouble(0)
-      assert(math.abs(sums - expSum) < 1e-9)
+      assert(sums == expSum)
     } finally q.stop()
+  }
+
+  test("s06 gated drain equals batch s02 on the real sf0.001 corpus, sums bit-exact") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_no"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Double]("sum_value"))).toSet
+    val expected = key(EventOps.s02Sessionize(spark, sf001))
+    val got = key(StreamOps.s06StreamSessionize(spark, sf001))
+    assert(got == expected,
+      s"stream-drained sessions must equal batch s02: " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.nonEmpty)
   }
 
   test("s03 dedup: streaming dropDuplicatesWithinWatermark yields the batch key set") {
