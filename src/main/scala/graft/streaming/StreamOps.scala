@@ -293,7 +293,29 @@ object StreamOps {
     val rawSchema = s.read.parquet(srcFile.toString).schema
 
     val dir = Files.createTempDirectory("graft_s06_")
-    Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile)
+    // Layout-proofing: the corpus MUST arrive as ONE micro-batch (the
+    // 0-second watermark would drop cross-batch out-of-order events).
+    // If the driver ever regenerates events.parquet as a multi-part
+    // DIRECTORY, each part is symlinked FLAT into the stream dir (the
+    // file source does not list through non-partition subdirectories),
+    // the per-trigger file budget is sized to the part count, and each
+    // sentinel group is replicated to fill one whole trigger — batches
+    // stay [all real parts], [group-1 sentinels], [group-2 sentinels]
+    // for any layout (real parts are strictly older than the sentinels,
+    // so the oldest-first trigger takes them all first).
+    val realParts =
+      if (Files.isDirectory(srcFile)) {
+        val parts = Files.list(srcFile).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        parts.zipWithIndex.foreach { case (p, j) =>
+          Files.createSymbolicLink(dir.resolve(s"events_$j.parquet"), p); ()
+        }
+        parts
+      } else {
+        Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile)
+        Seq(srcFile)
+      }
+    val nReal = realParts.size.max(1)
     val tsType = rawSchema("ts").dataType
     def sentinelDf(us: Long, eid: Long): DataFrame = {
       val cols = rawSchema.fields.map { f =>
@@ -312,20 +334,22 @@ object StreamOps {
       s.range(1).select(cols.toSeq: _*)
     }
     val t1 = maxUs + EventOps.GapUs + 3600000000L
-    val baseMs = math.max(System.currentTimeMillis(),
-      Files.getLastModifiedTime(srcFile).toMillis)
-    Seq((t1, -1L, 1), (t1 + 60000000L, -2L, 2)).foreach { case (us, eid, i) =>
+    val baseMs = (System.currentTimeMillis() +:
+      realParts.map(Files.getLastModifiedTime(_).toMillis)).max
+    Seq((t1, -1L, 1), (t1 + 60000000L, -2L, 2)).foreach { case (us, eid, grp) =>
       val w = Files.createTempDirectory("graft_s06_w_")
       sentinelDf(us, eid).coalesce(1).write.mode("overwrite").parquet(w.toString)
       val part = Files.list(w).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
-      val dst = dir.resolve(s"sentinel_$i.parquet")
-      Files.move(part, dst)
-      dst.toFile.setLastModified(baseMs + 60000L * i); ()
+      (0 until nReal).foreach { j =>
+        val dst = dir.resolve(s"sentinel_${grp}_$j.parquet")
+        Files.copy(part, dst)
+        dst.toFile.setLastModified(baseMs + 60000L * grp); ()
+      }
     }
 
     val src = s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .option("maxFilesPerTrigger", nReal.toString).parquet(dir.toString)
     val ev = graft.Tables.normalizeEventTs(src)
       .select(col("user_id"), col("event_id"),
         expr("ts_ns DIV 1000").as("ts_us"), col("value"), col("ts"))

@@ -168,16 +168,54 @@ class StreamingParitySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  private def sessKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_no"),
+      r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+      r.getAs[Long]("end_us"), r.getAs[Double]("sum_value"))).toSet
+
   test("s06 gated drain equals batch s02 on the real sf0.001 corpus, sums bit-exact") {
-    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_no"),
-        r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
-        r.getAs[Long]("end_us"), r.getAs[Double]("sum_value"))).toSet
-    val expected = key(EventOps.s02Sessionize(spark, sf001))
-    val got = key(StreamOps.s06StreamSessionize(spark, sf001))
+    val expected = sessKey(EventOps.s02Sessionize(spark, sf001))
+    val got = sessKey(StreamOps.s06StreamSessionize(spark, sf001))
     assert(got == expected,
       s"stream-drained sessions must equal batch s02: " +
         s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("s06 layout-proofing: a multi-part events DIRECTORY arrives as one batch") {
+    // Adversarial layout: events.parquet as a directory of two parts with
+    // the LATE half carrying the OLDER mtime. If the corpus were split
+    // across micro-batches (the old one-file-per-trigger assumption), the
+    // late half would advance the watermark first and the 0-second
+    // watermark would drop the entire early half as late data. The
+    // trigger budget sized to the part count keeps the whole corpus in
+    // micro-batch 0 for any layout.
+    import java.nio.file.Files
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val norm = Tables.normalizeEventTs(raw)
+    val med = norm.selectExpr("approx_percentile(ts_ns, 0.5)").head().getLong(0)
+    val origCols = raw.columns.map(col).toSeq
+    val tmp = Files.createTempDirectory("graft_s06_mp_")
+    val evDir = tmp.resolve("events.parquet")
+    Files.createDirectory(evDir)
+    val now = System.currentTimeMillis()
+    Seq((norm.filter(col("ts_ns") >= med).select(origCols: _*), 0), // late half, older mtime
+        (norm.filter(col("ts_ns") < med).select(origCols: _*), 1))
+      .foreach { case (half, i) =>
+        val w = Files.createTempDirectory("graft_s06_mp_w_")
+        half.coalesce(1).write.mode("overwrite").parquet(w.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(w).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = evDir.resolve(s"part-$i.parquet")
+        Files.move(part, dst)
+        dst.toFile.setLastModified(now + 30000L * i)
+      }
+    val expected = sessKey(EventOps.s02Sessionize(spark, tmp.toString))
+    val got = sessKey(StreamOps.s06StreamSessionize(spark, tmp.toString))
+    assert(got == expected,
+      s"multi-part drain must equal batch: missing=${(expected -- got).size} " +
+        s"extra=${(got -- expected).size}")
     assert(got.nonEmpty)
   }
 
