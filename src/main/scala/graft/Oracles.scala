@@ -1268,7 +1268,26 @@ object Oracles {
     // parity StreamingParitySpec asserts per-micro-batch) — its oracle
     // is s02's verbatim, so the hash gate proves the STREAMING state
     // path against the same ground truth every round.
-    "s06_stream_sessionize" -> s02SessionizeSql
+    "s06_stream_sessionize" -> s02SessionizeSql,
+
+    // s07: stream-stream join, mirrored as a plain inequality join. The
+    // attribution window is DERIVED FROM THE EVENTS TABLE IN SQL with
+    // the same integer math as StreamOps.s07JoinWindowUs (4 × span ×
+    // users ÷ events, floored — `//` and Long division agree on
+    // non-negative operands), so no calibration threading is needed and
+    // a drifted Spark-side formula cannot silently pass.
+    "s07_stream_join" ->
+      """WITH w AS (SELECT 4 * (max(epoch_us(ts)) - min(epoch_us(ts)))
+        |                    * count(DISTINCT user_id) // count(*) AS wus
+        |           FROM events)
+        |SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id AS user_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events v JOIN events p ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + (SELECT wus FROM w)
+        |ORDER BY view_id, purchase_id""".stripMargin
   )
 
   // lazy: referenced by the eventsAndMedia map above, which would

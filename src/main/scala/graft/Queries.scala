@@ -111,6 +111,10 @@ object Queries {
     // s06 drains the flatMapGroupsWithState sessionization over a bounded
     // file stream — emitted sessions equal batch s02, gated by s02's oracle.
     "s06_stream_sessionize" -> (graft.streaming.StreamOps.s06StreamSessionize _),
+    // s07 drains a watermarked stream-stream join (views -> purchases in
+    // a density-calibrated window); the oracle derives the same window
+    // from the events table in SQL, so the gate is threading-free.
+    "s07_stream_join"      -> (graft.streaming.StreamOps.s07StreamJoin _),
     "x01_hash_sample"      -> (Sampling.x01HashSample _),
     "x04_quota_sample"     -> (Sampling.x04QuotaSample _),
     "x05_strat_split"      -> (Sampling.x05StratSplit _),
@@ -187,6 +191,7 @@ object Queries {
     "s04_stream_enrich"    -> Seq("win_start", "segment", "event_type"),
     "s05_stream_neardup"   -> Seq("id_a", "id_b"),
     "s06_stream_sessionize" -> Seq("user_id", "sess_no"),
+    "s07_stream_join"      -> Seq("view_id", "purchase_id"),
     "x01_hash_sample"      -> Seq("doc_id"),
     "x04_quota_sample"     -> Seq("source", "doc_id"),
     "x05_strat_split"      -> Seq("doc_id"),

@@ -21,6 +21,18 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     extra.foreach { case (k, v) => b.config(k, v) }
+    // Env-tunable conf passthrough (SPARK_GRAFT_CONF="k=v;k2=v2"): scale
+    // runs opt into e.g. the RocksDB state store (disk-backed — the
+    // deployment shape once streaming state outgrows the in-memory
+    // provider, measured: s05's bucket state OOMs an 8g heap at sf10's
+    // 500k-doc corpus on the default HDFSBackedStateStore) without a
+    // code edit. Applied last, so it can override the defaults above.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => b.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

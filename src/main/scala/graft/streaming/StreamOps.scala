@@ -286,23 +286,48 @@ object StreamOps {
     * history). */
   def s06StreamSessionize(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import java.nio.file.{Files, Paths}
     val maxUs = graft.Tables.eventsWithTs(s, d)
       .agg(max(expr("ts_ns DIV 1000"))).head().getLong(0)
+    val t1 = maxUs + EventOps.GapUs + 3600000000L
+    val src = eventsStreamSource(s, d, sentinelUs = Seq(t1, t1 + 60000000L))
+    val ev = graft.Tables.normalizeEventTs(src)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns DIV 1000").as("ts_us"), col("value"), col("ts"))
+      .as[SessEvent]
+    val name = "s06_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessionizeStream(ev).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("sess_no"), col("n_events"),
+        col("start_us"), col("end_us"), col("sum_value"))
+  }
+
+  /** Bounded file-stream source over the events table, shared by the
+    * gated drains (s06/s07).
+    *
+    * Layout-proofing: the corpus MUST arrive as ONE micro-batch (a
+    * 0-second watermark would drop cross-batch out-of-order events).
+    * If the driver ever regenerates events.parquet as a multi-part
+    * DIRECTORY, each part is symlinked FLAT into the stream dir (the
+    * file source does not list through non-partition subdirectories),
+    * the per-trigger file budget is sized to the part count, and each
+    * sentinel group is replicated to fill one whole trigger — batches
+    * stay [all real parts], [group-1 sentinels], [group-2 sentinels, …]
+    * for any layout (real parts are strictly older than the sentinels,
+    * so the oldest-first trigger takes them all first).
+    *
+    * `sentinelUs` adds one watermark-advance micro-batch per element
+    * (one-row files for throwaway user_id = −1 at the given event-time
+    * µs) — stateful drains needing timeout flushes pass two ascending
+    * values; pure inner-join drains pass none. Callers filter
+    * user_id >= 0. */
+  private def eventsStreamSource(s: org.apache.spark.sql.SparkSession,
+      d: String, sentinelUs: Seq[Long]): DataFrame = {
+    import java.nio.file.{Files, Paths}
     val srcFile = Paths.get(d, "events.parquet").toAbsolutePath
     val rawSchema = s.read.parquet(srcFile.toString).schema
-
-    val dir = Files.createTempDirectory("graft_s06_")
-    // Layout-proofing: the corpus MUST arrive as ONE micro-batch (the
-    // 0-second watermark would drop cross-batch out-of-order events).
-    // If the driver ever regenerates events.parquet as a multi-part
-    // DIRECTORY, each part is symlinked FLAT into the stream dir (the
-    // file source does not list through non-partition subdirectories),
-    // the per-trigger file budget is sized to the part count, and each
-    // sentinel group is replicated to fill one whole trigger — batches
-    // stay [all real parts], [group-1 sentinels], [group-2 sentinels]
-    // for any layout (real parts are strictly older than the sentinels,
-    // so the oldest-first trigger takes them all first).
+    val dir = Files.createTempDirectory("graft_evsrc_")
     val realParts =
       if (Files.isDirectory(srcFile)) {
         val parts = Files.list(srcFile).iterator().asScala
@@ -333,12 +358,12 @@ object StreamOps {
       }
       s.range(1).select(cols.toSeq: _*)
     }
-    val t1 = maxUs + EventOps.GapUs + 3600000000L
     val baseMs = (System.currentTimeMillis() +:
       realParts.map(Files.getLastModifiedTime(_).toMillis)).max
-    Seq((t1, -1L, 1), (t1 + 60000000L, -2L, 2)).foreach { case (us, eid, grp) =>
-      val w = Files.createTempDirectory("graft_s06_w_")
-      sentinelDf(us, eid).coalesce(1).write.mode("overwrite").parquet(w.toString)
+    sentinelUs.zipWithIndex.foreach { case (us, g) =>
+      val grp = g + 1
+      val w = Files.createTempDirectory("graft_evsrc_w_")
+      sentinelDf(us, -grp.toLong).coalesce(1).write.mode("overwrite").parquet(w.toString)
       val part = Files.list(w).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
       (0 until nReal).foreach { j =>
@@ -347,19 +372,69 @@ object StreamOps {
         dst.toFile.setLastModified(baseMs + 60000L * grp); ()
       }
     }
-
-    val src = s.readStream.schema(rawSchema)
+    s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", nReal.toString).parquet(dir.toString)
-    val ev = graft.Tables.normalizeEventTs(src)
-      .select(col("user_id"), col("event_id"),
-        expr("ts_ns DIV 1000").as("ts_us"), col("value"), col("ts"))
-      .as[SessEvent]
-    val name = "s06_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessionizeStream(ev).writeStream.format("memory")
+  }
+
+  /** Density-calibrated attribution window for s07, derived from the
+    * corpus with INTEGER math only so the oracle can restate it
+    * verbatim in SQL: 4 × the mean per-user event spacing
+    * (span_µs × distinct_users ÷ events, floored division — DuckDB's
+    * `//` and Spark's Long division agree on non-negative operands).
+    * Density-relative sizing keeps the expected purchases-per-view
+    * window (≈ 4 × the purchase fraction) — and therefore the output
+    * volume — O(events) at EVERY SF, where any fixed window is empty at
+    * sparse SFs and quadratic at dense ones. */
+  def s07JoinWindowUs(s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val r = graft.Tables.eventsWithTs(s, d)
+      .selectExpr("min(ts_ns DIV 1000) AS mn", "max(ts_ns DIV 1000) AS mx",
+        "count(*) AS n", "count(DISTINCT user_id) AS u").head()
+    4L * (r.getAs[Long]("mx") - r.getAs[Long]("mn")) * r.getAs[Long]("u") /
+      r.getAs[Long]("n")
+  }
+
+  /** s07 as a GATED catalog key: the canonical STREAM-STREAM JOIN —
+    * view events joined to the purchases that follow them within the
+    * calibrated window, per user. Two independent file-stream reads of
+    * the events table (no sentinels: an INNER join emits each match in
+    * the micro-batch where both sides are present, so a bounded drain
+    * needs no timeout flush), both watermarked, joined on user equality
+    * plus an event-time range the state-cleanup analyzer recognizes
+    * (`p_ts <= v_ts + INTERVAL n MICROSECOND`) — on an unbounded stream
+    * each side's buffered state is evicted once the watermark passes the
+    * range, so state is watermark-horizon-bounded, never the stream.
+    * The µs timestamps are exact (ts is µs-precision), so the
+    * timestamp-range condition equals the integer-µs condition the
+    * oracle states, and the oracle derives the SAME window from the
+    * events table in SQL (integer math, see [[s07JoinWindowUs]]) — no
+    * calibration threading needed.
+    *
+    * Scale shape: the join shuffles both sides on user_id (the semantic
+    * key); per-key match scan is bounded by the arrival volume inside
+    * one watermark horizon × window, not history. The drain harness is
+    * the gate shape (s05/s06's pattern); production keeps the query
+    * running. */
+  def s07StreamJoin(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val wUs = s07JoinWindowUs(s, d)
+    def side(evType: String, idAs: String, usAs: String, tsAs: String,
+             uAs: String): DataFrame =
+      graft.Tables.normalizeEventTs(eventsStreamSource(s, d, Seq.empty))
+        .filter(col("event_type") === evType)
+        .select(col("user_id").as(uAs), col("event_id").as(idAs),
+          expr("ts_ns DIV 1000").as(usAs), col("ts").as(tsAs))
+        .withWatermark(tsAs, "0 seconds")
+    val views = side("view", "view_id", "v_us", "v_ts", "user_id")
+    val purch = side("purchase", "purchase_id", "p_us", "p_ts", "u2")
+    val joined = views.join(purch,
+      expr(s"u2 = user_id AND p_ts >= v_ts AND " +
+        s"p_ts <= v_ts + INTERVAL $wUs MICROSECOND"), "inner")
+    val name = "s07_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("v_us")).as("lag_us"))
+      .writeStream.format("memory")
       .queryName(name).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name).filter(col("user_id") >= 0)
-      .select(col("user_id"), col("sess_no"), col("n_events"),
-        col("start_us"), col("end_us"), col("sum_value"))
+    s.table(name)
   }
 }

@@ -182,6 +182,31 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("s07 stream-stream join drain equals the batch inequality join on sf0.001") {
+    val wUs = StreamOps.s07JoinWindowUs(spark, sf001)
+    assert(wUs > 0)
+    val ev = Tables.eventsWithTs(spark, sf001)
+      .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000").as("us"),
+        col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("us").as("v_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"))
+    val expected = v.join(p,
+        expr(s"u2 = user_id AND p_us >= v_us AND p_us <= v_us + $wUs"), "inner")
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("v_us")).as("lag_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty, "fixture corpus must produce join matches")
+    val got = StreamOps.s07StreamJoin(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"drained stream-stream join must equal batch: missing=${(expected -- got).size} " +
+        s"extra=${(got -- expected).size}")
+  }
+
   test("s06 layout-proofing: a multi-part events DIRECTORY arrives as one batch") {
     // Adversarial layout: events.parquet as a directory of two parts with
     // the LATE half carrying the OLDER mtime. If the corpus were split
