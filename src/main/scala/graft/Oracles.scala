@@ -1033,6 +1033,38 @@ object Oracles {
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
            |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
+      // e08: e03's probe chain with the metadata predicate joined into
+      // the scored CTE — the filter lands on the CANDIDATE side before
+      // ranking, exactly where the Spark plan's left-semi lands it, so
+      // the top-10 is of the FILTERED set (a post-filtered top-10 of
+      // the unfiltered set would silently truncate).
+      "e08_filtered_ann" ->
+        s"""WITH cent0 AS (
+           |  SELECT CAST(vec_id AS INT) AS cell,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |  FROM embeddings WHERE vec_id < $KmeansCells),
+           |trainset AS (SELECT vec_id, embedding FROM embeddings
+           |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
+           |$lloyd,
+           |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
+           |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |probed AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT q.q_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |        ORDER BY ROUND(${cosRaw("q.qv", "c.cv")}, 6) DESC, c.cell) AS rr
+           |    FROM q, cent$KmeansIters c) WHERE rr <= $Probe),
+           |scored AS (
+           |  SELECT p.q_id, c.vec_id AS c_id,
+           |    ROUND($cosQC, 6) AS cosine
+           |  FROM probed p JOIN q USING (q_id)
+           |  JOIN m${KmeansIters + 1} mf ON mf.cell = p.cell
+           |  JOIN embeddings c ON c.vec_id = mf.vec_id AND c.vec_id <> p.q_id
+           |  JOIN documents doc ON doc.doc_id = c.vec_id AND doc.lang = 'en'),
+           |r AS (SELECT q_id, c_id, cosine,
+           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
+           |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
       // e07: per-cell label profile under the SAME trained coarse
       // quantizer as e03 (identical Lloyd CTEs + full-corpus final
       // assignment); majority label ties break to the lowest label id,

@@ -84,6 +84,7 @@ object Queries {
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
+    "e08_filtered_ann"     -> (Similarity.e08FilteredAnn _),
     // e04/e05/e06 scale their ADC shortlist with the corpus
     // (Similarity.scaledPqShortlist): a fixed shortlist is a shrinking
     // fraction of the candidate pool and PQ noise evicts true
@@ -181,6 +182,7 @@ object Queries {
     "e05_ivfpq"            -> Seq("q_id", "rnk"),
     "e06_index_append"     -> Seq("q_id", "rnk"),
     "e07_cluster_stats"    -> Seq("cell"),
+    "e08_filtered_ann"     -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
     "m03_audio_meta"       -> Seq("doc_id"),

@@ -463,6 +463,38 @@ object Similarity {
     topK(s, scored)
   }
 
+  /** e08: FILTERED ANN — [[e03IvfAnn]]'s IVF probe composed with a
+    * metadata predicate (candidate documents must be lang = 'en'), the
+    * "vector search with a WHERE clause" every retrieval pipeline needs.
+    * The design point is WHERE the filter lands: PRE-scoring — the
+    * allowed-id set (a pushed-down documents scan of two columns)
+    * left-semi-joins the in-cell candidates BEFORE any cosine is
+    * computed, so scoring volume is probe-fraction × selectivity of the
+    * corpus. Post-filtering (score, rank, then drop non-matching rows)
+    * is both wasted compute at 100 TB AND wrong under a fixed k — a
+    * filtered top-10 needs the top-10 OF THE FILTERED SET, which a
+    * post-filtered top-10 of the unfiltered set silently truncates.
+    * Same trained quantizer, probe set and rounding as e03, so the
+    * oracle is e03's CTE chain plus one candidate join — hash-gated
+    * exactly like the rest of the ANN block. */
+  def e08FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = corpusCentroids(s, d)
+    val cells = kmeansAssign(centroids, e)
+    val allowed = Tables.documents(s, d).filter(col("lang") === "en")
+      .select(col("doc_id").as("c_id"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val probed = probedCells(s, q, centroids)
+    val c = e.join(cells, "vec_id")
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv2"), col("cell"))
+      .join(allowed, Seq("c_id"), "left_semi")
+    val scored = broadcast(probed.join(q, "q_id")).join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv2")).as("cosine"))
+    topK(s, scored)
+  }
+
   /** e04 product-quantization config: [[PqM]] subspaces of [[PqSubDim]]
     * dims each (4×16 = the 64-dim embedding), each with its own
     * [[KmeansCells]]-centroid codebook; ADC shortlist of [[PqShortlist]]

@@ -75,6 +75,39 @@ class LshRecallSpec extends SparkSpecBase {
     assert(recall >= 0.25, s"recall@10 = $recall")
   }
 
+  test("e08 filtered ANN: predicate honored, top-k is of the FILTERED set") {
+    import org.apache.spark.sql.functions._
+    // (1) Every returned candidate satisfies the predicate.
+    val en = Tables.documents(spark, sf001).filter(col("lang") === "en")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(en.nonEmpty && en.size < 500, "fixture must make the filter selective")
+    val got = Queries.production("e08_filtered_ann")(spark, sf001).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => en(r.getAs[Long]("c_id"))),
+      "filtered ANN returned a candidate outside the predicate")
+    // (2) Recall vs the EXACT filtered brute force (independent
+    // derivation — documents x embeddings, no e08 code) clears e03's
+    // worst-case probe floor: filtering must not silently truncate the
+    // top-k below what cell probing alone loses.
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val cand = e.filter(col("vec_id").isInCollection(en))
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(desc("cosine"), col("c_id"))
+    val exactFiltered = q.crossJoin(cand).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(graft.functions.CosineSimilarity(spark, col("qv"), col("cv")), 6)
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val gotPairs = got.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recall = (exactFiltered & gotPairs).size.toDouble / exactFiltered.size
+    assert(recall >= 0.25, s"filtered recall@10 = $recall")
+  }
+
   test("e05 IVF×PQ recall and candidate containment vs its parts") {
     // The composition can only SHRINK e04's candidate set (same ADC
     // scores, restricted to probed cells) — so its shortlist, hence its

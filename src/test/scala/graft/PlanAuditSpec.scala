@@ -75,10 +75,13 @@ class PlanAuditSpec extends SparkSpecBase {
     // nested-loop sides are the 16-row codebook/centroid tables and the
     // n/100 query set (e06 is e05's machinery over an appended index;
     // e07 profiles cells under the same <=16-row broadcast quantizer;
-    // d12's keeper affinity reuses that same broadcast centroid table).
+    // d12's keeper affinity reuses that same broadcast centroid table;
+    // e08 is e03's probe chain with a pre-scoring candidate semi-join —
+    // same <=16-row centroid broadcast, nothing else nested-loops).
     val broadcastSmallByDesign =
       Set("e01_knn_brute", "e03_ivf_ann", "e04_pq_ann", "e05_ivfpq",
-        "e06_index_append", "e07_cluster_stats", "d12_semantic_groups")
+        "e06_index_append", "e07_cluster_stats", "d12_semantic_groups",
+        "e08_filtered_ann")
     for ((name, _) <- analyzed if !broadcastSmallByDesign(name)) {
       assert(!operators(name).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         s"$name contains BroadcastNestedLoopJoin")
