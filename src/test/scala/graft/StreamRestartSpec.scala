@@ -229,4 +229,57 @@ class StreamRestartSpec extends SparkSpecBase {
     assert(bySeg("BUILDING") == ((2L, 3.0)), s"$bySeg")
     assert(bySeg("UNKNOWN") == ((1L, 5.0)), s"$bySeg")
   }
+
+  test("s07 stream-stream join: a pair straddling the restart emits from restored state") {
+    // The hardest restart case for the JOIN operator: one side buffered
+    // BEFORE the stop, its match arriving AFTER resume. The view must
+    // come from the restored join state (its source file is committed in
+    // the checkpoint and never reprocessed), the in-window purchase must
+    // join it exactly once, and an out-of-window purchase must not.
+    val inV = tmp("graft-restart7-v"); val inP = tmp("graft-restart7-p")
+    val chk = tmp("graft-restart7-chk"); val out = tmp("graft-restart7-out")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    val HourUs = 3600000000L
+    def start() = {
+      def side(dir: String, idAs: String, tsAs: String, uAs: String) =
+        spark.readStream.schema(schema)
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .option("maxFilesPerTrigger", 1).json(dir)
+          .select(col("user_id").as(uAs), col("event_id").as(idAs),
+            col("ts").as(tsAs))
+          .withWatermark(tsAs, "0 seconds")
+      val views = side(inV, "view_id", "v_ts", "user_id")
+      val purch = side(inP, "purchase_id", "p_ts", "u2")
+      views.join(purch,
+          expr(s"u2 = user_id AND p_ts >= v_ts AND " +
+            s"p_ts <= v_ts + INTERVAL $HourUs MICROSECOND"), "inner")
+        .select(col("view_id"), col("purchase_id"), col("user_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }
+    // Pre-restart: the view arrives, no purchase exists — nothing emits,
+    // the view sits in the join state when the query stops.
+    publish(inV, "v0.json",
+      Seq("""{"event_id":1,"user_id":7,"ts":"2024-06-01 00:10:00"}"""))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // Post-restart: an in-window purchase (00:40 <= 00:10 + 1h) must join
+    // the RESTORED view; a later out-of-window one (02:30) must not.
+    val q2 = start()
+    try {
+      publish(inP, "p0.json",
+        Seq("""{"event_id":11,"user_id":7,"ts":"2024-06-01 00:40:00"}"""))
+      q2.processAllAvailable()
+      publish(inP, "p1.json",
+        Seq("""{"event_id":12,"user_id":7,"ts":"2024-06-01 02:30:00"}"""))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"))).toSeq
+    assert(got == Seq((1L, 11L)),
+      s"expected exactly the straddling pair from restored state, got $got")
+  }
 }
