@@ -1265,6 +1265,20 @@ object Oracles {
         |  'mp4' AS format
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    // m05: the Spark side groups by (md5(payload), length) — pure
+    // content addressing, no generation key in sight; the oracle
+    // restates the groups from the generation rule (payload is
+    // injective in ckey = doc_id % (n//2), byte lengths are the m01
+    // structural constants), so the gate proves content hashing
+    // recovers exactly the byte-equality classes.
+    "m05_media_dedup" ->
+      """WITH m AS (SELECT greatest(1, count(*) // 2) AS mm FROM documents),
+        |g AS (SELECT doc_id, doc_id % (SELECT mm FROM m) AS ckey FROM documents)
+        |SELECT min(doc_id) AS keep_id,
+        |  CAST(CASE WHEN ckey % 2 = 0 THEN 125 ELSE 103 END AS BIGINT) AS n_bytes,
+        |  count(*) AS n_copies
+        |FROM g GROUP BY ckey ORDER BY keep_id""".stripMargin,
+
     "s03_stream_dedup" -> {
       import graft.operators.EventOps.DupIdShift
       s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

@@ -102,6 +102,7 @@ object Queries {
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
     "m04_video_meta"       -> (Multimodal.m04VideoMeta _),
+    "m05_media_dedup"      -> (Multimodal.m05MediaDedup _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
@@ -187,6 +188,7 @@ object Queries {
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),
     "m03_audio_meta"       -> Seq("doc_id"),
     "m04_video_meta"       -> Seq("doc_id"),
+    "m05_media_dedup"      -> Seq("keep_id"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),

@@ -254,8 +254,12 @@ object Multimodal {
 
   /** Deterministic media dimensions per document — the generation rule
     * the oracle mirrors as its ground truth. */
-  private def widthCol = (lit(64) + col("doc_id") % 1920).cast("bigint")
-  private def heightCol = (lit(64) + col("n_chars") % 1080).cast("bigint")
+  private def widthColFor(idc: org.apache.spark.sql.Column) =
+    (lit(64) + idc % 1920).cast("bigint")
+  private def heightColFor(hc: org.apache.spark.sql.Column) =
+    (lit(64) + hc % 1080).cast("bigint")
+  private def widthCol = widthColFor(col("doc_id"))
+  private def heightCol = heightColFor(col("n_chars"))
 
   /** 8-/4-/2-byte big-endian encodings of an integer column. */
   private def be8(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 16, "0"))
@@ -266,7 +270,9 @@ object Multimodal {
     * a pure function of (doc_id, k) so the oracle can state each
     * segment's byte-sum in closed form. */
   val MetaSegments = 4
-  private def segValue(k: Int) = (col("doc_id") * 4096 + lit(k)).cast("bigint")
+  private def segValueFor(idc: org.apache.spark.sql.Column, k: Int) =
+    (idc * 4096 + lit(k)).cast("bigint")
+  private def segValue(k: Int) = segValueFor(col("doc_id"), k)
 
   /** Synthesized payload: even doc_ids get a PNG — signature, IHDR with
     * real big-endian dims, [[MetaSegments]] tEXt chunks carrying 8 data
@@ -277,15 +283,16 @@ object Multimodal {
     * be structurally complete — javax.imageio verifies it). Byte-valid
     * container files: [[HeaderDecode]]/[[SegmentWalk]] do no
     * generation-specific shortcuts. */
-  private def payloadCol = {
+  private def payloadColFor(idc: org.apache.spark.sql.Column,
+                            hc: org.apache.spark.sql.Column) = {
     val pngChunks = (1 to MetaSegments).map(k =>
-      concat(unhex(lit("0000000874455874")), be8(segValue(k)), unhex(lit("AA5500FF"))))
+      concat(unhex(lit("0000000874455874")), be8(segValueFor(idc, k)), unhex(lit("AA5500FF"))))
     val jpegComs = (1 to MetaSegments).map(k =>
-      concat(unhex(lit("FFFE000A")), be8(segValue(k))))
-    when(col("doc_id") % 2 === 0,
+      concat(unhex(lit("FFFE000A")), be8(segValueFor(idc, k))))
+    when(idc % 2 === 0,
       concat(Seq(
         unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/type
-        be4(widthCol), be4(heightCol),
+        be4(widthColFor(idc)), be4(heightColFor(hc)),
         unhex(lit("0806000000AA5500FF"))) ++              // depth..interlace + CRC filler
         pngChunks :+
         unhex(lit("0000000049454E44AA5500FF")): _*)       // IEND
@@ -293,7 +300,7 @@ object Multimodal {
       concat(Seq(
         unhex(lit("FFD8FFE000104A46494600010100000100010000")) // SOI + APP0
       ) ++ jpegComs ++ Seq(
-        unhex(lit("FFC0001108")), be2(heightCol), be2(widthCol),
+        unhex(lit("FFC0001108")), be2(heightColFor(hc)), be2(widthColFor(idc)),
         unhex(lit("03012200021101031101")),               // 3 components
         // minimal SOS (3-component scan header, no entropy data):
         // without it strict readers (javax.imageio) reject the stream
@@ -301,6 +308,8 @@ object Multimodal {
         unhex(lit("FFDA000C03010002110311003F00")),
         unhex(lit("FFD9"))): _*))                         // EOI
   }
+
+  private def payloadCol = payloadColFor(col("doc_id"), col("n_chars"))
 
   /** The (doc_id, payload) frame m01 decodes — exposed for specs/probes. */
   def m01Payloads(s: SparkSession, d: String): DataFrame =
@@ -547,4 +556,38 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** The (doc_id, payload) frame m05 dedups: payloads derive from the
+    * REDUCED content key doc_id % (corpus/2), so each distinct payload
+    * appears ~2× — the re-crawled/re-hosted exact-copy case every media
+    * corpus carries. The key is FULLY embedded in the metadata-segment
+    * bytes (be8 of ckey·4096+k), so the generator is injective in ckey
+    * and content equality ⇔ key equality — the closed-form fact the
+    * oracle states. The modulus folds in driver-side as a literal (the
+    * scalar-per-frame rule; one count-star footer read). */
+  def m05Payloads(s: SparkSession, d: String): DataFrame = {
+    val m = math.max(1L, Tables.documents(s, d).count() / 2L)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        payloadColFor(col("doc_id") % m, col("doc_id") % m).as("payload"))
+  }
+
+  /** m05: CONTENT-ADDRESSED media dedup — d01's exact dedup for binary
+    * payloads: group by (md5(payload), length), keep the minimum doc_id,
+    * count the copies. The Spark side never sees the generation key; the
+    * oracle recomputes the groups from the generation rule, so the gate
+    * checks that content hashing recovers exactly the byte-equality
+    * classes.
+    *
+    * Scale shape: md5 is a per-row codegen'd projection (NOT inside a
+    * higher-order lambda), and the single hash-shuffle carries only
+    * (16-byte digest, length) + agg state — payload bytes never
+    * shuffle. That is the whole trick of content-addressed dedup at
+    * 100 TB: the exchange is digest-sized regardless of media size. */
+  def m05MediaDedup(s: SparkSession, d: String): DataFrame =
+    m05Payloads(s, d)
+      .groupBy(md5(col("payload")).as("content_md5"),
+        length(col("payload")).cast("bigint").as("n_bytes"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_bytes"), col("n_copies"))
 }

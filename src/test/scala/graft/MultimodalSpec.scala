@@ -151,6 +151,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.count() == docs.count())
   }
 
+  test("m05 content dedup: md5 groups are exactly the byte-equality classes") {
+    val docs = Tables.documents(spark, sf001)
+    val n = docs.count()
+    val m = math.max(1L, n / 2L)
+    val out = Queries.production("m05_media_dedup")(spark, sf001).collect()
+    // groups = distinct content keys; copies sum back to the corpus
+    assert(out.length == m.toInt, s"${out.length} groups, expected $m")
+    assert(out.map(_.getAs[Long]("n_copies")).sum == n)
+    assert(out.forall(_.getAs[Long]("n_copies") >= (n / m)),
+      "every synthesized payload must have its planted copy")
+    // byte-level cross-check, independent of the grouping path: two docs
+    // sharing a content key have IDENTICAL payload bytes; adjacent keys
+    // differ (injectivity of the generator in ckey).
+    val pay = graft.operators.Multimodal.m05Payloads(spark, sf001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(pay(0L).sameElements(pay(m)), "same ckey must mean same bytes")
+    assert(!pay(0L).sameElements(pay(1L)), "different ckey must mean different bytes")
+  }
+
   test("m03 payloads round-trip: decoded audio fields equal the generation rule") {
     val out = Queries.production("m03_audio_meta")(spark, sf001)
     assert(out.filter(col("format") =!= "wav").count() == 0,
