@@ -106,4 +106,26 @@ class PlanSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("m05: the dedup exchange carries digests, never payload bytes") {
+    // Content-addressed dedup's whole scale trick: md5 + length compute
+    // map-side (partial aggregate), so the one shuffle ships (digest,
+    // length, min-id, count) regardless of media size. A BinaryType
+    // attribute in any exchange would mean payload bytes on the wire.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.BinaryType
+    def flatten2(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten2(a.executedPlan)
+      case other => other +: other.children.flatMap(flatten2)
+    }
+    val exchanges = flatten2(
+      Queries.production("m05_media_dedup")(spark, sf001).queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.nonEmpty, "m05 should have the dedup shuffle to audit")
+    for (e <- exchanges)
+      assert(!e.output.exists(_.dataType == BinaryType),
+        s"m05 shuffles payload bytes: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+  }
 }
