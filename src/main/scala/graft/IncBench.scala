@@ -97,14 +97,19 @@ object IncBench {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // Full-corpus base state: a modulus beyond the id range keeps every
-    // doc in the base slice (pmod(id, m) == 0 only at id 0; ids start at 1).
+    // Near-full-corpus base state: a modulus beyond the id range keeps
+    // every doc EXCEPT doc 0 in the base slice (ids start at 0, and
+    // pmod(0, m) == 0 for any m puts doc 0 in the batch residue — no
+    // modulus can keep it in base). Doc 0 is therefore also excluded
+    // from the batch below: its source would be missing from state, so
+    // a shifted copy of it would not be the near-dup-of-state-doc this
+    // fixture promises, and corpus/batch accounting would be off by one.
     val allMod = Int.MaxValue
     val dir = s"$stateDir/adv_groups"
     val tState = timed(Incremental.writeGroupState(spark, sfDir, dir, allMod))
     val IdShift = 1L << 40
     val batchDocs = Tables.documents(spark, sfDir)
-      .filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .filter(pmod(col("doc_id"), lit(mod)) === 0 && col("doc_id") =!= 0)
       .select((col("doc_id") + IdShift).as("doc_id"),
         concat(col("text"), lit(" zzadversarialmarker")).as("text"))
     val newIds = batchDocs.select(col("doc_id").as("id"))

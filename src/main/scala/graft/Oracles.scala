@@ -823,7 +823,12 @@ object Oracles {
   /** Similarity block (SURVEY §2.C). e02's LSH bands are deterministic,
     * so its oracle mirrors the bucketing exactly (rhpBandsSql) and even
     * the "approximate" query is hash-gated; its recall vs e01 is
-    * additionally spec-tested. */
+    * additionally spec-tested.
+    *
+    * `pqShortlist` is the CALIBRATED ADC depth of e05/e06 only
+    * (Similarity.calibratedPqShortlist); e04's mirror pins the fixed
+    * catalog PqShortlist, matching the Queries catalog's per-key
+    * depths. */
   def similarity(rhpBits: Int = graft.operators.Similarity.RhpBits,
                  pqShortlist: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
     val cosQC =
@@ -988,6 +993,10 @@ object Oracles {
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
            |SELECT q_id, c_id, cosine, rnk FROM r2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
+      // e04 pins the FIXED catalog depth regardless of the calibrated
+      // `pqShortlist` param — the per-key decision mirrored from the
+      // Queries catalog: only e05/e06 calibrate (n/20); e04's full ADC
+      // scan keeps the shallow exact re-rank.
       "e04_pq_ann" ->
         s"""WITH trainset AS (SELECT vec_id, embedding FROM embeddings
            |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
@@ -1001,7 +1010,7 @@ object Oracles {
            |  FROM q, rec r WHERE r.vec_id <> q.q_id),
            |short AS (SELECT q_id, c_id FROM (
            |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
-           |    FROM adc) WHERE rr <= $pqShortlist),
+           |    FROM adc) WHERE rr <= ${graft.operators.Similarity.PqShortlist}),
            |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
            |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
            |r2 AS (SELECT q_id, c_id, cosine,
@@ -1323,7 +1332,8 @@ object Oracles {
     // non-negative operands), so no calibration threading is needed and
     // a drifted Spark-side formula cannot silently pass.
     "s07_stream_join" ->
-      """WITH w AS (SELECT 4 * (max(epoch_us(ts)) - min(epoch_us(ts)))
+      """WITH w AS (SELECT CAST(4 AS HUGEINT)
+        |                    * (max(epoch_us(ts)) - min(epoch_us(ts)))
         |                    * count(DISTINCT user_id) // count(*) AS wus
         |           FROM events)
         |SELECT v.event_id AS view_id, p.event_id AS purchase_id,
@@ -1456,10 +1466,11 @@ object Oracles {
 
   /** Full oracle map. `rhpBits` must match the band width the cataloged
     * d05/e02 plans will actually use at the SF being verified, and
-    * `pqShortlist` the ADC shortlist depth of e04/e05/e06 —
-    * [[graft.Verify]] passes Similarity.calibratedRhpBits /
-    * calibratedPqShortlist(sfDir); both floor at the catalog defaults
-    * at the gate SFs (OracleContractSpec). */
+    * `pqShortlist` the ADC shortlist depth of e05/e06 (e04 pins the
+    * fixed catalog depth) — [[graft.Verify]] passes
+    * Similarity.calibratedRhpBits / calibratedPqShortlist(sfDir); both
+    * floor at the catalog defaults at the gate SFs
+    * (OracleContractSpec). */
   def all(rhpBits: Int = graft.operators.Similarity.RhpBits,
           pqShortlist: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
     val m = core ++ text ++ dedup(rhpBits) ++ similarity(rhpBits, pqShortlist) ++

@@ -85,14 +85,19 @@ object Queries {
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
     "e08_filtered_ann"     -> (Similarity.e08FilteredAnn _),
-    // e04/e05/e06 scale their ADC shortlist with the corpus
+    // e05/e06 scale their ADC shortlist with the corpus
     // (Similarity.scaledPqShortlist): a fixed shortlist is a shrinking
     // fraction of the candidate pool and PQ noise evicts true
     // neighbours before the exact re-rank (e05 recall@10 at sf10:
     // 0.018 fixed -> 0.444 at n/20, measured curve in the scaladoc).
-    // Verify threads the same depth into the oracles.
-    "e04_pq_ann"           -> ((s, d) =>
-      Similarity.e04PqAnn(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
+    // e04 deliberately KEEPS the fixed catalog depth: its ADC pass
+    // already scans the whole corpus, so the deep shortlist bought only
+    // +0.02 recall (0.560 -> 0.579 at sf10) while making the full scan
+    // 5.6x its pandas baseline (BENCH.md) — the per-key depths are the
+    // point of the ladder: e04 = cheap full-scan baseline, e05 = the
+    // recall-calibrated cell-pruned path. Verify threads each key's
+    // actual depth into its oracle (Oracles.similarity).
+    "e04_pq_ann"           -> ((s, d) => Similarity.e04PqAnn(s, d)),
     "e05_ivfpq"            -> ((s, d) =>
       Similarity.e05IvfPq(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "e06_index_append"     -> ((s, d) =>

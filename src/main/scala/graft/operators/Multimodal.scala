@@ -224,25 +224,36 @@ object Multimodal {
         var i = from
         var ok = true
         while (ok && i + 8 <= to) {
-          val size = be32(b, i).toInt
+          val size32 = be32(b, i)
           val typ = tag(b, i + 4)
-          if (size < 8 || i + size > to) ok = false
+          // Legal BMFF size encodings beyond the common 32-bit form:
+          // size==0 means "extends to the end of the enclosing box"
+          // (streamed-file mdat), size==1 means the real length is the
+          // 64-bit largesize at i+8 (header is then 16 bytes).
+          val hdr = if (size32 == 1L) 16 else 8
+          val size: Long =
+            if (size32 == 0L) (to - i).toLong
+            else if (size32 == 1L && i + 16 <= to) be64(b, i + 8)
+            else size32
+          if (size < hdr || i + size > to) ok = false
           else {
-            if (Containers(typ)) walk(i + 8, i + size)
-            else if (typ == "mvhd" && i + 28 <= to) {
+            val p = i + hdr // payload start, header-width-aware
+            val end = (i + size).toInt
+            if (Containers(typ)) walk(p, end)
+            else if (typ == "mvhd" && p + 20 <= to) {
               // v0: ver/flags ctime4 mtime4 ts4 dur4; v1: 8-byte times.
-              if ((b(i + 8) & 0xff) == 1 && i + 40 <= to) {
-                ts = be32(b, i + 28); du = be64(b, i + 32)
-              } else { ts = be32(b, i + 20); du = be32(b, i + 24) }
-            } else if (typ == "stsd" && codec == "unknown" && i + 16 + 36 <= to) {
+              if ((b(p) & 0xff) == 1 && p + 32 <= to) {
+                ts = be32(b, p + 20); du = be64(b, p + 24)
+              } else { ts = be32(b, p + 12); du = be32(b, p + 16) }
+            } else if (typ == "stsd" && codec == "unknown" && p + 8 + 36 <= to) {
               // ver/flags(4) entry_count(4), then the first sample
               // entry: size(4) fourcc(4) reserved(6) data_ref(2)
               // pre/rsv(16) width(2) height(2) ...
-              val e = i + 16
+              val e = p + 8
               codec = tag(b, e + 4)
               w = be16(b, e + 32); h = be16(b, e + 34)
             }
-            i += size
+            i = end
           }
         }
       }

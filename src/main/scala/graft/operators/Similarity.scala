@@ -130,7 +130,13 @@ object Similarity {
   def calibratedRhpBits(s: SparkSession, d: String): Int =
     scaledRhpBits(cachedEmbeddingCount(s, d))
 
-  /** ADC shortlist depth scaled to the corpus. A FIXED shortlist is a
+  /** ADC shortlist depth scaled to the corpus — used by e05/e06 ONLY.
+    * e04's full-scan baseline keeps the fixed [[PqShortlist]]: its ADC
+    * pass already scores every corpus vector, so the deep exact re-rank
+    * bought just +0.02 recall at sf10 (0.560 → 0.579) while costing
+    * 5.6× e04's pandas baseline — the ladder's per-key depths are
+    * deliberate (e04 = cheap full-scan anchor, e05 = calibrated
+    * cell-pruned path). A FIXED shortlist is a
     * shrinking fraction of the ADC pool as the corpus grows — 30 of
     * ~500 candidates at the gate SF, 30 of ~37k at 200k vectors — and
     * PQ quantization noise then evicts the true neighbours before the

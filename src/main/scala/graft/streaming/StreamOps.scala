@@ -324,20 +324,39 @@ object StreamOps {
     * user_id >= 0. */
   private def eventsStreamSource(s: org.apache.spark.sql.SparkSession,
       d: String, sentinelUs: Seq[Long]): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
+    // Files.list streams hold an open directory handle until closed —
+    // materialize-then-close, or repeated drains in a long-lived driver
+    // leak fds.
+    def listParquet(p: Path): Seq[Path] = {
+      val st = Files.list(p)
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally st.close()
+    }
+    // Temp dirs are per-invocation (the source must keep reading them
+    // for the drain's lifetime, so they can't be deleted here);
+    // deleteOnExit bounds the leak to one JVM run — files registered
+    // after their dir, so JVM-exit deletion (reverse order) empties
+    // each dir before removing it.
+    def tempDir(prefix: String): Path = {
+      val p = Files.createTempDirectory(prefix)
+      p.toFile.deleteOnExit()
+      p
+    }
+    def register(p: Path): Path = { p.toFile.deleteOnExit(); p }
     val srcFile = Paths.get(d, "events.parquet").toAbsolutePath
     val rawSchema = s.read.parquet(srcFile.toString).schema
-    val dir = Files.createTempDirectory("graft_evsrc_")
+    val dir = tempDir("graft_evsrc_")
     val realParts =
       if (Files.isDirectory(srcFile)) {
-        val parts = Files.list(srcFile).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        val parts = listParquet(srcFile)
         parts.zipWithIndex.foreach { case (p, j) =>
-          Files.createSymbolicLink(dir.resolve(s"events_$j.parquet"), p); ()
+          register(Files.createSymbolicLink(dir.resolve(s"events_$j.parquet"), p)); ()
         }
         parts
       } else {
-        Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile)
+        register(Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile))
         Seq(srcFile)
       }
     val nReal = realParts.size.max(1)
@@ -364,13 +383,26 @@ object StreamOps {
       val grp = g + 1
       val w = Files.createTempDirectory("graft_evsrc_w_")
       sentinelDf(us, -grp.toLong).coalesce(1).write.mode("overwrite").parquet(w.toString)
-      val part = Files.list(w).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val part = listParquet(w).headOption.getOrElse(
+        sys.error(s"sentinel write produced no parquet part in $w"))
       (0 until nReal).foreach { j =>
-        val dst = dir.resolve(s"sentinel_${grp}_$j.parquet")
+        val dst = register(dir.resolve(s"sentinel_${grp}_$j.parquet"))
         Files.copy(part, dst)
-        dst.toFile.setLastModified(baseMs + 60000L * grp); ()
+        // A silently-failed mtime write would collapse the sentinel
+        // batch ordering the drains depend on — fail loudly instead.
+        require(dst.toFile.setLastModified(baseMs + 60000L * grp),
+          s"setLastModified failed for $dst")
       }
+      // The staging dir is only needed until the copy; remove it now
+      // (contents first) instead of accumulating one per drain.
+      def rmTree(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val st = Files.list(p)
+          try st.iterator().asScala.toList.foreach(rmTree) finally st.close()
+        }
+        Files.deleteIfExists(p); ()
+      }
+      rmTree(w)
     }
     s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", nReal.toString).parquet(dir.toString)
@@ -389,8 +421,15 @@ object StreamOps {
     val r = graft.Tables.eventsWithTs(s, d)
       .selectExpr("min(ts_ns DIV 1000) AS mn", "max(ts_ns DIV 1000) AS mx",
         "count(*) AS n", "count(DISTINCT user_id) AS u").head()
-    4L * (r.getAs[Long]("mx") - r.getAs[Long]("mn")) * r.getAs[Long]("u") /
-      r.getAs[Long]("n")
+    // BigInt intermediate: 4 × span_µs × users overflows a Long once
+    // span × users > ~2.3e18 (multi-year corpus × ~10M users) — the
+    // oracle's HUGEINT arithmetic would not, so the quotient must be
+    // computed exactly here too. All operands are non-negative, so
+    // BigInt's truncating division equals the floored division the
+    // oracle states.
+    val w = BigInt(4) * BigInt(r.getAs[Long]("mx") - r.getAs[Long]("mn")) *
+      BigInt(r.getAs[Long]("u")) / BigInt(r.getAs[Long]("n"))
+    w.toLong
   }
 
   /** s07 as a GATED catalog key: the canonical STREAM-STREAM JOIN —

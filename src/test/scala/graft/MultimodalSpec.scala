@@ -129,9 +129,23 @@ class MultimodalSpec extends SparkSpecBase {
       ((3840L, 2160L, "hvc1", 123456789000L / 90000L, "mp4")))
     assert(BmffDecode.decode("no ftyp here".getBytes("UTF-8"))._5 == "unknown")
     assert(BmffDecode.decode(Array[Byte]())._5 == "unknown")
-    // a size-0 box must terminate the walk, not loop forever
+    // size==0 ("extends to end of enclosing box") must consume to EOF
+    // and terminate — an empty EOF-extended moov yields no metadata.
     val broken = ftyp ++ be4(0) ++ "moov".getBytes
     assert(BmffDecode.decode(broken)._3 == "unknown")
+    // Legal size==0 on a trailing mdat (streamed-file layout): the walk
+    // must step over it without declaring the file malformed.
+    val mdatEof = be4(0) ++ "mdat".getBytes ++ Array.fill[Byte](32)(7)
+    assert(BmffDecode.decode(ftyp ++ moov ++ mdatEof) ==
+      ((3840L, 2160L, "hvc1", 123456789000L / 90000L, "mp4")))
+    // Legal size==1 (64-bit largesize, 16-byte header) wrapping moov:
+    // payload offsets shift by the wider header; fields still decode.
+    val moovLarge = be4(1) ++ "moov".getBytes ++ be8(moov.length + 8L) ++
+      moov.drop(8)
+    assert(BmffDecode.decode(ftyp ++ moovLarge ++ mdatEof) ==
+      ((3840L, 2160L, "hvc1", 123456789000L / 90000L, "mp4")))
+    // size==1 with a truncated largesize is malformed, not a loop.
+    assert(BmffDecode.decode(ftyp ++ be4(1) ++ "moov".getBytes)._3 == "unknown")
   }
 
   test("m04 payloads round-trip: decoded video fields equal the generation rule") {
