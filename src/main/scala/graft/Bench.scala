@@ -137,6 +137,8 @@ object Bench {
     // under maxFilesPerTrigger=1; BENCH.md records it per SF).
     val s05b = graft.streaming.StreamOps.lastS05MicroBatches.get
     if (s05b >= 0) System.err.println(s"[bench] s05 micro-batches: $s05b")
+    val s08b = graft.streaming.StreamOps.lastS08MicroBatches.get
+    if (s08b >= 0) System.err.println(s"[bench] s08 micro-batches: $s08b")
     println(line)
     if (keyArgs.isEmpty) writeArtifact(line)
     spark.stop()

@@ -368,6 +368,50 @@ object Oracles {
          |FROM g ORDER BY doc_id""".stripMargin
     },
 
+    // t09 is GENERATED from TextAnalysis.htmlTemplate /
+    // htmlBlockPatterns / htmlEntities — the page builder AND the strip
+    // rules are shared members, so the two engines run the same strip
+    // over byte-identical markup and neither can drift from the other.
+    "t09_html_extract" -> {
+      import graft.operators.TextAnalysis.{htmlBlockPatterns, htmlEntities, htmlEntityPattern, htmlTemplate}
+      val fields = Map(
+        "doc_id" -> "CAST(doc_id AS VARCHAR)",
+        "lang"   -> "lang",
+        "source" -> "source",
+        "half1"  -> "substr(text, 1, len(text)//2)",
+        "half2"  -> "substr(text, len(text)//2 + 1)",
+        "next"   -> "CAST(doc_id + 1 AS VARCHAR)")
+      def lit(s: String): String = {
+        require(!s.contains("'"), "template chunks must be quote-free")
+        s.split("\n", -1).map("'" + _ + "'").mkString(" || chr(10) || ")
+      }
+      val page = htmlTemplate
+        .map { case Left(s) => lit(s); case Right(f) => fields(f) }
+        .mkString(" || ")
+      val nBlocks = htmlBlockPatterns
+        .map(p => s"len(regexp_extract_all(raw, '$p'))").mkString(" + ")
+      val deblocked = htmlBlockPatterns
+        .foldLeft("raw")((c, p) => s"regexp_replace($c, '$p', ' ', 'g')")
+      val decoded = htmlEntities.foldLeft("dt") { case (c, (e, v)) =>
+        s"replace($c, '$e', '${v.replace("'", "''")}')"
+      }
+      s"""WITH pages AS (SELECT doc_id, $page AS raw FROM documents),
+         |b AS (SELECT doc_id, raw, $deblocked AS db,
+         |        CAST($nBlocks AS BIGINT) AS n_blocks FROM pages),
+         |t AS (SELECT doc_id, raw, n_blocks,
+         |        CAST(len(regexp_extract_all(db, '<[^>]*>')) AS BIGINT) AS n_tags,
+         |        regexp_replace(db, '<[^>]*>', ' ', 'g') AS dt FROM b),
+         |e AS (SELECT doc_id, raw, n_blocks, n_tags,
+         |        CAST(len(regexp_extract_all(dt, '$htmlEntityPattern')) AS BIGINT) AS n_entities,
+         |        trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g')) AS clean FROM t)
+         |SELECT doc_id, n_blocks, n_tags, n_entities,
+         |  CAST(len(raw) AS BIGINT) AS n_chars_raw,
+         |  CAST(len(clean) AS BIGINT) AS n_chars_clean,
+         |  ROUND(CAST(len(clean) AS DOUBLE) / len(raw), 6) AS kept_ratio,
+         |  clean AS text_clean
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
+
     "t02_quality_score" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS toks FROM documents),
         |b AS (SELECT doc_id, n_chars,
@@ -825,12 +869,13 @@ object Oracles {
     * the "approximate" query is hash-gated; its recall vs e01 is
     * additionally spec-tested.
     *
-    * `pqShortlist` is the CALIBRATED ADC depth of e05/e06 only
-    * (Similarity.calibratedPqShortlist); e04's mirror pins the fixed
-    * catalog PqShortlist, matching the Queries catalog's per-key
-    * depths. */
+    * `pqShortlist` is the CALIBRATED ADC depth of e05/e06 (n/20,
+    * Similarity.calibratedPqShortlist); `pqShortlistE04` is e04's own
+    * shallower depth (n/200, calibratedE04Shortlist) — the Queries
+    * catalog's per-key decision, mirrored per key. */
   def similarity(rhpBits: Int = graft.operators.Similarity.RhpBits,
-                 pqShortlist: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
+                 pqShortlist: Int = graft.operators.Similarity.PqShortlist,
+                 pqShortlistE04: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
     val cosQC =
       """list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)))
         |   / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE))))
@@ -993,10 +1038,8 @@ object Oracles {
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
            |SELECT q_id, c_id, cosine, rnk FROM r2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
-      // e04 pins the FIXED catalog depth regardless of the calibrated
-      // `pqShortlist` param — the per-key decision mirrored from the
-      // Queries catalog: only e05/e06 calibrate (n/20); e04's full ADC
-      // scan keeps the shallow exact re-rank.
+      // e04 mirrors ITS key's depth (n/200), not e05/e06's n/20 — the
+      // per-key decision from the Queries catalog.
       "e04_pq_ann" ->
         s"""WITH trainset AS (SELECT vec_id, embedding FROM embeddings
            |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
@@ -1010,7 +1053,7 @@ object Oracles {
            |  FROM q, rec r WHERE r.vec_id <> q.q_id),
            |short AS (SELECT q_id, c_id FROM (
            |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
-           |    FROM adc) WHERE rr <= ${graft.operators.Similarity.PqShortlist}),
+           |    FROM adc) WHERE rr <= $pqShortlistE04),
            |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
            |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
            |r2 AS (SELECT q_id, c_id, cosine,
@@ -1325,6 +1368,12 @@ object Oracles {
     // path against the same ground truth every round.
     "s06_stream_sessionize" -> s02SessionizeSql,
 
+    // s08: the MULTI-micro-batch drain (corpus time-sliced across 3
+    // real batches) — same ground truth again; the gate proves that
+    // sessions straddling micro-batch boundaries re-assemble through
+    // flatMapGroupsWithState state exactly.
+    "s08_stream_multibatch" -> s02SessionizeSql,
+
     // s07: stream-stream join, mirrored as a plain inequality join. The
     // attribution window is DERIVED FROM THE EVENTS TABLE IN SQL with
     // the same integer math as StreamOps.s07JoinWindowUs (4 × span ×
@@ -1465,15 +1514,17 @@ object Oracles {
   }
 
   /** Full oracle map. `rhpBits` must match the band width the cataloged
-    * d05/e02 plans will actually use at the SF being verified, and
-    * `pqShortlist` the ADC shortlist depth of e05/e06 (e04 pins the
-    * fixed catalog depth) — [[graft.Verify]] passes
-    * Similarity.calibratedRhpBits / calibratedPqShortlist(sfDir); both
-    * floor at the catalog defaults at the gate SFs
-    * (OracleContractSpec). */
+    * d05/e02 plans will actually use at the SF being verified,
+    * `pqShortlist` the ADC shortlist depth of e05/e06 (n/20) and
+    * `pqShortlistE04` e04's own shallower depth (n/200) —
+    * [[graft.Verify]] passes Similarity.calibratedRhpBits /
+    * calibratedPqShortlist / calibratedE04Shortlist(sfDir); all floor
+    * at the catalog defaults at the gate SFs (OracleContractSpec). */
   def all(rhpBits: Int = graft.operators.Similarity.RhpBits,
-          pqShortlist: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
-    val m = core ++ text ++ dedup(rhpBits) ++ similarity(rhpBits, pqShortlist) ++
+          pqShortlist: Int = graft.operators.Similarity.PqShortlist,
+          pqShortlistE04: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
+    val m = core ++ text ++ dedup(rhpBits) ++
+      similarity(rhpBits, pqShortlist, pqShortlistE04) ++
       eventsAndMedia ++ curation ++ x03Sql
     // x09 (incremental curation merge) is frame-equal to x08 on the
     // full corpus BY DESIGN — gating it against x08's mirror verbatim

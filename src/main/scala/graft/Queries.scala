@@ -58,6 +58,7 @@ object Queries {
     "t06_repetition"       -> (TextAnalysis.t06Repetition _),
     "t07_quality_filter"   -> (TextAnalysis.t07QualityFilter _),
     "t08_rare_token_score" -> (TextAnalysis.t08RareTokenScore _),
+    "t09_html_extract"     -> (TextAnalysis.t09HtmlExtract _),
     "d01_dedup_exact"      -> (Dedup.d01DedupExact _),
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
@@ -90,14 +91,17 @@ object Queries {
     // fraction of the candidate pool and PQ noise evicts true
     // neighbours before the exact re-rank (e05 recall@10 at sf10:
     // 0.018 fixed -> 0.444 at n/20, measured curve in the scaladoc).
-    // e04 deliberately KEEPS the fixed catalog depth: its ADC pass
-    // already scans the whole corpus, so the deep shortlist bought only
-    // +0.02 recall (0.560 -> 0.579 at sf10) while making the full scan
-    // 5.6x its pandas baseline (BENCH.md) — the per-key depths are the
-    // point of the ladder: e04 = cheap full-scan baseline, e05 = the
-    // recall-calibrated cell-pruned path. Verify threads each key's
-    // actual depth into its oracle (Oracles.similarity).
-    "e04_pq_ann"           -> ((s, d) => Similarity.e04PqAnn(s, d)),
+    // e04 uses its OWN shallower rule (n/200, Similarity.
+    // scaledE04Shortlist): its ADC pass already scans the whole corpus,
+    // so e05's n/20 depth put the full scan 5.6x its pandas baseline at
+    // sf10, while the measured depth curve (E04CurveMain) shows n/200
+    // as the knee — 1.3x baseline at 12x the fixed-depth recall. The
+    // per-key depths are the point of the ladder: e04 = budget-bounded
+    // full-scan anchor, e05 = the cell-pruned path whose pruning pays
+    // for the deep re-rank. Verify threads each key's actual depth into
+    // its oracle (Oracles.similarity).
+    "e04_pq_ann"           -> ((s, d) =>
+      Similarity.e04PqAnn(s, d, shortlist = Similarity.calibratedE04Shortlist(s, d))),
     "e05_ivfpq"            -> ((s, d) =>
       Similarity.e05IvfPq(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "e06_index_append"     -> ((s, d) =>
@@ -118,6 +122,11 @@ object Queries {
     // s06 drains the flatMapGroupsWithState sessionization over a bounded
     // file stream — emitted sessions equal batch s02, gated by s02's oracle.
     "s06_stream_sessionize" -> (graft.streaming.StreamOps.s06StreamSessionize _),
+    // s08 re-runs the s06 drain with the corpus time-sliced across 3
+    // real micro-batches (+2 sentinel batches): cross-batch session
+    // state and inter-batch watermark advancement, hash-gated against
+    // the same batch oracle.
+    "s08_stream_multibatch" -> (graft.streaming.StreamOps.s08StreamSessionizeMB _),
     // s07 drains a watermarked stream-stream join (views -> purchases in
     // a density-calibrated window); the oracle derives the same window
     // from the events table in SQL, so the gate is threading-free.
@@ -169,6 +178,7 @@ object Queries {
     "t06_repetition"       -> Seq("doc_id"),
     "t07_quality_filter"   -> Seq("doc_id"),
     "t08_rare_token_score" -> Seq("doc_id"),
+    "t09_html_extract"     -> Seq("doc_id"),
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d02_ngram_jaccard"    -> Seq("id_a", "id_b"),
     "d03_minhash_lsh"      -> Seq("id_a", "id_b"),
@@ -200,6 +210,7 @@ object Queries {
     "s04_stream_enrich"    -> Seq("win_start", "segment", "event_type"),
     "s05_stream_neardup"   -> Seq("id_a", "id_b"),
     "s06_stream_sessionize" -> Seq("user_id", "sess_no"),
+    "s08_stream_multibatch" -> Seq("user_id", "sess_no"),
     "s07_stream_join"      -> Seq("view_id", "purchase_id"),
     "x01_hash_sample"      -> Seq("doc_id"),
     "x04_quota_sample"     -> Seq("source", "doc_id"),

@@ -40,5 +40,6 @@ object SparkEntry {
     * calibrations floor at the catalog defaults). */
   def oracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
     Oracles.all(operators.Similarity.calibratedRhpBits(spark, sfDir),
-      operators.Similarity.calibratedPqShortlist(spark, sfDir))
+      operators.Similarity.calibratedPqShortlist(spark, sfDir),
+      operators.Similarity.calibratedE04Shortlist(spark, sfDir))
 }

@@ -163,13 +163,13 @@ object Curation {
     // of the state frames filter it, and checkpointing them off the
     // shared materialization avoids re-running the whole decision
     // pipeline (CC included) per frame.
-    val decisionsM = curationDecideDocs(s, base).localCheckpoint()
+    val decisionsM = curationDecideDocs(s, base).transform(graft.Checkpoints.cut)
     val st = curationStateFrom(s, base, decisionsM)
     val mst = CurationState(
-      decisionsM, st.bands.localCheckpoint(),
-      st.shingles.localCheckpoint(), st.pairs.localCheckpoint(),
-      st.quality.localCheckpoint(), st.splits.localCheckpoint(),
-      st.benchGrams.localCheckpoint(), st.cleanGrams.localCheckpoint())
+      decisionsM, st.bands.transform(graft.Checkpoints.cut),
+      st.shingles.transform(graft.Checkpoints.cut), st.pairs.transform(graft.Checkpoints.cut),
+      st.quality.transform(graft.Checkpoints.cut), st.splits.transform(graft.Checkpoints.cut),
+      st.benchGrams.transform(graft.Checkpoints.cut), st.cleanGrams.transform(graft.Checkpoints.cut))
     mergeCuration(s, mst, batch)
   }
 
@@ -288,16 +288,18 @@ object Curation {
     * materialized frame and lets an oversized one degrade to a shuffle
     * join instead of a forced driver collect.
     *
-    * Lineage-cut caveat (cluster deployments): the localCheckpoints
-    * below — needed so multiply-referenced batch-bounded frames don't
-    * re-run their corpus-sized upstreams per consumer, measured 27.7 vs
-    * 6.3 s at a 2% sf1 batch — use EXECUTOR-LOCAL storage. On a real
-    * cluster an executor loss during the merge fails the job (no
-    * lineage to recompute) and it must be resubmitted; a batch merge is
-    * minutes of work, so rerun-on-failure is the right trade vs paying
-    * a reliable-checkpoint (DFS write) per intermediate. Pipelines that
-    * cannot rerun should swap the cuts for `checkpoint()` against a
-    * reliable dir. */
+    * Lineage-cut caveat (cluster deployments): the [[graft.Checkpoints
+    * .cut]]s below — needed so multiply-referenced batch-bounded frames
+    * don't re-run their corpus-sized upstreams per consumer, measured
+    * 27.7 vs 6.3 s at a 2% sf1 batch — default to EXECUTOR-LOCAL
+    * storage. On a real cluster an executor loss during the merge then
+    * fails the job (no lineage to recompute) and it must be
+    * resubmitted; a batch merge is minutes of work, so rerun-on-failure
+    * is the default trade. Pipelines that cannot rerun SET
+    * `spark.graft.reliableCheckpointDir` (SPARK_GRAFT_CONF passthrough)
+    * and every cut becomes a reliable `checkpoint()` against that dir —
+    * frame-equal either way (CheckpointModeSpec), premium priced in
+    * BENCH.md. */
   private[graft] def mergeParts(s: SparkSession, st: CurationState,
                                 batch: DataFrame): MergeParts = {
     // --- batch per-doc stages ---
@@ -309,7 +311,7 @@ object Curation {
     // pass and (b) the broadcast guard below can count it for free.
     val bgNew = gramsB.join(markedB.filter(col("is_bench")), "doc_id")
       .select("gh").distinct()
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
     // Batch contamination checks against the COMBINED benchmark gram
     // set (base store ∪ batch bench grams) — exactly d07 on the
     // combined corpus restricted to batch docs.
@@ -336,7 +338,7 @@ object Curation {
           .when(!col("q_keep"), "low_quality")
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")
           .otherwise("clean").as("stage0"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
     val batchClean = stagedB.filter(col("stage0") === "clean").select("doc_id")
 
     // --- old docs newly contaminated by the batch's benchmark grams ---
@@ -345,7 +347,7 @@ object Curation {
     val removed = st.cleanGrams
       .join(Skew.boundedBroadcast(bgNew), Seq("gh"), "leftsemi")
       .select("doc_id").distinct()
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
 
     // --- touched components: re-derive their subgraph from state ---
     val oldClean = st.decisions.filter(col("stage").isin("kept", "duplicate"))
@@ -354,7 +356,7 @@ object Curation {
     // join; bounded by `removed`. The guard covers the hostile case
     // where nearly every component is touched.
     val touched = removed.join(oldClean, "doc_id").select("lbl").distinct()
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
     val touchedB = Skew.boundedBroadcast(touched)
     val survivors = oldClean.join(touchedB, "lbl")
       .select("doc_id")
@@ -375,7 +377,7 @@ object Curation {
     // candidate-preserving, still cheaper than no filter).
     val touchedBuckets = newBands
       .select(col("band").as("band2"), col("bsig").as("bsig2")).distinct()
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
     val build = st.bands.join(removed, Seq("doc_id"), "left_anti")
       .unionByName(newBands).toDF("id_b", "band2", "bsig2")
       .join(Skew.boundedBroadcast(touchedBuckets), Seq("band2", "bsig2"), "leftsemi")
@@ -406,7 +408,7 @@ object Curation {
     // relabel/survivorFinal/batchFinal. Each is bounded by touched
     // components + batch fan-out, while its lineage is the whole
     // candidate-generation + verify pipeline.
-    val edges = subEdges.unionByName(edgesNew).localCheckpoint()
+    val edges = subEdges.unionByName(edgesNew).transform(graft.Checkpoints.cut)
     // EDGE-INCIDENT vertices only (d09's mergeGraph shape): an isolated
     // clean batch doc or isolated survivor is its own singleton
     // component by definition and resolves via the coalesce in
@@ -417,7 +419,7 @@ object Curation {
       .unionByName(edges.select(col("id_b").as("id")))
       .distinct()
     val merged = Dedup.connectedComponents(verts, edges).toDF("id", "nl")
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
 
     val relabel = Skew.boundedBroadcast(merged.toDF("lbl", "nl"))
     val survivorFinal = survivors

@@ -163,7 +163,7 @@ object Incremental {
       .join(oldLabels.toDF("id_b", "lb"), Seq("id_b"), "left")
       .select(coalesce(col("la"), col("id_a")).as("id_a"),
         coalesce(col("lb"), col("id_b")).as("id_b"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
     // EDGE-INCIDENT vertices only: feeding all of newIds into the CC
     // made `merged` — and the relabel broadcasts built from it —
     // BATCH-sized; isolated batch docs need no CC row (the callers
@@ -174,7 +174,7 @@ object Incremental {
     // The merge CC: fan-out-bounded by construction (touched labels +
     // edge-incident batch ids). Checkpointed so the two relabel maps
     // and the size-guard counts read materialized rows.
-    Dedup.connectedComponents(verts, edges).localCheckpoint()
+    Dedup.connectedComponents(verts, edges).transform(graft.Checkpoints.cut)
   }
 
   /** Append a batch of vectors to a persisted IVF×PQ index with FROZEN

@@ -314,4 +314,125 @@ object TextAnalysis {
         pmod(col("acc"), lit(p).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .cast("bigint").as("fp"))
   }
+
+  // ---------------------------------------------------------------- t09
+
+  /** Synthetic page template for t09, SHARED VERBATIM with the oracle
+    * (Oracles builds its page-generation SQL from this same sequence, so
+    * the two engines cannot drift): Left = literal markup chunk, Right =
+    * field name in {doc_id, lang, source, half1, half2, next}. The page
+    * carries the adversarial shapes a real stripper must survive — a
+    * `<script>` whose body contains `<`, `&&` and `%` (naive tag-strip
+    * regexes mangle it), a `<style>` with CSS braces, entities both
+    * inside kept content (`&amp;`, `&nbsp;`, `&mdash;`) and inside
+    * dropped boilerplate (`&gt;` in nav, `&copy;` in footer — these must
+    * NOT be counted as decoded), an HTML comment, and the document text
+    * split mid-word across two `<p>` blocks. No single quotes anywhere
+    * (lets the oracle embed chunks as plain SQL literals). */
+  val htmlTemplate: Seq[Either[String, String]] = Seq(
+    Left("<!DOCTYPE html>\n<html lang=\""), Right("lang"),
+    Left("\">\n<head>\n<title>Doc "), Right("doc_id"),
+    Left(" &mdash; "), Right("source"),
+    Left("</title>\n<style>body { font-size: 14px; color: #222; }</style>\n" +
+      "<script type=\"text/javascript\">var docId = "), Right("doc_id"),
+    Left("; if (docId > 0 && docId % 2 == 0) { console.log(\"even < odd\"); }" +
+      "</script>\n</head>\n<body>\n" +
+      "<nav class=\"top\"><a href=\"/\">Home</a> &gt; <a href=\"/"),
+    Right("source"), Left("\">"), Right("source"),
+    Left("</a></nav>\n<header><h1>Document "), Right("doc_id"),
+    Left("</h1></header>\n<!-- synthetic page: doc "), Right("doc_id"),
+    Left(" lang "), Right("lang"),
+    Left(" -->\n<div id=\"main\" class=\"content\">\n<p>"), Right("half1"),
+    Left("</p>\n<p>"), Right("half2"),
+    Left(" &amp; more&nbsp;text</p>\n</div>\n" +
+      "<aside>Related: <a href=\"/doc/"), Right("next"),
+    Left("\">doc "), Right("next"),
+    Left("</a></aside>\n<footer>&copy; "), Right("source"),
+    Left(" contributors</footer>\n</body>\n</html>"))
+
+  /** Boilerplate block patterns, dropped WITH their content before any
+    * tag stripping (so `<` inside script bodies can't derail the tag
+    * regex). One pattern per block type — RE2 has no backreferences, so
+    * a single alternation `<(script|nav)>.*?</(script|nav)>` could match
+    * a mismatched open/close pair; per-type patterns cannot. Shared with
+    * the oracle; all RE2-safe (non-greedy + (?s), no lookarounds). */
+  val htmlBlockPatterns: Seq[String] = Seq(
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>",
+    "(?s)<nav[^>]*>.*?</nav>",
+    "(?s)<aside[^>]*>.*?</aside>",
+    "(?s)<footer[^>]*>.*?</footer>",
+    "(?s)<!--.*?-->")
+
+  /** Entity decode table, in application order — `&amp;` LAST, or
+    * decoding it first would re-expose `&lt;` etc. for double decode.
+    * `&nbsp;` decodes to a plain space so the whitespace collapse can
+    * merge it. Shared with the oracle. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&mdash;" -> "—", "&copy;" -> "©",
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&amp;" -> "&")
+
+  /** Pattern counting the entities [[htmlEntities]] decodes. */
+  val htmlEntityPattern: String = "&(nbsp|mdash|copy|lt|gt|quot|#39|amp);"
+
+  /** The deterministic page builder: documents → (doc_id, html). */
+  def htmlDocs(docs: DataFrame): DataFrame = {
+    val fields: Map[String, Column] = Map(
+      "doc_id" -> col("doc_id").cast("string"),
+      "lang"   -> col("lang"),
+      "source" -> col("source"),
+      "half1"  -> expr("substr(text, 1, length(text) DIV 2)"),
+      "half2"  -> expr("substr(text, length(text) DIV 2 + 1)"),
+      "next"   -> (col("doc_id") + 1).cast("string"))
+    val page = concat(htmlTemplate.map {
+      case Left(s)  => lit(s)
+      case Right(f) => fields(f)
+    }: _*)
+    docs.select(col("doc_id"), page.as("html"))
+  }
+
+  /** t09: HTML/markup → clean-text extraction with audit counts — the
+    * first stage of every web-crawl training-data pipeline
+    * (trafilatura-class, rule-based): drop boilerplate blocks with
+    * their content, strip remaining tags, decode entities, collapse
+    * whitespace. Deterministic regex/replace rules only (RE2-safe,
+    * DuckDB-mirrorable — the gate runs the SAME strip independently in
+    * both engines over identical markup).
+    *
+    * Scale shape: one codegen'd map-side projection per document — no
+    * shuffle, no UDF, no higher-order lambda; regex work is linear in
+    * page size, embarrassingly parallel at 100 TB. Audit counts
+    * (blocks/tags/entities, char budgets) are what a curation pipeline
+    * monitors to catch extractor drift. Feeds t02/t07 quality scoring
+    * and the d-block dedups downstream. */
+  def t09HtmlExtract(s: SparkSession, d: String): DataFrame =
+    htmlExtract(htmlDocs(Tables.documents(s, d)))
+
+  /** [[t09HtmlExtract]] over any (doc_id, html) frame (spec entry —
+    * adversarial fixtures feed hand-built markup here). */
+  def htmlExtract(pages: DataFrame): DataFrame = {
+    val raw = col("html")
+    val nBlocks = htmlBlockPatterns
+      .map(p => size(regexp_extract_all(raw, lit(p), lit(0))).cast("bigint"))
+      .reduce(_ + _)
+    val deblocked = htmlBlockPatterns
+      .foldLeft(raw)((c, p) => regexp_replace(c, p, " "))
+    val detag = regexp_replace(deblocked, "<[^>]*>", " ")
+    val decoded = htmlEntities
+      .foldLeft(detag) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    val clean = trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+    pages.select(
+      col("doc_id"),
+      nBlocks.as("n_blocks"),
+      size(regexp_extract_all(deblocked, lit("<[^>]*>"), lit(0)))
+        .cast("bigint").as("n_tags"),
+      size(regexp_extract_all(detag, lit(htmlEntityPattern), lit(0)))
+        .cast("bigint").as("n_entities"),
+      length(raw).cast("bigint").as("n_chars_raw"),
+      length(clean).cast("bigint").as("n_chars_clean"),
+      round(length(clean).cast("double") / length(raw).cast("double"), 6)
+        .as("kept_ratio"),
+      clean.as("text_clean"))
+  }
 }

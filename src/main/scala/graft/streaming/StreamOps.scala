@@ -284,20 +284,50 @@ object StreamOps {
     * within one micro-batch is the operator's real bound, the same
     * hazard s02's bucketed batch form defends against across a whole
     * history). */
-  def s06StreamSessionize(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  def s06StreamSessionize(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    sessionizeDrain(s, d, timeSplits = 1)
+
+  /** s08: the s06 sessionization drain with the corpus split across
+    * THREE event-time-ordered micro-batches (plus two sentinel batches)
+    * — the multi-micro-batch gate the one-batch layouts cannot provide:
+    * sessions straddling the slice cuts are carried in
+    * flatMapGroupsWithState STATE across real micro-batch boundaries,
+    * watermark advancement between data batches is exercised on real
+    * data, and the emitted set still hash-gates against batch s02's
+    * oracle verbatim. [[lastS08MicroBatches]] records the drain's batch
+    * count (≥ 5) for BENCH.md. */
+  def s08StreamSessionizeMB(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    sessionizeDrain(s, d, timeSplits = 3)
+
+  /** Micro-batch count of the most recent [[s08StreamSessionizeMB]]
+    * drain (batchId of the last progress + 1). */
+  val lastS08MicroBatches = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** The event-time cut points (µs) of the most recent time-split
+    * source build — exposed so specs can independently verify that
+    * sessions straddle every micro-batch boundary. */
+  val lastSplitCutsUs =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Long]](Seq.empty)
+
+  private def sessionizeDrain(s: org.apache.spark.sql.SparkSession, d: String,
+                              timeSplits: Int): DataFrame = {
     import s.implicits._
     val maxUs = graft.Tables.eventsWithTs(s, d)
       .agg(max(expr("ts_ns DIV 1000"))).head().getLong(0)
     val t1 = maxUs + EventOps.GapUs + 3600000000L
-    val src = eventsStreamSource(s, d, sentinelUs = Seq(t1, t1 + 60000000L))
+    val src = eventsStreamSource(s, d, sentinelUs = Seq(t1, t1 + 60000000L),
+      timeSplits = timeSplits)
     val ev = graft.Tables.normalizeEventTs(src)
       .select(col("user_id"), col("event_id"),
         expr("ts_ns DIV 1000").as("ts_us"), col("value"), col("ts"))
       .as[SessEvent]
-    val name = "s06_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"s0${if (timeSplits > 1) 8 else 6}_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     val q = sessionizeStream(ev).writeStream.format("memory")
       .queryName(name).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
+    if (timeSplits > 1) lastS08MicroBatches.set(
+      Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L))
     s.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"), col("sess_no"), col("n_events"),
         col("start_us"), col("end_us"), col("sum_value"))
@@ -321,9 +351,20 @@ object StreamOps {
     * (one-row files for throwaway user_id = −1 at the given event-time
     * µs) — stateful drains needing timeout flushes pass two ascending
     * values; pure inner-join drains pass none. Callers filter
-    * user_id >= 0. */
+    * user_id >= 0.
+    *
+    * `timeSplits > 1` switches to the MULTI-micro-batch layout (s08's
+    * gate): the corpus is cut into that many EVENT-TIME range slices,
+    * each written as its own file in its own ascending-mtime group, so
+    * the drain processes ≥ timeSplits real data batches and cross-batch
+    * state/watermark semantics are exercised on real data. Time-range
+    * slicing is what makes this sound under a 0-second watermark: every
+    * event in batch k+1 is strictly later than max(ts of batch ≤ k), so
+    * the watermark (computed from the PREVIOUS batch's max) never
+    * classifies an arriving row as late — the one-batch constraint the
+    * default layout exists for is replaced by an ordering guarantee. */
   private def eventsStreamSource(s: org.apache.spark.sql.SparkSession,
-      d: String, sentinelUs: Seq[Long]): DataFrame = {
+      d: String, sentinelUs: Seq[Long], timeSplits: Int = 1): DataFrame = {
     import java.nio.file.{Files, Path, Paths}
     // Files.list streams hold an open directory handle until closed —
     // materialize-then-close, or repeated drains in a long-lived driver
@@ -347,20 +388,93 @@ object StreamOps {
     def register(p: Path): Path = { p.toFile.deleteOnExit(); p }
     val srcFile = Paths.get(d, "events.parquet").toAbsolutePath
     val rawSchema = s.read.parquet(srcFile.toString).schema
-    val dir = tempDir("graft_evsrc_")
-    val realParts =
-      if (Files.isDirectory(srcFile)) {
-        val parts = listParquet(srcFile)
-        parts.zipWithIndex.foreach { case (p, j) =>
-          register(Files.createSymbolicLink(dir.resolve(s"events_$j.parquet"), p)); ()
-        }
-        parts
-      } else {
-        register(Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile))
-        Seq(srcFile)
-      }
-    val nReal = realParts.size.max(1)
     val tsType = rawSchema("ts").dataType
+    val dir = tempDir("graft_evsrc_")
+    // Staging-dir cleanup shared by slice/sentinel writers.
+    def rmTreeOf(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val st = Files.list(p)
+        try st.iterator().asScala.toList.foreach(rmTreeOf) finally st.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    def stamped(src: Path, dst: Path, ms: Long): Unit = {
+      Files.copy(src, register(dst))
+      // A silently-failed mtime write would collapse the batch ordering
+      // the drains depend on — fail loudly instead.
+      require(dst.toFile.setLastModified(ms), s"setLastModified failed for $dst")
+    }
+    val nowMs = System.currentTimeMillis()
+    val (nReal, realMtimeCeil) =
+      if (timeSplits > 1) {
+        // Event-time range slices, one file per ascending mtime group.
+        val norm = graft.Tables.normalizeEventTs(s.read.parquet(srcFile.toString))
+        val b = norm.agg(min(expr("ts_ns DIV 1000")).as("mn"),
+          max(expr("ts_ns DIV 1000")).as("mx")).head()
+        val (mn, mx) = (b.getAs[Long]("mn"), b.getAs[Long]("mx"))
+        val targets = (1 until timeSplits).map(k => mn + (mx - mn) * k / timeSplits)
+        // Session-AWARE cuts: a naive range cut rarely lands inside a
+        // session (measured: 0 straddling sessions at sf0.01, 3 at sf1),
+        // which would leave cross-batch session state unexercised — the
+        // thing this layout exists to gate. Each cut is instead placed at
+        // the midpoint of a within-gap consecutive same-user event pair
+        // (the candidate nearest its naive target), so by construction a
+        // session straddles EVERY cut and its state must survive the
+        // micro-batch boundary. Cut placement cannot affect results
+        // (sessionization is cut-independent); the per-user window here
+        // is gate-harness cost, not a cataloged plan.
+        val uw = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val mids = norm
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns DIV 1000").as("us"))
+          .withColumn("prev", lag("us", 1).over(uw))
+          .filter(col("prev").isNotNull && col("us") > col("prev") &&
+            col("us") - col("prev") <= lit(EventOps.GapUs))
+          .select(expr("(prev + us) DIV 2").as("mid"))
+        val aggs = targets.zipWithIndex.map { case (t, i) =>
+          min(struct(abs(col("mid") - lit(t)).as("d"), col("mid"))).as(s"b$i")
+        }
+        val picked = mids.agg(aggs.head, aggs.tail: _*).head()
+        val cuts = targets.indices.map { i =>
+          val p = picked.getStruct(i)
+          if (p == null) targets(i) else p.getAs[Long]("mid")
+        }.distinct.sorted
+        lastSplitCutsUs.set(cuts)
+        val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+        val rawCols = rawSchema.fieldNames.map {
+          case "ts" => (tsType match {
+            case org.apache.spark.sql.types.LongType => col("ts_ns") // legacy nanos
+            case t => col("ts").cast(t)
+          }).as("ts")
+          case c => col(c)
+        }
+        bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+          val w = Files.createTempDirectory("graft_evsrc_s_")
+          norm.filter(expr("ts_ns DIV 1000") > lo && expr("ts_ns DIV 1000") <= hi)
+            .select(rawCols.toSeq: _*)
+            .coalesce(1).write.mode("overwrite").parquet(w.toString)
+          val part = listParquet(w).headOption.getOrElse(
+            sys.error(s"slice write produced no parquet part in $w"))
+          stamped(part, dir.resolve(s"slice_$k.parquet"), nowMs + 60000L * k)
+          rmTreeOf(w)
+        }
+        (1, nowMs + 60000L * cuts.size) // cuts may dedupe below timeSplits-1
+      } else {
+        val realParts =
+          if (Files.isDirectory(srcFile)) {
+            val parts = listParquet(srcFile)
+            parts.zipWithIndex.foreach { case (p, j) =>
+              register(Files.createSymbolicLink(dir.resolve(s"events_$j.parquet"), p)); ()
+            }
+            parts
+          } else {
+            register(Files.createSymbolicLink(dir.resolve("events.parquet"), srcFile))
+            Seq(srcFile)
+          }
+        (realParts.size.max(1),
+          (nowMs +: realParts.map(Files.getLastModifiedTime(_).toMillis)).max)
+      }
     def sentinelDf(us: Long, eid: Long): DataFrame = {
       val cols = rawSchema.fields.map { f =>
         (f.name match {
@@ -377,8 +491,6 @@ object StreamOps {
       }
       s.range(1).select(cols.toSeq: _*)
     }
-    val baseMs = (System.currentTimeMillis() +:
-      realParts.map(Files.getLastModifiedTime(_).toMillis)).max
     sentinelUs.zipWithIndex.foreach { case (us, g) =>
       val grp = g + 1
       val w = Files.createTempDirectory("graft_evsrc_w_")
@@ -386,23 +498,12 @@ object StreamOps {
       val part = listParquet(w).headOption.getOrElse(
         sys.error(s"sentinel write produced no parquet part in $w"))
       (0 until nReal).foreach { j =>
-        val dst = register(dir.resolve(s"sentinel_${grp}_$j.parquet"))
-        Files.copy(part, dst)
-        // A silently-failed mtime write would collapse the sentinel
-        // batch ordering the drains depend on — fail loudly instead.
-        require(dst.toFile.setLastModified(baseMs + 60000L * grp),
-          s"setLastModified failed for $dst")
+        stamped(part, dir.resolve(s"sentinel_${grp}_$j.parquet"),
+          realMtimeCeil + 60000L * grp)
       }
       // The staging dir is only needed until the copy; remove it now
-      // (contents first) instead of accumulating one per drain.
-      def rmTree(p: Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val st = Files.list(p)
-          try st.iterator().asScala.toList.foreach(rmTree) finally st.close()
-        }
-        Files.deleteIfExists(p); ()
-      }
-      rmTree(w)
+      // instead of accumulating one per drain.
+      rmTreeOf(w)
     }
     s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", nReal.toString).parquet(dir.toString)

@@ -308,8 +308,9 @@ def main(sf):
         # product-quantization ANN, numpy/BLAS form: per-subspace
         # 16-centroid spherical k-means (2 Lloyd rounds on the same 25%
         # md5-membership sample the engine trains on), encode + reconstruct,
-        # ADC scan of every query against reconstructions, 30-deep exact
-        # re-rank — the same work the e04 plan distributes
+        # ADC scan of every query against reconstructions, then the exact
+        # re-rank at the engine's own depth rule max(30, n/200) — the
+        # same work the e04 plan distributes
         e = pd.read_parquet(P("embeddings"))
         V = np.stack(e.embedding.to_numpy()).astype(np.float64)
         ids = e.vec_id.to_numpy()
@@ -333,9 +334,10 @@ def main(sf):
             recon[:, m*SD:(m+1)*SD] = cent[cosm(S, cent).argmax(1)]
         qmask = ids % 100 == 0
         Q = V[qmask]; qids = ids[qmask]
+        depth = max(30, len(ids) // 200)
         adc = cosm(Q, recon)
         adc[np.equal.outer(qids, ids)] = -np.inf
-        short = np.argpartition(-adc, 30, axis=1)[:, :30]
+        short = np.argpartition(-adc, depth, axis=1)[:, :depth]
         for qi in range(len(qids)):
             s = cosm(Q[qi:qi+1], V[short[qi]])[0]
             np.argsort(-np.round(s, 6))[:10]
@@ -598,6 +600,208 @@ def main(sf):
         quality = {x: (stB.get(x) or stN.get(x))[2] for x in labels}
         assemble(stages, labels, quality)
     maybe("x09_curation_merge", x09)
+
+    # ---- round-13 additions: the round-12 keys' faithful single-node
+    # forms (s06 shares s02's sessionization baseline; the stream keys'
+    # baselines are the equivalent BATCH computation, since pandas has no
+    # streaming runtime — same output, no micro-batch machinery) ----
+
+    def s07():
+        # stream-stream join == the batch window join: per-user sorted
+        # purchase arrays + searchsorted windows (the merge-then-filter
+        # form materializes the user-level cross product and OOMs at
+        # sf10's replicated users; a competent single-node engineer
+        # writes this form)
+        ev = pd.read_parquet(P("events"))
+        us = ev.ts.astype("int64") // 1000
+        w = int(4 * int(us.max() - us.min()) * ev.user_id.nunique() // len(ev))
+        v = pd.DataFrame({"u": ev.user_id[ev.event_type == "view"],
+                          "us": us[ev.event_type == "view"],
+                          "id": ev.event_id[ev.event_type == "view"]})
+        p = pd.DataFrame({"u": ev.user_id[ev.event_type == "purchase"],
+                          "us": us[ev.event_type == "purchase"],
+                          "id": ev.event_id[ev.event_type == "purchase"]}
+                         ).sort_values(["u", "us", "id"])
+        pg = {u: (g.us.to_numpy(), g.id.to_numpy()) for u, g in p.groupby("u")}
+        out_v, out_p, out_lag = [], [], []
+        for u, g in v.groupby("u"):
+            if u not in pg:
+                continue
+            pus, pid = pg[u]
+            vus = g.us.to_numpy(); vid = g.id.to_numpy()
+            lo = np.searchsorted(pus, vus, side="left")
+            hi = np.searchsorted(pus, vus + w, side="right")
+            n = hi - lo
+            keep = n > 0
+            if not keep.any():
+                continue
+            idx = np.concatenate([np.arange(a, b) for a, b in
+                                  zip(lo[keep], hi[keep])])
+            out_v.append(np.repeat(vid[keep], n[keep]))
+            out_p.append(pid[idx])
+            out_lag.append(pus[idx] - np.repeat(vus[keep], n[keep]))
+        pd.DataFrame({"view_id": np.concatenate(out_v),
+                      "purchase_id": np.concatenate(out_p),
+                      "lag_us": np.concatenate(out_lag)})
+    maybe("s07_stream_join", s07)
+
+    def m04():
+        # ISO-BMFF: synthesize the byte-exact MP4 container per row, then
+        # a generic box walk back (per-row Python, like m01's baseline)
+        import struct
+        d = pd.read_parquet(P("documents"))
+        H = bytes.fromhex
+        MATRIX = ("00010000" + "00000000" + "00000000" +
+                  "00000000" + "00010000" + "00000000" +
+                  "00000000" + "00000000" + "40000000")
+        FTYP = H("000000186674797069736F6D0000020069736F6D69736F32")
+        def build(row):
+            did, nch = int(row.doc_id), int(row.n_chars)
+            tsc = 600 * (1 + did % 4); dur = 600 + (nch * 37) % 72000
+            pad = 4 + did % 32; w = 128 + did % 1792; h = 96 + nch % 984
+            mvhd = (H("0000006C6D766864" + "00" * 12) +
+                    struct.pack(">II", tsc, dur) +
+                    H("000100000100" + "0000" + "00" * 8 + MATRIX +
+                      "00" * 24 + "00000002"))
+            tkhd = (H("0000005C746B686400000007" + "00" * 8 +
+                      "0000000100000000") + struct.pack(">I", dur) +
+                    H("00" * 8 + "0000" * 4 + MATRIX) +
+                    struct.pack(">II", w << 16, h << 16))
+            mdhd = (H("000000206D646864" + "00" * 12) +
+                    struct.pack(">II", tsc, dur) + H("55C40000"))
+            hdlr = H("0000002168646C72000000000000000076696465" +
+                     "00" * 12 + "00")
+            entry = (struct.pack(">I", 0x56) +
+                     (b"avc1" if did % 2 == 0 else b"hvc1") +
+                     H("000000000000" + "0001" + "0000" + "0000" + "00" * 12) +
+                     struct.pack(">HH", w, h) +
+                     H("004800000048000000000000" + "0001" + "00" * 32 +
+                       "0018FFFF"))
+            stsd = H("000000667374736400000000" + "00000001") + entry
+            stbl = H("0000006E7374626C") + stsd
+            minf = H("000000766D696E66") + stbl
+            mdia = H("000000BF6D646961") + mdhd + hdlr + minf
+            trak = H("000001237472616B") + tkhd + mdia
+            moov = H("000001976D6F6F76") + mvhd + trak
+            mdat = struct.pack(">I", 8 + pad) + b"mdat" + b"A" * pad
+            return FTYP + moov + mdat
+        CONT = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+        def walk(b):
+            ts = du = w = h = 0; codec = "unknown"
+            stack = [(0, len(b))]
+            while stack:
+                i, to = stack.pop()
+                while i + 8 <= to:
+                    size = struct.unpack(">I", b[i:i+4])[0]
+                    typ = b[i+4:i+8]
+                    if size < 8 or i + size > to:
+                        break
+                    if typ in CONT:
+                        stack.append((i + 8, i + size))
+                    elif typ == b"mvhd":
+                        ts, du = struct.unpack(">II", b[i+20:i+28])
+                    elif typ == b"stsd" and codec == "unknown":
+                        e_ = i + 16
+                        codec = b[e_+4:e_+8].decode()
+                        w, h = struct.unpack(">HH", b[e_+32:e_+36])
+                    i += size
+            return (w, h, codec, du * 1000 // ts if ts else 0)
+        d.apply(build, axis=1).map(walk)
+    maybe("m04_video_meta", m04)
+
+    def m05():
+        # content-addressed media dedup: synthesize the reduced-key
+        # payloads, md5-digest, group by (digest, length)
+        import struct
+        d = pd.read_parquet(P("documents"))
+        H = bytes.fromhex
+        mmod = max(1, len(d) // 2)
+        PNG_PRE = H("89504E470D0A1A0A0000000D49484452")
+        PNG_POST = H("0806000000AA5500FF")
+        PNG_END = H("0000000049454E44AA5500FF")
+        JPG_PRE = H("FFD8FFE000104A46494600010100000100010000")
+        def build(did):
+            ck = did % mmod
+            w = 64 + ck % 1920; h = 64 + ck % 1080
+            segs = [(ck * 4096 + k) for k in range(1, 5)]
+            if ck % 2 == 0:
+                return (PNG_PRE + struct.pack(">II", w, h) + PNG_POST +
+                        b"".join(H("0000000874455874") + struct.pack(">Q", v) +
+                                 H("AA5500FF") for v in segs) + PNG_END)
+            return (JPG_PRE +
+                    b"".join(H("FFFE000A") + struct.pack(">Q", v)
+                             for v in segs) +
+                    H("FFC0001108") + struct.pack(">HH", h, w) +
+                    H("03012200021101031101") +
+                    H("FFDA000C03010002110311003F00") + H("FFD9"))
+        pl = d.doc_id.map(build)
+        dig = pl.map(lambda b: hashlib.md5(b).hexdigest())
+        pd.DataFrame({"dig": dig, "n": pl.map(len), "doc_id": d.doc_id}) \
+            .groupby(["dig", "n"]).agg(keep_id=("doc_id", "min"),
+                                       n_copies=("doc_id", "size"))
+    maybe("m05_media_dedup", m05)
+
+    def e08():
+        # filtered ANN == brute-force cosine over the lang='en' candidate
+        # set (numpy/BLAS form, e01's shape after the predicate)
+        e = pd.read_parquet(P("embeddings"))
+        docs = pd.read_parquet(P("documents"))
+        allowed = set(docs.doc_id[docs.lang == "en"])
+        V = np.stack(e.embedding.to_numpy()).astype(np.float64)
+        ids = e.vec_id.to_numpy()
+        amask = np.isin(ids, list(allowed))
+        C = V[amask]
+        Q = V[ids % 100 == 0]
+        sims = (Q @ C.T) / (np.linalg.norm(Q, axis=1)[:, None] *
+                            np.linalg.norm(C, axis=1)[None, :])
+        np.argsort(-np.round(sims, 6), axis=1)[:, :11]
+    maybe("e08_filtered_ann", e08)
+
+    def t09():
+        # HTML extraction: build the page per row, strip with the same
+        # regex/replace rules (per-row Python re, the pandas idiom)
+        d = pd.read_parquet(P("documents"))
+        BLOCKS = [r"(?s)<script[^>]*>.*?</script>", r"(?s)<style[^>]*>.*?</style>",
+                  r"(?s)<nav[^>]*>.*?</nav>", r"(?s)<aside[^>]*>.*?</aside>",
+                  r"(?s)<footer[^>]*>.*?</footer>", r"(?s)<!--.*?-->"]
+        ENTS = [("&nbsp;", " "), ("&mdash;", "—"), ("&copy;", "©"),
+                ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                ("&#39;", "'"), ("&amp;", "&")]
+        def build(row):
+            did, text = str(row.doc_id), row.text
+            h1, h2 = text[:len(text)//2], text[len(text)//2:]
+            nxt = str(row.doc_id + 1)
+            return (f'<!DOCTYPE html>\n<html lang="{row.lang}">\n<head>\n'
+                    f'<title>Doc {did} &mdash; {row.source}</title>\n'
+                    '<style>body { font-size: 14px; color: #222; }</style>\n'
+                    f'<script type="text/javascript">var docId = {did}; '
+                    'if (docId > 0 && docId % 2 == 0) { console.log("even < odd"); }</script>\n'
+                    '</head>\n<body>\n'
+                    f'<nav class="top"><a href="/">Home</a> &gt; '
+                    f'<a href="/{row.source}">{row.source}</a></nav>\n'
+                    f'<header><h1>Document {did}</h1></header>\n'
+                    f'<!-- synthetic page: doc {did} lang {row.lang} -->\n'
+                    '<div id="main" class="content">\n'
+                    f'<p>{h1}</p>\n<p>{h2} &amp; more&nbsp;text</p>\n</div>\n'
+                    f'<aside>Related: <a href="/doc/{nxt}">doc {nxt}</a></aside>\n'
+                    f'<footer>&copy; {row.source} contributors</footer>\n'
+                    '</body>\n</html>')
+        def strip(raw):
+            db = raw
+            nb = 0
+            for pat in BLOCKS:
+                nb += len(re.findall(pat, db))
+                db = re.sub(pat, " ", db)
+            nt = len(re.findall(r"<[^>]*>", db))
+            dt = re.sub(r"<[^>]*>", " ", db)
+            ne = len(re.findall(r"&(nbsp|mdash|copy|lt|gt|quot|#39|amp);", dt))
+            for e_, v_ in ENTS:
+                dt = dt.replace(e_, v_)
+            clean = re.sub(r"[ \t\n\r]+", " ", dt).strip()
+            return (nb, nt, ne, len(raw), len(clean),
+                    round(len(clean) / len(raw), 6), clean)
+        d.apply(build, axis=1).map(strip)
+    maybe("t09_html_extract", t09)
 
     total = round(sum(res.values()), 3)
     print(json.dumps({"metric": "baseline_total", "value": total,
