@@ -8,11 +8,13 @@ import graft.operators.Curation
 /** Dev probe (test scope, not shipped): per-node metrics of the x08
   * incremental merge over an EXISTING IncBench state dir — finds the
   * batch-independent cost terms the marginal carries.
-  * `Test/runMain graft.CurProbeMain <sfDir> <stateDir/cur> <mod>`;
-  * dumps the executed plan + SQL node metrics of EVERY execution in the
-  * delta pass (the lineage-cut checkpoints move most merge cost into
-  * eager sub-executions, so capturing only the final assembly would
-  * miss the work dominating build_sec) to target/cur_probe.txt.
+  * `Test/runMain graft.CurProbeMain <sfDir> <stateDir/cur> <mod>
+  * [outFile]`; dumps the executed plan + SQL node metrics of EVERY
+  * execution in the delta pass (the lineage-cut checkpoints move most
+  * merge cost into eager sub-executions, so capturing only the final
+  * assembly would miss the work dominating build_sec) to `outFile`
+  * (default target/cur_probe.txt relative to the CWD — pass an
+  * absolute path when invoking from elsewhere).
   */
 object CurProbeMain {
   def main(args: Array[String]): Unit = {
@@ -41,7 +43,8 @@ object CurProbeMain {
       if (qes.size == settled) quiet += 1 else { settled = qes.size; quiet = 0 }
     }
     spark.listenerManager.unregister(l)
-    val out = new java.io.File("target/cur_probe.txt")
+    val out = new java.io.File(
+      args.lift(3).getOrElse("target/cur_probe.txt"))
     Option(out.getParentFile).foreach(_.mkdirs())
     val w = new java.io.PrintWriter(out)
     try {
