@@ -869,13 +869,10 @@ object Oracles {
     * the "approximate" query is hash-gated; its recall vs e01 is
     * additionally spec-tested.
     *
-    * `pqShortlist` is the CALIBRATED ADC depth of e05/e06 (n/20,
-    * Similarity.calibratedPqShortlist); `pqShortlistE04` is e04's own
-    * shallower depth (n/200, calibratedE04Shortlist) — the Queries
-    * catalog's per-key decision, mirrored per key. */
+    * `pqShortlist` is the CALIBRATED ADC depth shared by e04/e05/e06
+    * (n/20, Similarity.calibratedPqShortlist). */
   def similarity(rhpBits: Int = graft.operators.Similarity.RhpBits,
-                 pqShortlist: Int = graft.operators.Similarity.PqShortlist,
-                 pqShortlistE04: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
+                 pqShortlist: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
     val cosQC =
       """list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)))
         |   / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE))))
@@ -1038,8 +1035,6 @@ object Oracles {
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
            |SELECT q_id, c_id, cosine, rnk FROM r2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
-      // e04 mirrors ITS key's depth (n/200), not e05/e06's n/20 — the
-      // per-key decision from the Queries catalog.
       "e04_pq_ann" ->
         s"""WITH trainset AS (SELECT vec_id, embedding FROM embeddings
            |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
@@ -1053,7 +1048,7 @@ object Oracles {
            |  FROM q, rec r WHERE r.vec_id <> q.q_id),
            |short AS (SELECT q_id, c_id FROM (
            |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
-           |    FROM adc) WHERE rr <= $pqShortlistE04),
+           |    FROM adc) WHERE rr <= $pqShortlist),
            |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
            |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
            |r2 AS (SELECT q_id, c_id, cosine,
@@ -1514,17 +1509,15 @@ object Oracles {
   }
 
   /** Full oracle map. `rhpBits` must match the band width the cataloged
-    * d05/e02 plans will actually use at the SF being verified,
-    * `pqShortlist` the ADC shortlist depth of e05/e06 (n/20) and
-    * `pqShortlistE04` e04's own shallower depth (n/200) —
+    * d05/e02 plans will actually use at the SF being verified, and
+    * `pqShortlist` the ADC shortlist depth of e04/e05/e06 —
     * [[graft.Verify]] passes Similarity.calibratedRhpBits /
-    * calibratedPqShortlist / calibratedE04Shortlist(sfDir); all floor
-    * at the catalog defaults at the gate SFs (OracleContractSpec). */
+    * calibratedPqShortlist(sfDir); both floor at the catalog defaults
+    * at the gate SFs (OracleContractSpec). */
   def all(rhpBits: Int = graft.operators.Similarity.RhpBits,
-          pqShortlist: Int = graft.operators.Similarity.PqShortlist,
-          pqShortlistE04: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
+          pqShortlist: Int = graft.operators.Similarity.PqShortlist): Map[String, String] = {
     val m = core ++ text ++ dedup(rhpBits) ++
-      similarity(rhpBits, pqShortlist, pqShortlistE04) ++
+      similarity(rhpBits, pqShortlist) ++
       eventsAndMedia ++ curation ++ x03Sql
     // x09 (incremental curation merge) is frame-equal to x08 on the
     // full corpus BY DESIGN — gating it against x08's mirror verbatim

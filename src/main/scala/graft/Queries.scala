@@ -91,17 +91,14 @@ object Queries {
     // fraction of the candidate pool and PQ noise evicts true
     // neighbours before the exact re-rank (e05 recall@10 at sf10:
     // 0.018 fixed -> 0.444 at n/20, measured curve in the scaladoc).
-    // e04 uses its OWN shallower rule (n/200, Similarity.
-    // scaledE04Shortlist): its ADC pass already scans the whole corpus,
-    // so e05's n/20 depth put the full scan 5.6x its pandas baseline at
-    // sf10, while the measured depth curve (E04CurveMain) shows n/200
-    // as the knee — 1.3x baseline at 12x the fixed-depth recall. The
-    // per-key depths are the point of the ladder: e04 = budget-bounded
-    // full-scan anchor, e05 = the cell-pruned path whose pruning pays
-    // for the deep re-rank. Verify threads each key's actual depth into
-    // its oracle (Oracles.similarity).
+    // e04 shares the n/20 calibration: the r12 "deep shortlist costs
+    // 5.6x baseline" weak was NOT a depth-policy problem — it was
+    // TopKByScore's O(k)-per-candidate linear scan, invisible at k=30
+    // and ruinous at k=10000. With the heap buffer the depth is nearly
+    // free (E04CurveMain at sf10: 22.0 s at depth 30 vs 27.5 s at
+    // 10000, recall 0.015 vs 0.579), so e04 keeps the recall.
     "e04_pq_ann"           -> ((s, d) =>
-      Similarity.e04PqAnn(s, d, shortlist = Similarity.calibratedE04Shortlist(s, d))),
+      Similarity.e04PqAnn(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "e05_ivfpq"            -> ((s, d) =>
       Similarity.e05IvfPq(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "e06_index_append"     -> ((s, d) =>

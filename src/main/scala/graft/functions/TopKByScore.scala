@@ -1,7 +1,6 @@
 package graft.functions
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
@@ -13,11 +12,93 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 
+/** Bounded top-k buffer: a binary MIN-heap over (score ASC, id DESC),
+  * so the heap ROOT is always the worst retained pair. A losing
+  * candidate costs ONE root comparison; a winning one O(log k). The
+  * round-12 linear-scan buffer paid O(k) per candidate once full —
+  * invisible at the old k = 30, but the calibrated ANN depths
+  * (n/20 = 10,000 at sf10) put the reduce-side merge at O(n·k) per
+  * query, which dominated e05/e06's sf10 cost.
+  *
+  * The retained SET is order-insensitive: (score, id) is a total order
+  * (ties fully broken by id), so the k best pairs are unique regardless
+  * of arrival order, and the heap round-trips serialization verbatim
+  * (array order IS the heap). */
+final class TopKBuf(val k: Int) {
+  var scores: Array[Double] = new Array[Double](math.min(k, 16).max(1))
+  var ids: Array[Long] = new Array[Long](scores.length)
+  var size: Int = 0
+
+  /** a strictly worse than b under (score DESC, id ASC) ranking. */
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+    sa < sb || (sa == sb && ia > ib)
+
+  private def grow(): Unit = {
+    val n = math.min(k, scores.length * 2)
+    scores = java.util.Arrays.copyOf(scores, n)
+    ids = java.util.Arrays.copyOf(ids, n)
+  }
+
+  private def siftUp(from: Int): Unit = {
+    var i = from
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (worse(scores(i), ids(i), scores(p), ids(p))) {
+        val ts = scores(i); val ti = ids(i)
+        scores(i) = scores(p); ids(i) = ids(p)
+        scores(p) = ts; ids(p) = ti
+        i = p
+      } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var m = i
+      if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) return
+      val ts = scores(i); val ti = ids(i)
+      scores(i) = scores(m); ids(i) = ids(m)
+      scores(m) = ts; ids(m) = ti
+      i = m
+    }
+  }
+
+  def add(s: Double, id: Long): Unit = {
+    if (size < k) {
+      if (size == scores.length) grow()
+      scores(size) = s; ids(size) = id; size += 1
+      siftUp(size - 1)
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      siftDown()
+    }
+  }
+
+  /** Pairs sorted (score DESC, id ASC) — the output contract. */
+  def sortedPairs(): Array[(Double, Long)] = {
+    val out = new Array[(Double, Long)](size)
+    var i = 0
+    while (i < size) { out(i) = (scores(i), ids(i)); i += 1 }
+    java.util.Arrays.sort(out, new java.util.Comparator[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    })
+    out
+  }
+}
+
 /** Bounded top-k aggregate: keeps the k best (score DESC, id ASC) pairs
-  * per group in a fixed-size buffer that partial-aggregates — map-side
-  * combine ships at most k rows per group per partition, where the
-  * row_number-window form must shuffle EVERY candidate row and sort each
-  * group. This is the scale-correct per-query top-k for kNN/ANN.
+  * per group in a fixed-size heap buffer that partial-aggregates —
+  * map-side combine ships at most k rows per group per partition, where
+  * the row_number-window form must shuffle EVERY candidate row and sort
+  * each group. This is the scale-correct per-query top-k for kNN/ANN.
   *
   * Input: struct(score: double, id: bigint). Output: array of the same
   * struct, sorted (score DESC, id ASC) — identical row set and order to
@@ -28,7 +109,7 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+  extends TypedImperativeAggregate[TopKBuf] {
 
   private val elemType = StructType(Seq(
     StructField("score", DoubleType), StructField("id", LongType)))
@@ -45,65 +126,50 @@ case class TopKByScore(
   override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = "graft_topk"
 
-  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
-    new ArrayBuffer[(Double, Long)](k + 1)
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
 
-  /** (score DESC, id ASC): a beats b if higher score, or equal score and
-    * lower id. */
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-
-  private def add(buf: ArrayBuffer[(Double, Long)], e: (Double, Long)): Unit = {
-    if (buf.length < k) {
-      buf += e
-    } else {
-      // replace the current worst if e beats it
-      var worst = 0
-      var i = 1
-      while (i < buf.length) { if (beats(buf(worst), buf(i))) worst = i; i += 1 }
-      if (beats(e, buf(worst))) buf(worst) = e
-    }
-  }
-
-  override def update(buf: ArrayBuffer[(Double, Long)], input: InternalRow):
-      ArrayBuffer[(Double, Long)] = {
+  override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
       if (!row.isNullAt(0) && !row.isNullAt(1))
-        add(buf, (row.getDouble(0), row.getLong(1)))
+        buf.add(row.getDouble(0), row.getLong(1))
     }
     buf
   }
 
-  override def merge(buf: ArrayBuffer[(Double, Long)],
-      other: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
-    other.foreach(add(buf, _))
+  override def merge(buf: TopKBuf, other: TopKBuf): TopKBuf = {
+    var i = 0
+    while (i < other.size) { buf.add(other.scores(i), other.ids(i)); i += 1 }
     buf
   }
 
-  override def eval(buf: ArrayBuffer[(Double, Long)]): Any = {
-    val sorted = buf.sortWith(beats)
-    new GenericArrayData(sorted.map { case (s, i) =>
+  override def eval(buf: TopKBuf): Any =
+    new GenericArrayData(buf.sortedPairs().map { case (s, i) =>
       InternalRow(s, i)
     }.toArray[Any])
-  }
 
-  override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+  override def serialize(buf: TopKBuf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.length)
-    buf.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.writeInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      out.writeDouble(buf.scores(i)); out.writeLong(buf.ids(i)); i += 1
+    }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = new ArrayBuffer[(Double, Long)](n)
+    val buf = new TopKBuf(k)
+    // array order IS the heap: restoring verbatim preserves the
+    // invariant, no re-heapify needed — but going through add() keeps
+    // the code one-path and n ≤ k makes it O(n log n) at worst.
     var i = 0
-    while (i < n) { buf += ((in.readDouble(), in.readLong())); i += 1 }
+    while (i < n) { buf.add(in.readDouble(), in.readLong()); i += 1 }
     buf
   }
 

@@ -130,13 +130,8 @@ object Similarity {
   def calibratedRhpBits(s: SparkSession, d: String): Int =
     scaledRhpBits(cachedEmbeddingCount(s, d))
 
-  /** ADC shortlist depth scaled to the corpus — e05/e06's rule (n/20).
-    * e04 has its OWN shallower rule, [[scaledE04Shortlist]] (n/200):
-    * its ADC pass already scans the whole corpus, so the n/20 re-rank
-    * depth put it 5.6× over its pandas baseline at sf10 — the per-key
-    * depths are deliberate (e04 = budget-bounded full-scan anchor,
-    * e05 = the calibrated cell-pruned path whose pruning pays for the
-    * deep re-rank). A FIXED shortlist is a
+  /** ADC shortlist depth scaled to the corpus, shared by e04/e05/e06.
+    * A FIXED shortlist is a
     * shrinking fraction of the ADC pool as the corpus grows — 30 of
     * ~500 candidates at the gate SF, 30 of ~37k at 200k vectors — and
     * PQ quantization noise then evicts the true neighbours before the
@@ -155,24 +150,6 @@ object Similarity {
 
   def calibratedPqShortlist(s: SparkSession, d: String): Int =
     scaledPqShortlist(cachedEmbeddingCount(s, d))
-
-  /** e04's OWN depth rule — n/200, an order of magnitude shallower than
-    * e05/e06's n/20. Derived from the measured sf10 curve
-    * (E04CurveMain, 200k vectors): depth 30 → 31.6 s but recall@10
-    * 0.015 (the corpus regeneration invalidated the r9 fixed-30 row of
-    * 0.56 — on the near-orthogonal rebuilt corpus PQ ranking noise
-    * buries true neighbours far deeper than 30), depth 1000 (= n/200) →
-    * 89.5 s / 0.180, depth n/20 → 380 s / 0.579 but 5.6× the 68.1 s
-    * pandas baseline. n/200 is the knee that stays within the 2×
-    * baseline budget while recovering 12× the fixed-depth recall; the
-    * recall-per-cost ladder remains e05's to win (its cell-pruned scan
-    * affords the deep re-rank). Floors at [[PqShortlist]], so gate-SF
-    * plans and oracles are unchanged (n ≤ 6000). */
-  def scaledE04Shortlist(n: Long): Int =
-    math.max(PqShortlist, (n / 200L).toInt)
-
-  def calibratedE04Shortlist(s: SparkSession, d: String): Int =
-    scaledE04Shortlist(cachedEmbeddingCount(s, d))
 
   private def rounded(s: SparkSession, a: Column, b: Column): Column =
     round(CosineSimilarity(s, a, b), 6)

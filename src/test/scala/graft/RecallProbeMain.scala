@@ -3,8 +3,9 @@ package graft
 /** Dev probe (test scope, not shipped): ANN recall@10 vs exact e01 at an
   * arbitrary sf dir under the CATALOG'S per-key depths — the sf10
   * evidence that the scale calibrations preserve the recall floor, not
-  * just the gate-SF spec value. e04 runs at its own n/200 depth rule
-  * and e05 at the calibrated n/20 (the per-key decision in Queries);
+  * just the gate-SF spec value. e04/e05 run at the shared calibrated
+  * n/20 depth (the catalog's rule — affordable since TopKByScore's
+  * heap buffer made depth nearly free);
   * e08's recall is measured against the exact FILTERED brute force (the
   * top-10 of the lang='en' candidate set — the correct oracle for a
   * filtered search, which a post-filtered e01 top-10 would understate).
@@ -27,10 +28,9 @@ object RecallProbeMain {
     def recallOf(df: org.apache.spark.sql.DataFrame): Double =
       recallVs(exact)(df)
     val shortlist = operators.Similarity.calibratedPqShortlist(spark, d)
-    val shortlistE04 = operators.Similarity.calibratedE04Shortlist(spark, d)
     val r02 = recallOf(operators.Similarity.e02AnnLsh(spark, d, bits = bits))
     val r03 = recallOf(operators.Similarity.e03IvfAnn(spark, d))
-    val r04 = recallOf(operators.Similarity.e04PqAnn(spark, d, shortlistE04))
+    val r04 = recallOf(operators.Similarity.e04PqAnn(spark, d, shortlist))
     val r05 = recallOf(operators.Similarity.e05IvfPq(spark, d, shortlist))
     // Exact filtered ground truth for e08: brute-force top-10 over the
     // lang='en' candidate set only (window ranking is fine in a probe).
@@ -53,7 +53,7 @@ object RecallProbeMain {
     val r08 = recallVs(exactFiltered)(
       operators.Similarity.e08FilteredAnn(spark, d))
     println(s"""{"metric":"ann_recall_at_10","sf":"$d","e02_bits":$bits,""" +
-      s""""pq_shortlist_e05":$shortlist,"pq_shortlist_e04":$shortlistE04,""" +
+      s""""pq_shortlist":$shortlist,""" +
       s""""n_exact":${exact.size},"n_exact_filtered":${exactFiltered.size},""" +
       s""""e02":$r02,"e03":$r03,"e04":$r04,"e05":$r05,"e08_vs_filtered_exact":$r08}""")
     spark.stop()

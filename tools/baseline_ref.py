@@ -309,7 +309,7 @@ def main(sf):
         # 16-centroid spherical k-means (2 Lloyd rounds on the same 25%
         # md5-membership sample the engine trains on), encode + reconstruct,
         # ADC scan of every query against reconstructions, then the exact
-        # re-rank at the engine's own depth rule max(30, n/200) — the
+        # re-rank at the engine's shared depth rule max(30, n/20) — the
         # same work the e04 plan distributes
         e = pd.read_parquet(P("embeddings"))
         V = np.stack(e.embedding.to_numpy()).astype(np.float64)
@@ -334,7 +334,7 @@ def main(sf):
             recon[:, m*SD:(m+1)*SD] = cent[cosm(S, cent).argmax(1)]
         qmask = ids % 100 == 0
         Q = V[qmask]; qids = ids[qmask]
-        depth = max(30, len(ids) // 200)
+        depth = max(30, len(ids) // 20)
         adc = cosm(Q, recon)
         adc[np.equal.outer(qids, ids)] = -np.inf
         short = np.argpartition(-adc, depth, axis=1)[:, :depth]
