@@ -614,6 +614,41 @@ object Oracles {
           |SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
           |FROM doubled GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
+      // d13: URL generation (shared variant templates, Dedup.urlVariants)
+      // + the same ordered canonicalization chain as the plan. Every
+      // regexp_replace carries 'g' — Spark replaces all matches by
+      // default, DuckDB only the first without the flag (two utm params
+      // in one query string would otherwise survive half-stripped).
+      "d13_url_dedup" -> {
+        import graft.operators.Dedup.{urlTrackingParamPattern, urlVariants}
+        def sqlV(v: Seq[Either[String, String]]): String = v.map {
+          case Left(s)      => "'" + s + "'"
+          case Right("cid") => "CAST(doc_id // 4 AS VARCHAR)"
+          case Right(f)     => sys.error(s"unknown url field $f")
+        }.mkString(" || ")
+        s"""WITH raw AS (SELECT doc_id,
+           |  CASE doc_id % 4 WHEN 0 THEN ${sqlV(urlVariants(0))}
+           |                  WHEN 1 THEN ${sqlV(urlVariants(1))}
+           |                  WHEN 2 THEN ${sqlV(urlVariants(2))}
+           |                  ELSE ${sqlV(urlVariants(3))} END AS url
+           |  FROM documents),
+           |c AS (SELECT doc_id, url,
+           |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           |  regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+           |    ':(80|443)$$', '', 'g') AS host,
+           |  regexp_replace(regexp_replace(replace(replace(
+           |      regexp_replace(regexp_replace(
+           |        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1),
+           |        '#.*$$', '', 'g'), '$urlTrackingParamPattern', '', 'g'),
+           |      '?&', '?'), '&&', '&'),
+           |    '[?&]+$$', '', 'g'), '/+$$', '', 'g') AS path
+           |  FROM raw)
+           |SELECT scheme || '://' || host || path AS canonical_url,
+           |  MIN(doc_id) AS keep_id, COUNT(*) AS n_spellings,
+           |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw
+           |FROM c GROUP BY 1 ORDER BY keep_id""".stripMargin
+      },
+
       "d02_ngram_jaccard" ->
         s"""WITH $shingleCte,
            |inv0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
@@ -1456,6 +1491,25 @@ object Oracles {
          |  FROM h)
          |SELECT source, doc_id, pick_rank FROM r
          |WHERE pick_rank <= $QuotaPerSource ORDER BY source, doc_id""".stripMargin
+    },
+
+    // x10: overlapping fixed-window chunking — geometry constants shared
+    // with Sampling.x10SeqChunk; chunk text fingerprints are md5 of the
+    // space-rejoined token slice, identical strings on both engines.
+    "x10_seq_chunk" -> {
+      val C = graft.operators.Sampling.ChunkTokens
+      val S = graft.operators.Sampling.ChunkStride
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |c AS (SELECT doc_id, toks, n,
+         |        unnest(range(0, CASE WHEN n <= $C THEN 1
+         |                            ELSE (n - $C + $S - 1) // $S + 1 END)) AS chunk_no
+         |      FROM n)
+         |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+         |  CAST(chunk_no * $S AS BIGINT) AS start_tok,
+         |  CAST(LEAST($C, n - chunk_no * $S) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(toks[chunk_no * $S + 1 : chunk_no * $S + $C], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_no""".stripMargin
     },
 
     "x02_seq_pack" ->

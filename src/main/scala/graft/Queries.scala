@@ -81,6 +81,7 @@ object Queries {
     // d12 rides d05's calibrated pair set (same band-width threading).
     "d12_semantic_groups"  -> ((s, d) =>
       Dedup.d12SemanticGroups(s, d, bits = Similarity.calibratedRhpBits(s, d))),
+    "d13_url_dedup"        -> (Dedup.d13UrlDedup _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
@@ -136,7 +137,8 @@ object Queries {
     "x03_kmv_distinct"     -> (Sampling.x03KmvDistinct _),
     "x07_datasheet"        -> (Sampling.x07Datasheet _),
     "x08_curation_decide"  -> (Curation.x08CurationDecide _),
-    "x09_curation_merge"   -> (Curation.x09CurationMerge _)
+    "x09_curation_merge"   -> (Curation.x09CurationMerge _),
+    "x10_seq_chunk"        -> (Sampling.x10SeqChunk _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -177,6 +179,7 @@ object Queries {
     "t08_rare_token_score" -> Seq("doc_id"),
     "t09_html_extract"     -> Seq("doc_id"),
     "d01_dedup_exact"      -> Seq("keep_id"),
+    "d13_url_dedup"        -> Seq("keep_id"),
     "d02_ngram_jaccard"    -> Seq("id_a", "id_b"),
     "d03_minhash_lsh"      -> Seq("id_a", "id_b"),
     "d04_simhash"          -> Seq("id_a", "id_b"),
@@ -217,7 +220,8 @@ object Queries {
     "x03_kmv_distinct"     -> Seq("lang"),
     "x07_datasheet"        -> Seq("lvl", "lang", "source"),
     "x08_curation_decide"  -> Seq("doc_id"),
-    "x09_curation_merge"   -> Seq("doc_id")
+    "x09_curation_merge"   -> Seq("doc_id"),
+    "x10_seq_chunk"        -> Seq("doc_id", "chunk_no")
   )
 
   /** Verification view: production plan + canonical output order. */

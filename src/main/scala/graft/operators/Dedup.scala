@@ -669,4 +669,72 @@ object Dedup {
         round(CosineSimilarity(s, col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= 0.45)
   }
+
+  // ---------------------------------------------------------------- d13
+
+  /** Raw-URL variants for d13, SHARED with the oracle (the page-template
+    * pattern of t09): four syntactic spellings of the same canonical
+    * target per doc-id group (cid = doc_id DIV 4) — clean; upper-cased
+    * scheme/host + default port + fragment; tracking params; trailing
+    * slash + ref param. Left = literal chunk, Right = the "cid" field. */
+  val urlVariants: Seq[Seq[Either[String, String]]] = Seq(
+    Seq(Left("https://www.example.com/articles/"), Right("cid")),
+    Seq(Left("HTTPS://WWW.Example.COM:443/articles/"), Right("cid"),
+      Left("#section-2")),
+    Seq(Left("https://www.example.com/articles/"), Right("cid"),
+      Left("?utm_source=feed&utm_campaign=x")),
+    Seq(Left("https://www.example.com/articles/"), Right("cid"),
+      Left("/?ref=home")))
+
+  /** Tracking query params dropped by canonicalization (utm_*, ref) —
+    * shared with the oracle; RE2-safe, no lookaround. */
+  val urlTrackingParamPattern = "(utm_[a-z]+|ref)=[^&#]*"
+
+  /** d13: URL canonicalization + exact dedup — the first dedup any web
+    * crawl runs (re-crawled/re-linked spellings of one page vastly
+    * outnumber content near-dups). Canonicalization rules, in order,
+    * all mirrored verbatim in SQL: scheme+host lowercased (paths stay
+    * case-sensitive), default ports :80/:443 stripped, fragment
+    * dropped, tracking params dropped with separator debris (`?&`,
+    * `&&`, trailing `?`/`&`) cleaned, trailing slashes stripped. Then
+    * group by canonical form, keep the lowest doc_id, count spellings.
+    *
+    * Scale shape: canonicalization is a codegen'd map-side regex
+    * projection; the one shuffle groups by canonical URL with map-side
+    * partial aggregation (d01's shape, string keys). */
+  def d13UrlDedup(s: SparkSession, d: String): DataFrame = {
+    val cid = expr("doc_id DIV 4").cast("string")
+    val variants = urlVariants.map(v => concat(v.map {
+      case Left(l)      => lit(l)
+      case Right("cid") => cid
+      case Right(f)     => sys.error(s"unknown url field $f")
+    }: _*))
+    val m = col("doc_id") % 4
+    val raw = when(m === 0, variants(0)).when(m === 1, variants(1))
+      .when(m === 2, variants(2)).otherwise(variants(3))
+    urlDedup(Tables.documents(s, d).select(col("doc_id"), raw.as("url")))
+  }
+
+  /** [[d13UrlDedup]] over any (doc_id, url) frame (spec entry —
+    * adversarial fixtures feed hand-built URLs here). */
+  def urlDedup(urls: DataFrame): DataFrame = {
+    val u = col("url")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(hostport, ":(80|443)$", "")
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, urlTrackingParamPattern, "")
+    val cleaned = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "&&", "&"),
+      "[?&]+$", "")
+    val path = regexp_replace(cleaned, "/+$", "")
+    val canon = concat(scheme, lit("://"), host, path)
+    urls
+      .select(col("doc_id"), col("url"), canon.as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_spellings"),
+        countDistinct(col("url")).as("n_distinct_raw"))
+  }
 }

@@ -296,4 +296,43 @@ object Sampling {
         coalesce(col("source"), lit("ALL")).as("source"),
         col("n_docs"), col("n_tokens"), col("n_chars"), col("avg_chars"))
   }
+
+  /** x10 chunking geometry: fixed token window with overlap — chunk k
+    * covers tokens [k·stride, k·stride + window), the universal LLM
+    * pre-tokenization split (every context-bounded trainer runs it;
+    * x02 packs whole docs, this SPLITS long ones). Window/stride sized
+    * so the gate corpus genuinely multi-chunks (docs are 10-99 tokens:
+    * window 32 / stride 24 yields 1-4 overlapping chunks per doc). */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** x10: overlapping fixed-window sequence chunking. Per document:
+    * number of chunks = 1 if n ≤ window else ceil((n − window)/stride)
+    * + 1 (the last chunk may be short, never empty); each chunk row
+    * carries its token span and an md5 fingerprint of the chunk text
+    * (re-join of the token slice) for downstream chunk-level dedup.
+    *
+    * Scale shape: one map-side pass — tokenize once, explode a
+    * sequence() of chunk indices, slice per index; md5 runs in the
+    * codegen'd projection AFTER the explode (never inside a
+    * higher-order lambda). Output volume is Σ ceil-ish(n/stride), the
+    * corpus token count over the stride — linear, no shuffle at all. */
+  def x10SeqChunk(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"),
+        size(toks).cast("bigint").as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L),
+          when(col("n") <= ChunkTokens, lit(0L))
+            .otherwise(expr(s"(n - $ChunkTokens + $ChunkStride - 1) DIV $ChunkStride"))))
+          .as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * ChunkStride).as("start_tok"),
+        least(lit(ChunkTokens.toLong),
+          col("n") - col("chunk_no") * ChunkStride).as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_no") * ChunkStride + 1).cast("int"),
+            lit(ChunkTokens)))).as("chunk_md5"))
+  }
 }

@@ -803,6 +803,50 @@ def main(sf):
         d.apply(build, axis=1).map(strip)
     maybe("t09_html_extract", t09)
 
+    def d13():
+        # URL canonicalization + groupby dedup, per-row Python re (the
+        # pandas idiom for string munging)
+        d = pd.read_parquet(P("documents"))
+        def build(did):
+            cid = did // 4
+            return ["https://www.example.com/articles/%d" % cid,
+                    "HTTPS://WWW.Example.COM:443/articles/%d#section-2" % cid,
+                    "https://www.example.com/articles/%d?utm_source=feed&utm_campaign=x" % cid,
+                    "https://www.example.com/articles/%d/?ref=home" % cid][did % 4]
+        def canon(u):
+            m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$", u)
+            scheme, hostport, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
+            host = re.sub(r":(80|443)$", "", hostport)
+            x = re.sub(r"#.*$", "", rest)
+            x = re.sub(r"(utm_[a-z]+|ref)=[^&#]*", "", x)
+            x = x.replace("?&", "?").replace("&&", "&")
+            x = re.sub(r"[?&]+$", "", x)
+            x = re.sub(r"/+$", "", x)
+            return scheme + "://" + host + x
+        urls = d.doc_id.map(build)
+        pd.DataFrame({"c": urls.map(canon), "u": urls, "doc_id": d.doc_id}) \
+            .groupby("c").agg(keep_id=("doc_id", "min"),
+                              n_spellings=("doc_id", "size"),
+                              n_distinct_raw=("u", "nunique"))
+    maybe("d13_url_dedup", d13)
+
+    def x10():
+        # overlapping fixed-window chunking + md5 per chunk slice
+        d = pd.read_parquet(P("documents"))
+        C, S = 32, 24
+        rows = []
+        for did, text in zip(d.doc_id, d.text):
+            toks = re.split(r"\s+", text)
+            n = len(toks)
+            k = 1 if n <= C else (n - C + S - 1) // S + 1
+            for c in range(k):
+                sl = toks[c * S:c * S + C]
+                rows.append((did, c, c * S, len(sl),
+                             hashlib.md5(" ".join(sl).encode()).hexdigest()))
+        pd.DataFrame(rows, columns=["doc_id", "chunk_no", "start_tok",
+                                    "n_chunk_tokens", "chunk_md5"])
+    maybe("x10_seq_chunk", x10)
+
     total = round(sum(res.values()), 3)
     print(json.dumps({"metric": "baseline_total", "value": total,
                       "unit": "sec", "queries": res, "sf": sf}))
