@@ -236,6 +236,29 @@ object Oracles {
         |FROM ev e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t >= p.t
         |ORDER BY e.event_id""".stripMargin,
 
+    // q27: ordered funnel — each stage's time is the earliest qualifying
+    // event STRICTLY after the previous stage's, chained per-user min
+    // aggregates exactly as the plan computes them.
+    "q27_funnel" -> {
+      val Seq(st1, st2, st3) = graft.operators.EventOps.FunnelStages
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |t1 AS (SELECT user_id, MIN(ts_us) AS t_view_us FROM ev
+         |       WHERE event_type = '$st1' GROUP BY 1),
+         |t2 AS (SELECT user_id, MIN(ts_us) AS t_click_us FROM ev
+         |       JOIN t1 USING (user_id)
+         |       WHERE event_type = '$st2' AND ts_us > t_view_us GROUP BY 1),
+         |t3 AS (SELECT user_id, MIN(ts_us) AS t_purchase_us FROM ev
+         |       JOIN t2 USING (user_id)
+         |       WHERE event_type = '$st3' AND ts_us > t_click_us GROUP BY 1),
+         |u AS (SELECT DISTINCT user_id FROM ev)
+         |SELECT user_id, t_view_us, t_click_us, t_purchase_us,
+         |  CAST(CASE WHEN t_purchase_us IS NOT NULL THEN 3
+         |            WHEN t_click_us IS NOT NULL THEN 2
+         |            WHEN t_view_us IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
+         |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+         |LEFT JOIN t3 USING (user_id) ORDER BY user_id""".stripMargin
+    },
+
     "q23_range_join" ->
       """WITH w AS (
         |  SELECT o_orderkey AS win_id, o_custkey % 150 AS u,
@@ -788,6 +811,38 @@ object Oracles {
            |  COALESCE(n_bench_docs, 0) AS n_bench_docs,
            |  COALESCE(n_hit_ngrams, 0) > 0 AS contaminated
            |FROM alltrain LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+      },
+
+      // d14: bloom-filter decontamination — d07's gram machinery, but the
+      // benchmark side collapses to its set-bit positions (two disjoint
+      // bit slices of the one hash60 digest, % / // on BloomBits) and the
+      // corpus check is position membership. False positives are
+      // md5-deterministic, so the mirror reproduces them bit-for-bit.
+      // grams/tg feed multiple consumers → AS MATERIALIZED (DuckDB 1.0
+      // inlines multiply-referenced CTEs).
+      "d14_bloom_decontaminate" -> {
+        import graft.operators.Dedup.{DecontamN, DecontamSeed, DecontamBenchMod, BloomBits}
+        val benchMark = s"${h60(DecontamSeed, "CAST(doc_id AS VARCHAR)")} % $DecontamBenchMod"
+        s"""WITH ${shingleCteK("sh8", DecontamN)},
+           |marked AS (SELECT doc_id, sh, $benchMark = 0 AS is_bench FROM sh8),
+           |grams AS MATERIALIZED (SELECT doc_id, is_bench, ${h60(DecontamSeed, "g")} AS gh
+           |          FROM (SELECT doc_id, is_bench, unnest(sh) AS g FROM marked)),
+           |bgh AS (SELECT DISTINCT gh FROM grams WHERE is_bench),
+           |pos AS MATERIALIZED (SELECT DISTINCT p FROM (
+           |  SELECT gh % $BloomBits AS p FROM bgh
+           |  UNION ALL SELECT (gh // $BloomBits) % $BloomBits FROM bgh)),
+           |tg AS MATERIALIZED (SELECT DISTINCT doc_id, gh FROM grams WHERE NOT is_bench),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY 1),
+           |hit AS (SELECT doc_id, COUNT(*) AS n_bloom_hits FROM tg
+           |        WHERE gh % $BloomBits IN (SELECT p FROM pos)
+           |          AND (gh // $BloomBits) % $BloomBits IN (SELECT p FROM pos)
+           |        GROUP BY 1),
+           |alltrain AS (SELECT doc_id FROM documents WHERE $benchMark <> 0)
+           |SELECT doc_id, COALESCE(n_grams, 0) AS n_grams,
+           |  COALESCE(n_bloom_hits, 0) AS n_bloom_hits,
+           |  COALESCE(n_bloom_hits, 0) > 0 AS flagged
+           |FROM alltrain LEFT JOIN cnt USING (doc_id)
+           |LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin
       },
 
       // x08: the curation DECISION table — t07's integer quality gate,
@@ -1459,6 +1514,25 @@ object Oracles {
         |  ROUND(CAST(SUM(ch) AS DOUBLE) / SUM(n), 6) AS avg_chars
         |FROM cells GROUP BY CUBE (lang, source)
         |ORDER BY lvl, lang, source""".stripMargin,
+
+    // x11: per-source token-count quantiles — quantile_disc semantics via
+    // the identical compact (source, tc) cell frame + cumulative window +
+    // integer threshold (100·cum ≥ p·n, no division) as the plan.
+    "x11_quantile_profile" -> {
+      val qcols = graft.operators.Sampling.QuantilePcts.map(p =>
+        s"MIN(CASE WHEN cum * 100 >= n_docs * $p THEN tc END) AS p$p").mkString(",\n  |  ")
+      s"""WITH t AS (SELECT source,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tc FROM documents),
+         |counts AS (SELECT source, tc, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |cum AS (SELECT source, tc,
+         |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY tc) AS BIGINT) AS cum
+         |  FROM counts),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM counts GROUP BY 1)
+         |SELECT source, n_docs,
+         |  $qcols
+         |FROM cum JOIN tot USING (source)
+         |GROUP BY source, n_docs ORDER BY source""".stripMargin
+    },
 
     "x01_hash_sample" ->
       s"""SELECT doc_id, lang, bucket FROM (

@@ -50,6 +50,7 @@ object Queries {
     "q24_rollup"           -> (EtlCore.q24Rollup _),
     "q25_salted_join"      -> (EtlCore.q25SaltedJoin _),
     "q26_column_triage"    -> (EtlCore.q26ColumnTriage _),
+    "q27_funnel"           -> (EventOps.q27Funnel _),
     "t01_lang_id"          -> (TextAnalysis.t01LangId _),
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
@@ -82,6 +83,9 @@ object Queries {
     "d12_semantic_groups"  -> ((s, d) =>
       Dedup.d12SemanticGroups(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "d13_url_dedup"        -> (Dedup.d13UrlDedup _),
+    // d14 is d07's decontamination through a broadcastable bloom-position
+    // set — deterministic false positives, so still hash-gated.
+    "d14_bloom_decontaminate" -> (Dedup.d14BloomDecontaminate _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
@@ -138,7 +142,8 @@ object Queries {
     "x07_datasheet"        -> (Sampling.x07Datasheet _),
     "x08_curation_decide"  -> (Curation.x08CurationDecide _),
     "x09_curation_merge"   -> (Curation.x09CurationMerge _),
-    "x10_seq_chunk"        -> (Sampling.x10SeqChunk _)
+    "x10_seq_chunk"        -> (Sampling.x10SeqChunk _),
+    "x11_quantile_profile" -> (Sampling.x11QuantileProfile _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -169,6 +174,7 @@ object Queries {
     "q24_rollup"           -> Seq("lvl", "returnflag", "linestatus"),
     "q25_salted_join"      -> Seq("event_type"),
     "q26_column_triage"    -> Seq("column_name"),
+    "q27_funnel"           -> Seq("user_id"),
     "t01_lang_id"          -> Seq("doc_id"),
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),
@@ -180,6 +186,7 @@ object Queries {
     "t09_html_extract"     -> Seq("doc_id"),
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d13_url_dedup"        -> Seq("keep_id"),
+    "d14_bloom_decontaminate" -> Seq("doc_id"),
     "d02_ngram_jaccard"    -> Seq("id_a", "id_b"),
     "d03_minhash_lsh"      -> Seq("id_a", "id_b"),
     "d04_simhash"          -> Seq("id_a", "id_b"),
@@ -221,7 +228,8 @@ object Queries {
     "x07_datasheet"        -> Seq("lvl", "lang", "source"),
     "x08_curation_decide"  -> Seq("doc_id"),
     "x09_curation_merge"   -> Seq("doc_id"),
-    "x10_seq_chunk"        -> Seq("doc_id", "chunk_no")
+    "x10_seq_chunk"        -> Seq("doc_id", "chunk_no"),
+    "x11_quantile_profile" -> Seq("source")
   )
 
   /** Verification view: production plan + canonical output order. */

@@ -737,4 +737,80 @@ object Dedup {
         count(lit(1)).as("n_spellings"),
         countDistinct(col("url")).as("n_distinct_raw"))
   }
+
+  // ---------------------------------------------------------------- d14
+
+  /** Bloom filter size in bits (2^27 = 16 MiB as a bitmap). Sized for
+    * real benchmark suites — up to ~10^6 distinct grams keeps the
+    * two-probe false-positive rate under ~2×10⁻⁴ — and shared verbatim
+    * with the oracle. The two probe positions are disjoint bit slices
+    * of the one [[Text.hash60]] digest (bits 0–26 and 27–53), so the
+    * filter costs ONE md5 per gram, same as d07's exact path. */
+  val BloomBits = 134217728L
+
+  /** d14: BLOOM-FILTER benchmark decontamination — d07's semantics
+    * through the constant-state mechanism a 100 TB corpus actually
+    * wants. d07's exact form joins corpus grams against the benchmark
+    * gram set; sound, but the build side is the full distinct gram set
+    * and the check is a (possibly shuffled) join keyed on 8-byte gram
+    * hashes. Here the benchmark side is collapsed to its SET-BIT
+    * POSITIONS (≤ 2 per distinct gram, ≤ [[BloomBits]] total — MBs
+    * regardless of corpus size), the position set broadcasts
+    * ([[Skew.boundedBroadcast]]), and the corpus-side check is two
+    * broadcast hash joins in the map stage: zero shuffle of gram rows
+    * until the final per-doc count. The price is deterministic false
+    * positives — identical in both engines because the probe positions
+    * are md5-derived, so the gate is still hash-exact.
+    *
+    * Output per training doc: distinct-gram count, bloom-positive gram
+    * count, and the drop verdict (any bloom hit ⇒ flagged — the
+    * conservative direction: a false positive over-drops, never
+    * leaks). */
+  def d14BloomDecontaminate(s: SparkSession, d: String): DataFrame =
+    bloomDecontaminate(s, Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (pmod(Text.hash60(col("doc_id").cast("string"), DecontamSeed),
+          lit(DecontamBenchMod)) === 0).as("is_bench")))
+
+  /** [[d14BloomDecontaminate]] over any (doc_id, text, is_bench) frame —
+    * split out so specs can plant known contamination and known
+    * near-miss grams. */
+  def bloomDecontaminate(s: SparkSession, docs: DataFrame): DataFrame = {
+    val m = BloomBits
+    val grams = docs
+      .select(col("doc_id"), col("is_bench"),
+        explode(GraftShingles(s, col("text"), DecontamN)).as("g"))
+      .select(col("doc_id"), col("is_bench"),
+        Text.hash60(col("g"), DecontamSeed).as("gh"))
+    // Benchmark side → distinct set-bit positions (the bloom bitmap,
+    // kept relational so the plan stays auditable; bounded by 2 ×
+    // distinct bench grams and by the bitmap width itself). ONE explode
+    // pass over the bench grams, then a lineage cut: the frame is small
+    // by construction but feeds three consumers (two broadcast builds +
+    // the boundedBroadcast count) whose lineage would otherwise re-run
+    // the bench shingle scan each time.
+    val positions = Skew.boundedBroadcast(graft.Checkpoints.cut(
+      grams.filter(col("is_bench")).select(col("gh")).distinct()
+        .select(explode(array(col("gh") % m, expr(s"gh DIV $m") % m)).as("pos"))
+        .distinct()))
+    val train = grams.filter(!col("is_bench"))
+      .select(col("doc_id"), col("gh")).distinct()
+      .withColumn("p1", col("gh") % m)
+      .withColumn("p2", expr(s"gh DIV $m") % m)
+    // Two broadcast left joins mark each probe; a gram is bloom-positive
+    // iff BOTH probe bits are set.
+    val marked = train
+      .join(positions.select(col("pos").as("p1"), lit(true).as("h1")), Seq("p1"), "left")
+      .join(positions.select(col("pos").as("p2"), lit(true).as("h2")), Seq("p2"), "left")
+      .withColumn("bloom_pos", col("h1").isNotNull && col("h2").isNotNull)
+    val counts = marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_bloom_hits"))
+    docs.filter(!col("is_bench")).select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
+        (coalesce(col("n_bloom_hits"), lit(0L)) > 0).as("flagged"))
+  }
 }

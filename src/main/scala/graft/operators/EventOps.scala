@@ -310,4 +310,52 @@ object EventOps {
         min("ts_us").as("start_us"), max("ts_us").as("end_us"),
         Parse.dsum(col("value")).as("sum_value"))
   }
+
+  /** Funnel stage sequence for q27, shared with the oracle. */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q27: ORDERED event funnel — per user, how far through
+    * view → click → purchase did they get, with each stage's timestamp
+    * taken as the EARLIEST qualifying event strictly after the previous
+    * stage (the standard product-analytics funnel; a click before any
+    * view does not count, and an unordered per-user pivot would
+    * over-count exactly those). Output: one row per user with the three
+    * stage timestamps (null once the funnel breaks) and the stage count
+    * reached.
+    *
+    * Scale shape: the sequential "first X after t" dependency is
+    * resolved with one per-user aggregate per stage — each a
+    * partial-combined min — chained by equi-joins ON user_id between
+    * the stage-filtered event slice (corpus-sized, filter pushed to the
+    * scan) and the previous stage's per-user frame (O(users), far
+    * smaller than the event log). No window over user history, so a hot
+    * user costs nothing beyond their aggregate partials; AQE handles
+    * user-key skew in the joins. */
+  def q27Funnel(s: SparkSession, d: String): DataFrame =
+    funnel(Tables.eventsWithTs(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts_ns DIV 1000").as("ts_us")))
+
+  /** [[q27Funnel]] over any (user_id, event_type, ts_us) frame — split
+    * out so specs can plant broken funnels (out-of-order stages, missing
+    * stages, stage-0 users). */
+  def funnel(ev: DataFrame): DataFrame = {
+    val t1 = ev.filter(col("event_type") === FunnelStages(0))
+      .groupBy("user_id").agg(min("ts_us").as("t_view_us"))
+    val t2 = ev.filter(col("event_type") === FunnelStages(1))
+      .join(t1, "user_id").filter(col("ts_us") > col("t_view_us"))
+      .groupBy("user_id").agg(min("ts_us").as("t_click_us"))
+    val t3 = ev.filter(col("event_type") === FunnelStages(2))
+      .join(t2, "user_id").filter(col("ts_us") > col("t_click_us"))
+      .groupBy("user_id").agg(min("ts_us").as("t_purchase_us"))
+    ev.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view_us"), col("t_click_us"),
+        col("t_purchase_us"),
+        when(col("t_purchase_us").isNotNull, 3)
+          .when(col("t_click_us").isNotNull, 2)
+          .when(col("t_view_us").isNotNull, 1)
+          .otherwise(0).cast("int").as("stage"))
+  }
 }

@@ -335,4 +335,43 @@ object Sampling {
           slice(col("toks"), (col("chunk_no") * ChunkStride + 1).cast("int"),
             lit(ChunkTokens)))).as("chunk_md5"))
   }
+
+  /** Percentiles reported by x11, shared with the oracle. */
+  val QuantilePcts: Seq[Int] = Seq(25, 50, 75, 90)
+
+  /** x11: per-source token-count QUANTILE profile — the length
+    * distribution summary every dataset datasheet carries (x07 reports
+    * sums/means; curation decisions like "clip p99 outliers" and
+    * "source B skews short" need order statistics). Exact
+    * `quantile_disc` semantics, integer-only math: p-th percentile =
+    * the smallest token count whose cumulative doc count reaches
+    * ⌈p·n/100⌉ (compared as 100·cum ≥ p·n — no division, no rounding
+    * boundary).
+    *
+    * Scale shape: built-in exact `percentile` buffers every value
+    * per group — unusable at corpus scale. Instead ONE partial-combined
+    * aggregate compacts the corpus to (source, token_count) cells —
+    * bounded by sources × max-doc-length, independent of corpus rows —
+    * and the cumulative window + threshold pick run over that compact
+    * frame (the window's partition key is justified in PlanAuditSpec:
+    * its input is post-aggregate, rows-per-source bounded by distinct
+    * lengths, so a hot source cannot pin a task). */
+  def x11QuantileProfile(s: SparkSession, d: String): DataFrame =
+    quantileProfile(Tables.documents(s, d)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("bigint").as("tc")))
+
+  /** [[x11QuantileProfile]] over any (source, tc) frame — split out so
+    * specs can pin the order-statistic rule on literal distributions. */
+  def quantileProfile(cells: DataFrame): DataFrame = {
+    val counts = cells.groupBy("source", "tc").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy("tc")))
+    val totals = counts.groupBy("source").agg(sum("c").as("n_docs"))
+    val qs = QuantilePcts.map(p =>
+      min(when(col("cum") * 100 >= col("n_docs") * p, col("tc"))).as(s"p$p"))
+    cum.join(broadcast(totals), "source")
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"), qs: _*)
+  }
 }

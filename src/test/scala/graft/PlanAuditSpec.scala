@@ -122,12 +122,18 @@ class PlanAuditSpec extends SparkSpecBase {
     //    bounded by time_range / gap — sessions are > gap apart by
     //    definition — independent of event volume, so the hot-user
     //    hazard cannot reach this window.
+    //  - x11 {source}: the cumulative window runs over the POST-AGGREGATE
+    //    (source, token_count) cell frame — rows per source bounded by
+    //    distinct document lengths (≤ max tokens per doc), independent of
+    //    corpus rows, so a hot source streams a bounded cell list through
+    //    one cheap task.
     val allowlisted: Map[String, Set[Set[String]]] = Map(
       "d02_ngram_jaccard" -> Set(Set("s")),
       "d08_containment" -> Set(Set("s")),
       "q12_window_topn" -> Set(Set("o_custkey")),
       "q22_asof_join" -> Set(Set("user_id")),
-      "s02_sessionize" -> Set(Set("user_id")))
+      "s02_sessionize" -> Set(Set("user_id")),
+      "x11_quantile_profile" -> Set(Set("source")))
     val seen = scala.collection.mutable.Set.empty[(String, Set[String])]
     for ((name, _) <- analyzed) {
       val windows = operators(name).collect {
