@@ -139,6 +139,8 @@ object Bench {
     if (s05b >= 0) System.err.println(s"[bench] s05 micro-batches: $s05b")
     val s08b = graft.streaming.StreamOps.lastS08MicroBatches.get
     if (s08b >= 0) System.err.println(s"[bench] s08 micro-batches: $s08b")
+    val s09b = graft.streaming.StreamOps.lastS09MicroBatches.get
+    if (s09b >= 0) System.err.println(s"[bench] s09 micro-batches: $s09b")
     println(line)
     if (keyArgs.isEmpty) writeArtifact(line)
     spark.stop()

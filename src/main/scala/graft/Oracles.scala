@@ -1429,11 +1429,14 @@ object Oracles {
          |ORDER BY user_id, event_type, ts_us""".stripMargin
     },
 
-    "s01_window_agg" ->
-      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s01_window_agg" -> s01WindowAggSql,
+
+    // s09: the drained watermarked streaming aggregation equals batch
+    // s01 — its oracle is s01's VERBATIM, so the hash gate proves the
+    // append-mode cross-micro-batch aggregation-state path (windows
+    // straddling the 3 time-slice cuts re-assemble in state) against
+    // the same ground truth every round.
+    "s09_stream_window" -> s01WindowAggSql,
 
     // s04: dim misses surface as 'UNKNOWN' (left join), windows mirror
     // s01's hour-truncation.
@@ -1482,6 +1485,14 @@ object Oracles {
 
   // lazy: referenced by the eventsAndMedia map above, which would
   // otherwise initialize first and capture null
+  /** s01's tumbling-window aggregation, shared with s09 (the drained
+    * streaming form is gated against the identical ground truth). */
+  private lazy val s01WindowAggSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private lazy val s02SessionizeSql: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
       |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL

@@ -133,6 +133,10 @@ object Queries {
     // a density-calibrated window); the oracle derives the same window
     // from the events table in SQL, so the gate is threading-free.
     "s07_stream_join"      -> (graft.streaming.StreamOps.s07StreamJoin _),
+    // s09 drains the watermarked tumbling-window aggregation (the shared
+    // EventOps.windowAgg transform) in append mode over 3 time-sliced
+    // micro-batches — cross-batch aggregation state, gated by s01's oracle.
+    "s09_stream_window"    -> (graft.streaming.StreamOps.s09StreamWindowAgg _),
     "x01_hash_sample"      -> (Sampling.x01HashSample _),
     "x04_quota_sample"     -> (Sampling.x04QuotaSample _),
     "x05_strat_split"      -> (Sampling.x05StratSplit _),
@@ -219,6 +223,7 @@ object Queries {
     "s06_stream_sessionize" -> Seq("user_id", "sess_no"),
     "s08_stream_multibatch" -> Seq("user_id", "sess_no"),
     "s07_stream_join"      -> Seq("view_id", "purchase_id"),
+    "s09_stream_window"    -> Seq("win_start", "event_type"),
     "x01_hash_sample"      -> Seq("doc_id"),
     "x04_quota_sample"     -> Seq("source", "doc_id"),
     "x05_strat_split"      -> Seq("doc_id"),

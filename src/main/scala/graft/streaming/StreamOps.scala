@@ -303,6 +303,50 @@ object StreamOps {
     * drain (batchId of the last progress + 1). */
   val lastS08MicroBatches = new java.util.concurrent.atomic.AtomicLong(-1L)
 
+  /** Micro-batch count of the most recent [[s09StreamWindowAgg]] drain. */
+  val lastS09MicroBatches = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** s09: the canonical WATERMARKED STREAMING AGGREGATION — s01's
+    * tumbling-window count/exact-decimal-sum (the SHARED
+    * [[EventOps.windowAgg]] transform, byte-identical plan fragment to
+    * the batch key) drained in APPEND mode over three real
+    * event-time-sliced micro-batches plus two sentinel batches.
+    * Append + watermark is the always-on-metrics shape: a
+    * (window, event_type) row is emitted EXACTLY ONCE, when the
+    * watermark passes the window end, so a window straddling a slice
+    * cut accumulates partial (count, sum) state across real micro-batch
+    * boundaries and the gate — s01's batch oracle VERBATIM —
+    * hash-proves that cross-batch aggregation-state path on real data.
+    * The 0-second watermark is sound for the same reason as s08: slices
+    * are event-time-ordered, so nothing ever arrives late. Sentinels
+    * (event_type='sentinel', filtered from the emitted set) advance the
+    * watermark past the last real window's end; their own same-hour
+    * window never closes and is never emitted — irrelevant either way.
+    *
+    * Scale shape: aggregation state is O(open windows × event types) —
+    * the watermark EVICTS every closed window from the state store, so
+    * state is bounded by arrival disorder, not stream length; sums
+    * accumulate in the same DECIMAL(18,2) the batch plan uses (bit-equal
+    * results regardless of how events split across batches). */
+  def s09StreamWindowAgg(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val maxUs = graft.Tables.eventsWithTs(s, d)
+      .agg(max(expr("ts_ns DIV 1000"))).head().getLong(0)
+    // First sentinel 90 min past the corpus max: strictly beyond the
+    // last real 1-hour window's end, so the final watermark closes it.
+    val t1 = maxUs + EventOps.GapUs + 3600000000L
+    val src = eventsStreamSource(s, d, sentinelUs = Seq(t1, t1 + 60000000L),
+      timeSplits = 3)
+    val ev = graft.Tables.normalizeEventTs(src)
+      .select(col("ts"), col("event_type"), col("value"))
+    val name = "s09_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventOps.windowAgg(ev.withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    lastS09MicroBatches.set(
+      Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L))
+    s.table(name).filter(col("event_type") =!= "sentinel")
+  }
+
   /** The event-time cut points (µs) of the most recent time-split
     * source build — exposed so specs can independently verify that
     * sessions straddle every micro-batch boundary. */

@@ -33,4 +33,30 @@ class MultiBatchDrainSpec extends SparkSpecBase {
     assert(out.toSeq == batch.toSeq,
       "multi-batch streaming sessionization must equal batch s02 exactly")
   }
+
+  test("s09 drain: >=5 micro-batches, windows straddle a cut, equals batch s01") {
+    val out = StreamOps.s09StreamWindowAgg(spark, sf001)
+      .select("win_start", "event_type", "n", "sum_value")
+      .orderBy("win_start", "event_type").collect()
+    assert(StreamOps.lastS09MicroBatches.get >= 5L,
+      s"expected >=3 data + 2 sentinel batches, got ${StreamOps.lastS09MicroBatches.get}")
+    val cuts = StreamOps.lastSplitCutsUs.get
+    assert(cuts.size >= 2, s"expected >=2 event-time cuts, got $cuts")
+    // Independent straddle check from the raw events: at least one cut
+    // must fall strictly inside a populated 1-hour window — events in
+    // the SAME window land on BOTH sides of the micro-batch boundary,
+    // so that window's (count, sum) aggregation state crossed it.
+    val us = Tables.eventsWithTs(spark, sf001)
+      .select(expr("ts_ns DIV 1000").as("us")).collect().map(_.getLong(0))
+    val hourUs = 3600L * 1000000L
+    assert(cuts.exists { c =>
+      val w0 = (c / hourUs) * hourUs
+      us.exists(t => t >= w0 && t <= c) && us.exists(t => t > c && t < w0 + hourUs)
+    }, s"no 1-hour window straddles any cut of $cuts — cross-batch agg state unexercised")
+    val batch = Queries.production("s01_window_agg")(spark, sf001)
+      .select("win_start", "event_type", "n", "sum_value")
+      .orderBy("win_start", "event_type").collect()
+    assert(out.toSeq == batch.toSeq,
+      "multi-batch streaming window aggregation must equal batch s01 exactly")
+  }
 }

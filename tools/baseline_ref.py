@@ -847,6 +847,76 @@ def main(sf):
                                     "n_chunk_tokens", "chunk_md5"])
     maybe("x10_seq_chunk", x10)
 
+    def s01():
+        # tumbling-window agg (batch form — the ground truth s09's
+        # streaming drain is gated against)
+        ev = pd.read_parquet(P("events"), columns=["ts", "event_type", "value"])
+        ev.groupby([ev.ts.dt.floor("h"), "event_type"]).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+    maybe("s01_window_agg", s01)
+
+    def q27():
+        # ordered funnel: per-user chained "first X strictly after t"
+        # (pandas idiom: stage filter + join + min per stage)
+        ev = pd.read_parquet(P("events"), columns=["user_id", "event_type", "ts"])
+        us = ev.ts.astype("int64") // 1000
+        df = pd.DataFrame({"u": ev.user_id, "t": ev.event_type, "us": us})
+        t1 = df[df.t == "view"].groupby("u").us.min().rename("t_view")
+        c = df[df.t == "click"].join(t1, on="u", how="inner")
+        t2 = c[c.us > c.t_view].groupby("u").us.min().rename("t_click")
+        p = df[df.t == "purchase"].join(t2, on="u", how="inner")
+        t3 = p[p.us > p.t_click].groupby("u").us.min().rename("t_purchase")
+        out = pd.DataFrame(index=pd.Index(df.u.unique(), name="u")) \
+            .join(t1).join(t2).join(t3)
+        out["stage"] = np.where(out.t_purchase.notna(), 3,
+                       np.where(out.t_click.notna(), 2,
+                       np.where(out.t_view.notna(), 1, 0)))
+    maybe("q27_funnel", q27)
+
+    def d14():
+        # bloom decontamination: same 8-gram shingles, md5 hash60, two
+        # bit-slice probes against the bench position set (python sets —
+        # the single-process analog of the broadcast joins)
+        d = pd.read_parquet(P("documents"), columns=["doc_id", "text"])
+        M = 134217728
+        def h60(s):
+            return int(hashlib.md5(("19:" + s).encode()).hexdigest()[:15], 16)
+        is_bench = d.doc_id.map(lambda i: h60(str(i)) % 20 == 0)
+        def gramhashes(text):
+            toks = re.split(r"\s+", text)
+            if len(toks) < 8:
+                return []
+            return [h60(g) for g in
+                    {" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)}]
+        ghs = d.text.map(gramhashes)
+        pos = set()
+        for lst in ghs[is_bench]:
+            for gh in lst:
+                pos.add(gh % M); pos.add((gh // M) % M)
+        rows = []
+        for did, lst in zip(d.doc_id[~is_bench], ghs[~is_bench]):
+            hits = sum(1 for gh in lst
+                       if gh % M in pos and (gh // M) % M in pos)
+            rows.append((did, len(lst), hits, hits > 0))
+        pd.DataFrame(rows, columns=["doc_id", "n_grams", "n_bloom_hits",
+                                    "flagged"])
+    maybe("d14_bloom_decontaminate", d14)
+
+    def x11():
+        # per-source exact discrete quantiles of token counts: sort per
+        # source, index ceil(p*n/100)-1 (the same order-statistic rule)
+        d = pd.read_parquet(P("documents"), columns=["source", "text"])
+        tc = d.text.map(lambda t: len(re.split(r"\s+", t)))
+        def prof(g):
+            v = np.sort(g.to_numpy())
+            n = len(v)
+            return pd.Series(
+                {"n_docs": n, **{f"p{p}": v[-(-p * n // 100) - 1]
+                                 for p in (25, 50, 75, 90)}})
+        pd.DataFrame({"source": d.source, "tc": tc}).groupby("source").tc \
+            .apply(prof)
+    maybe("x11_quantile_profile", x11)
+
     total = round(sum(res.values()), 3)
     print(json.dumps({"metric": "baseline_total", "value": total,
                       "unit": "sec", "queries": res, "sf": sf}))
