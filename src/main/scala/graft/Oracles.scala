@@ -259,6 +259,21 @@ object Oracles {
          |LEFT JOIN t3 USING (user_id) ORDER BY user_id""".stripMargin
     },
 
+    // q28: retention cohorts in pure integer epoch-day math (µs DIV
+    // day width — no calendar/tz functions on either side); the
+    // distinct (user, day) CTE makes the final count a distinct-user
+    // count by construction, mirroring the Spark plan exactly.
+    "q28_retention" -> {
+      val dayUs = graft.operators.EventOps.DayUs
+      s"""WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // $dayUs AS day
+         |             FROM events),
+         |coh AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+         |SELECT cohort_day, day - cohort_day AS day_offset,
+         |  COUNT(*) AS n_active
+         |FROM days JOIN coh USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     "q23_range_join" ->
       """WITH w AS (
         |  SELECT o_orderkey AS win_id, o_custkey % 150 AS u,

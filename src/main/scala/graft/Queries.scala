@@ -51,6 +51,7 @@ object Queries {
     "q25_salted_join"      -> (EtlCore.q25SaltedJoin _),
     "q26_column_triage"    -> (EtlCore.q26ColumnTriage _),
     "q27_funnel"           -> (EventOps.q27Funnel _),
+    "q28_retention"        -> (EventOps.q28Retention _),
     "t01_lang_id"          -> (TextAnalysis.t01LangId _),
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
@@ -179,6 +180,7 @@ object Queries {
     "q25_salted_join"      -> Seq("event_type"),
     "q26_column_triage"    -> Seq("column_name"),
     "q27_funnel"           -> Seq("user_id"),
+    "q28_retention"        -> Seq("cohort_day", "day_offset"),
     "t01_lang_id"          -> Seq("doc_id"),
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),

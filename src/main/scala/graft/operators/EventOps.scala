@@ -101,7 +101,8 @@ object EventOps {
         col("user_id"), col("event_type"), col("ts_us"))))
   }
 
-  private val DayUs = 86400000000L
+  /** Epoch-day width in µs (shared with q28's oracle). */
+  val DayUs: Long = 86400000000L
 
   /** Tagged union of events (is_p=0) and per-(user, t)-reduced purchases
     * (is_p=1) — the shared input of both as-of forms below. */
@@ -334,6 +335,39 @@ object EventOps {
   def q27Funnel(s: SparkSession, d: String): DataFrame =
     funnel(Tables.eventsWithTs(s, d)
       .select(col("user_id"), col("event_type"), expr("ts_ns DIV 1000").as("ts_us")))
+
+  /** q28: RETENTION COHORT table — the other product-analytics staple
+    * next to q27's funnel: users cohorted by their FIRST-ACTIVE epoch
+    * day; for each (cohort_day, day_offset), how many of that cohort
+    * were active offset days later. Day = ts_µs DIV 86,400,000,000 —
+    * pure integer math, no calendar/timezone functions to drift between
+    * engines. n_active at offset 0 IS the cohort size (every user is
+    * active on their own first day), so the single count column carries
+    * the whole retention matrix.
+    *
+    * Scale shape: the corpus compacts IMMEDIATELY to distinct
+    * (user, day) — bounded by users × active days, typically orders of
+    * magnitude under the event count — and everything downstream
+    * (first-day aggregate, user-keyed equi-join, final cell count) runs
+    * on that sparse frame. All aggregates are partial-combining counts/
+    * mins; no window over user history, so a hot user costs one row per
+    * active day and AQE handles user-key skew in the join. */
+  def q28Retention(s: SparkSession, d: String): DataFrame =
+    retention(Tables.eventsWithTs(s, d)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us")))
+
+  /** [[q28Retention]] over any (user_id, ts_us) frame — split out so
+    * specs can pin the cohort/offset math on literal histories. */
+  def retention(ev: DataFrame): DataFrame = {
+    val days = ev
+      .select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      // days is distinct (user, day), so a plain count IS distinct users
+      .agg(count(lit(1)).as("n_active"))
+  }
 
   /** [[q27Funnel]] over any (user_id, event_type, ts_us) frame — split
     * out so specs can plant broken funnels (out-of-order stages, missing

@@ -43,6 +43,28 @@ class FunnelBloomQuantileSpec extends SparkSpecBase {
     assert(out.size == 7)
   }
 
+  // ------------------------------------------------------------- q28
+
+  test("retention: cohort day is first-active, offsets count distinct users") {
+    val D = EventOps.DayUs
+    val ev = Seq(
+      // user 1: active days 0, 1, 3 (two events on day 0 — dedup to one)
+      (1L, 0L), (1L, D - 1L), (1L, D + 5L), (1L, 3 * D),
+      // user 2: same cohort (day 0), active again day 1
+      (2L, 12L), (2L, D + 7L),
+      // user 3: later cohort (day 2), active only that day
+      (3L, 2 * D + 9L)
+    ).toDF("user_id", "ts_us")
+    val out = EventOps.retention(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("n_active")).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L,  // users 1+2 on their first day
+      (0L, 1L) -> 2L,  // both return day 1
+      (0L, 3L) -> 1L,  // only user 1
+      (2L, 0L) -> 1L)) // user 3's one-day cohort
+  }
+
   // ------------------------------------------------------------- d14
 
   test("bloom decontamination: planted contamination is flagged, clean text is not") {

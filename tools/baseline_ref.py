@@ -873,6 +873,19 @@ def main(sf):
                        np.where(out.t_view.notna(), 1, 0)))
     maybe("q27_funnel", q27)
 
+    def q28():
+        # retention cohorts: distinct (user, epoch day), first-day cohort,
+        # (cohort, offset) distinct-user counts
+        ev = pd.read_parquet(P("events"), columns=["user_id", "ts"])
+        per_day = 86400000000 if str(ev.ts.dtype).endswith("[us]") \
+            else 86400000000000
+        day = ev.ts.astype("int64") // per_day
+        days = pd.DataFrame({"u": ev.user_id, "d": day}).drop_duplicates()
+        coh = days.groupby("u").d.min().rename("c")
+        j = days.join(coh, on="u")
+        j.groupby([j.c, j.d - j.c]).size()
+    maybe("q28_retention", q28)
+
     def d14():
         # bloom decontamination: same 8-gram shingles, md5 hash60, two
         # bit-slice probes against the bench position set (python sets —
