@@ -345,29 +345,32 @@ object EventOps {
     * active on their own first day), so the single count column carries
     * the whole retention matrix.
     *
-    * Scale shape: the corpus compacts IMMEDIATELY to distinct
-    * (user, day) — bounded by users × active days, typically orders of
-    * magnitude under the event count — and everything downstream
-    * (first-day aggregate, user-keyed equi-join, final cell count) runs
-    * on that sparse frame. All aggregates are partial-combining counts/
-    * mins; no window over user history, so a hot user costs one row per
-    * active day and AQE handles user-key skew in the join. */
+    * Scale shape: ONE corpus scan. The events pass compacts immediately
+    * to distinct (user, day) — bounded by users × active days, orders
+    * of magnitude under the event count — and that frame is consumed
+    * exactly ONCE: per user, (first day, active-day list) in one
+    * aggregate, then explode → cell count, all on corpus-sparse rows.
+    * (The join-back formulation — days ⋈ per-user minima — re-evaluates
+    * the distinct's corpus scan on BOTH consumers, the df-reused-twice
+    * recompute CLAUDE.md documents; measured: two parquet scans in the
+    * plan. The collect_list is bounded by days-since-epoch per user, so
+    * a hot user is capped by the calendar, not their event volume.)
+    * No window over user history anywhere. */
   def q28Retention(s: SparkSession, d: String): DataFrame =
     retention(Tables.eventsWithTs(s, d)
       .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us")))
 
   /** [[q28Retention]] over any (user_id, ts_us) frame — split out so
     * specs can pin the cohort/offset math on literal histories. */
-  def retention(ev: DataFrame): DataFrame = {
-    val days = ev
-      .select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
+  def retention(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), expr(s"ts_us DIV $DayUs").as("day"))
       .distinct()
-    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
-    days.join(cohorts, "user_id")
+      .groupBy("user_id")
+      .agg(min("day").as("cohort_day"), collect_list("day").as("days"))
+      .select(col("cohort_day"), explode(col("days")).as("day"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
-      // days is distinct (user, day), so a plain count IS distinct users
+      // days was distinct (user, day), so a plain count IS distinct users
       .agg(count(lit(1)).as("n_active"))
-  }
 
   /** [[q27Funnel]] over any (user_id, event_type, ts_us) frame — split
     * out so specs can plant broken funnels (out-of-order stages, missing
