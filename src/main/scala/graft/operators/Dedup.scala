@@ -768,7 +768,17 @@ object Dedup {
     * leaks). Measured against exact d07 at sf10 (474,857 training
     * docs): 0 false negatives, 1.43% doc-level over-drop (the per-doc
     * FP compounds over its distinct grams — BENCH.md r13). Pipelines
-    * that cannot spend the over-drop use d07's exact gram join. */
+    * that cannot spend the over-drop use d07's exact gram join.
+    *
+    * Headroom caveat: "broadcasts" holds only while the position set is
+    * under [[Skew.BroadcastRowCap]] (4M rows default). At sf10 it is
+    * ~1.2M rows — ~3.5× headroom; past the cap boundedBroadcast falls
+    * back LOUDLY (stderr + [[Skew.broadcastFallbacks]], tag
+    * `d14.positions`) and both probe joins degrade to corpus-gram
+    * shuffles — correct but no longer the constant-state shape. A
+    * benchmark suite that large should raise SPARK_GRAFT_BROADCAST_CAP
+    * (the position set is two longs/row — 4M rows ≈ 64 MB) or shrink
+    * [[BloomBits]]. */
   def d14BloomDecontaminate(s: SparkSession, d: String): DataFrame =
     bloomDecontaminate(s, Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
@@ -795,7 +805,7 @@ object Dedup {
     val positions = Skew.boundedBroadcast(graft.Checkpoints.cut(
       grams.filter(col("is_bench")).select(col("gh")).distinct()
         .select(explode(array(col("gh") % m, expr(s"gh DIV $m") % m)).as("pos"))
-        .distinct()))
+        .distinct()), tag = "d14.positions")
     val train = grams.filter(!col("is_bench"))
       .select(col("doc_id"), col("gh")).distinct()
       .withColumn("p1", col("gh") % m)

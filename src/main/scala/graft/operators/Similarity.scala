@@ -40,6 +40,10 @@ object Similarity {
   val RhpSeedBase = 1000
   private val EmbeddingDim = 64
 
+  /** Driver-collect cap for e01's query set (~60 MB of 64-float vectors
+    * at the cap). See the guard in [[e01KnnBrute]]. */
+  val MaxBruteQueries = 200000L
+
   /** Band width calibrated to corpus size: expected bucket occupancy is
     * n/2^bits, so FIXED bits means per-bucket candidate pairs grow as
     * (n/2^bits)² — quadratically in n. Measured consequence: the sf10
@@ -195,6 +199,16 @@ object Similarity {
   def e01KnnBrute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // Driver-side bound: the query set is 1% of the corpus (vec_id%100),
+    // so this collect SCALES WITH the corpus — 2k rows at sf10, but a
+    // 2×10^9-vector corpus would pull 20M×(64 floats) ≈ 5 GB to the
+    // driver. Fail loudly at the cap instead of OOMing mid-collect:
+    // e01 is the exact BASELINE op; the scale path for large query sets
+    // is e02–e05 (and a query-batched loop over this same kernel).
+    val nQueries = e.filter(col("vec_id") % 100 === 0).count()
+    require(nQueries <= MaxBruteQueries,
+      s"e01 query set ($nQueries rows) exceeds the driver-collect cap " +
+        s"($MaxBruteQueries); use the ANN ladder (e02-e05) or batch the queries")
     val queries = e.filter(col("vec_id") % 100 === 0)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val qb = s.sparkContext.broadcast(queries)

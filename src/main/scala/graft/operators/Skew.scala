@@ -65,7 +65,29 @@ object Skew {
     *
     * `df` must be cheap to count: already materialized
     * (localCheckpoint/cache) or a narrow projection/filter over a
-    * materialized frame — otherwise the count re-runs its lineage. */
-  def boundedBroadcast(df: DataFrame, capRows: Long = BroadcastRowCap): DataFrame =
-    if (df.count() <= capRows) broadcast(df) else df
+    * materialized frame — otherwise the count re-runs its lineage.
+    *
+    * The fallback is LOUD: it bumps [[broadcastFallbacks]] and logs the
+    * offending size. The degradation is correctness-neutral but can be a
+    * silent bench cliff (d14's "zero-shuffle" probe joins become
+    * corpus-wide gram shuffles past the cap) — a probe-able counter
+    * turns a mystery regression into a one-line diagnosis. */
+  def boundedBroadcast(df: DataFrame, capRows: Long = BroadcastRowCap,
+                       tag: String = ""): DataFrame = {
+    val n = df.count()
+    if (n <= capRows) broadcast(df)
+    else {
+      broadcastFallbacks.incrementAndGet()
+      val t = if (tag.isEmpty) "" else s" [$tag]"
+      System.err.println(
+        s"[graft] boundedBroadcast$t: $n rows > cap $capRows — " +
+          "returning unhinted frame (join degrades to shuffle)")
+      df
+    }
+  }
+
+  /** Number of [[boundedBroadcast]] calls since JVM start that exceeded
+    * their cap and returned the frame unhinted. Specs and bench harnesses
+    * read this to assert (or surface) the degraded path. */
+  val broadcastFallbacks = new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -464,20 +464,32 @@ object StreamOps {
         // the midpoint of a within-gap consecutive same-user event pair
         // (the candidate nearest its naive target), so by construction a
         // session straddles EVERY cut and its state must survive the
-        // micro-batch boundary. Cut placement cannot affect results
-        // (sessionization is cut-independent); the per-user window here
-        // is gate-harness cost, not a cataloged plan.
+        // micro-batch boundary. Candidates whose pair ALSO shares one
+        // 1-hour tumbling window are preferred (min-struct key: sameWin
+        // first, then distance): such a cut provably lands INSIDE a
+        // populated hour window — events of that window on both sides —
+        // so s09's cross-batch aggregation-state straddle holds by
+        // construction too, not by luck of the corpus (r13 ADVICE: the
+        // spec's straddle assert could flake on regeneration otherwise).
+        // Same-window pairs are a subset of within-gap pairs, so the
+        // session guarantee is unchanged. Cut placement cannot affect
+        // results (sessionization/window agg are cut-independent); the
+        // per-user window here is gate-harness cost, not a cataloged plan.
         val uw = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val hourUs = 3600000000L
         val mids = norm
           .select(col("user_id"), col("event_id"),
             expr("ts_ns DIV 1000").as("us"))
           .withColumn("prev", lag("us", 1).over(uw))
           .filter(col("prev").isNotNull && col("us") > col("prev") &&
             col("us") - col("prev") <= lit(EventOps.GapUs))
-          .select(expr("(prev + us) DIV 2").as("mid"))
+          .select(expr("(prev + us) DIV 2").as("mid"),
+            when(expr(s"prev DIV $hourUs") === expr(s"us DIV $hourUs"), 0L)
+              .otherwise(1L).as("crossesWin"))
         val aggs = targets.zipWithIndex.map { case (t, i) =>
-          min(struct(abs(col("mid") - lit(t)).as("d"), col("mid"))).as(s"b$i")
+          min(struct(col("crossesWin").as("x"),
+            abs(col("mid") - lit(t)).as("d"), col("mid"))).as(s"b$i")
         }
         val picked = mids.agg(aggs.head, aggs.tail: _*).head()
         val cuts = targets.indices.map { i =>

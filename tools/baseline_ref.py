@@ -19,6 +19,15 @@ import numpy as np
 
 ONLY = set()
 
+
+def ts_micros(ts):
+    """Epoch microseconds from an events.ts series, dtype-adaptive: the
+    driver has generated ts as both datetime64[ns] and datetime64[us]
+    across rounds — dividing by 1000 unconditionally yields MILLIseconds
+    on a [us] column, which can merge us-distinct ties in strict-after
+    comparisons (q27) and shrink windows (s02/s07)."""
+    return ts.astype("int64") // (1 if str(ts.dtype).endswith("[us]") else 1000)
+
 def timed(fn):
     t0 = time.perf_counter()
     fn()
@@ -346,7 +355,7 @@ def main(sf):
     def s02():
         ev = pd.read_parquet(P("events"))
         ev = ev.sort_values(["user_id", "ts", "event_id"])
-        us = ev.ts.astype("int64") // 1000
+        us = ts_micros(ev.ts)
         new = (us.groupby(ev.user_id).diff().isna() |
                (us.groupby(ev.user_id).diff() > 1800000000)).astype(int)
         sess = new.groupby(ev.user_id).cumsum()
@@ -613,7 +622,7 @@ def main(sf):
         # sf10's replicated users; a competent single-node engineer
         # writes this form)
         ev = pd.read_parquet(P("events"))
-        us = ev.ts.astype("int64") // 1000
+        us = ts_micros(ev.ts)
         w = int(4 * int(us.max() - us.min()) * ev.user_id.nunique() // len(ev))
         v = pd.DataFrame({"u": ev.user_id[ev.event_type == "view"],
                           "us": us[ev.event_type == "view"],
@@ -859,7 +868,7 @@ def main(sf):
         # ordered funnel: per-user chained "first X strictly after t"
         # (pandas idiom: stage filter + join + min per stage)
         ev = pd.read_parquet(P("events"), columns=["user_id", "event_type", "ts"])
-        us = ev.ts.astype("int64") // 1000
+        us = ts_micros(ev.ts)
         df = pd.DataFrame({"u": ev.user_id, "t": ev.event_type, "us": us})
         t1 = df[df.t == "view"].groupby("u").us.min().rename("t_view")
         c = df[df.t == "click"].join(t1, on="u", how="inner")
