@@ -411,7 +411,7 @@ object Oracles {
     // rules are shared members, so the two engines run the same strip
     // over byte-identical markup and neither can drift from the other.
     "t09_html_extract" -> {
-      import graft.operators.TextAnalysis.{htmlBlockPatterns, htmlEntities, htmlEntityPattern, htmlTemplate}
+      import graft.operators.TextAnalysis.{htmlBlockPatterns, htmlEntities, htmlEntityPattern, htmlNumericRefPattern, htmlTemplate}
       val fields = Map(
         "doc_id" -> "CAST(doc_id AS VARCHAR)",
         "lang"   -> "lang",
@@ -430,7 +430,17 @@ object Oracles {
         .map(p => s"len(regexp_extract_all(raw, '$p'))").mkString(" + ")
       val deblocked = htmlBlockPatterns
         .foldLeft("raw")((c, p) => s"regexp_replace($c, '$p', ' ', 'g')")
-      val decoded = htmlEntities.foldLeft("dt") { case (c, (e, v)) =>
+      // Numeric refs decode FIRST (mirroring decodeNumericRefs: split on
+      // the ref pattern, rebuild with chr(cp) where the code point is
+      // valid, the literal ref otherwise), the named table after.
+      val cp =
+        """(CASE WHEN substr(refs[i],3,1) IN ('x','X')
+          |  THEN CAST(concat('0x', substr(refs[i], 4, len(refs[i])-4)) AS BIGINT)
+          |  ELSE CAST(substr(refs[i], 3, len(refs[i])-3) AS BIGINT) END)""".stripMargin
+      val decChar =
+        s"""(CASE WHEN $cp BETWEEN 1 AND 1114111 AND NOT ($cp BETWEEN 55296 AND 57343)
+           |  THEN chr(CAST($cp AS INT)) ELSE refs[i] END)""".stripMargin
+      val decoded = htmlEntities.foldLeft("dn") { case (c, (e, v)) =>
         s"replace($c, '$e', '${v.replace("'", "''")}')"
       }
       s"""WITH pages AS (SELECT doc_id, $page AS raw FROM documents),
@@ -439,9 +449,15 @@ object Oracles {
          |t AS (SELECT doc_id, raw, n_blocks,
          |        CAST(len(regexp_extract_all(db, '<[^>]*>')) AS BIGINT) AS n_tags,
          |        regexp_replace(db, '<[^>]*>', ' ', 'g') AS dt FROM b),
+         |nr AS (SELECT doc_id, raw, n_blocks, n_tags, dt,
+         |        string_split_regex(dt, '$htmlNumericRefPattern') AS parts,
+         |        regexp_extract_all(dt, '$htmlNumericRefPattern') AS refs FROM t),
+         |nd AS (SELECT doc_id, raw, n_blocks, n_tags, dt,
+         |        parts[1] || array_to_string(list_transform(range(1, len(refs)+1),
+         |          i -> $decChar || parts[i+1]), '') AS dn FROM nr),
          |e AS (SELECT doc_id, raw, n_blocks, n_tags,
          |        CAST(len(regexp_extract_all(dt, '$htmlEntityPattern')) AS BIGINT) AS n_entities,
-         |        trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g')) AS clean FROM t)
+         |        trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g')) AS clean FROM nd)
          |SELECT doc_id, n_blocks, n_tags, n_entities,
          |  CAST(len(raw) AS BIGINT) AS n_chars_raw,
          |  CAST(len(clean) AS BIGINT) AS n_chars_clean,

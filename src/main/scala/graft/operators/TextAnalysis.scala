@@ -325,10 +325,14 @@ object TextAnalysis {
     * `<script>` whose body contains `<`, `&&` and `%` (naive tag-strip
     * regexes mangle it), a `<style>` with CSS braces, entities both
     * inside kept content (`&amp;`, `&nbsp;`, `&mdash;`) and inside
-    * dropped boilerplate (`&gt;` in nav, `&copy;` in footer — these must
-    * NOT be counted as decoded), an HTML comment, and the document text
-    * split mid-word across two `<p>` blocks. No single quotes anywhere
-    * (lets the oracle embed chunks as plain SQL literals). */
+    * dropped boilerplate (`&gt;` in nav, `&copy;`/`&#169;` in footer —
+    * these must NOT be counted as decoded), NUMERIC character refs in
+    * kept content (decimal `&#8212;`/`&#47;`, hex `&#x2605;` → a
+    * 3-byte UTF-8 char, the out-of-range `&#1114112;` and malformed
+    * `&#xzz;` which must stay literal), an HTML comment, and the
+    * document text split mid-word across two `<p>` blocks. No single
+    * quotes anywhere (lets the oracle embed chunks as plain SQL
+    * literals). */
   val htmlTemplate: Seq[Either[String, String]] = Seq(
     Left("<!DOCTYPE html>\n<html lang=\""), Right("lang"),
     Left("\">\n<head>\n<title>Doc "), Right("doc_id"),
@@ -344,10 +348,11 @@ object TextAnalysis {
     Left(" lang "), Right("lang"),
     Left(" -->\n<div id=\"main\" class=\"content\">\n<p>"), Right("half1"),
     Left("</p>\n<p>"), Right("half2"),
-    Left(" &amp; more&nbsp;text</p>\n</div>\n" +
+    Left(" &amp; more&nbsp;text &#8212; rated 4&#47;5 &#x2605; " +
+      "(&#1114112;&#xzz; stay literal)</p>\n</div>\n" +
       "<aside>Related: <a href=\"/doc/"), Right("next"),
     Left("\">doc "), Right("next"),
-    Left("</a></aside>\n<footer>&copy; "), Right("source"),
+    Left("</a></aside>\n<footer>&copy;&#169; "), Right("source"),
     Left(" contributors</footer>\n</body>\n</html>"))
 
   /** Boilerplate block patterns, dropped WITH their content before any
@@ -365,16 +370,61 @@ object TextAnalysis {
     "(?s)<!--.*?-->")
 
   /** Entity decode table, in application order — `&amp;` LAST, or
-    * decoding it first would re-expose `&lt;` etc. for double decode.
-    * `&nbsp;` decodes to a plain space so the whitespace collapse can
-    * merge it. Shared with the oracle. */
+    * decoding it first would re-expose `&lt;` etc. for double decode
+    * (and would re-expose `&amp;#60;` as a decodable numeric ref — the
+    * numeric pass runs FIRST, so that classic double-decode cannot
+    * happen either). `&nbsp;` decodes to a plain space so the
+    * whitespace collapse can merge it. Shared with the oracle. `&#39;`
+    * (r13's one numeric entry) is now subsumed by the general numeric
+    * decode. */
   val htmlEntities: Seq[(String, String)] = Seq(
     "&nbsp;" -> " ", "&mdash;" -> "—", "&copy;" -> "©",
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&amp;" -> "&")
 
-  /** Pattern counting the entities [[htmlEntities]] decodes. */
-  val htmlEntityPattern: String = "&(nbsp|mdash|copy|lt|gt|quot|#39|amp);"
+  /** Numeric character reference pattern — decimal (`&#8212;`) and hex
+    * (`&#x2605;`) forms. Digit counts are BOUNDED (7 decimal / 6 hex
+    * digits ≥ every code point ≤ U+10FFFF) so the code-point parse can
+    * never overflow; an overlong ref simply fails to match and stays
+    * literal text, like any other malformed ref. Shared with the
+    * oracle. */
+  val htmlNumericRefPattern: String = "&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
+
+  /** Pattern counting entity references seen in kept content: the named
+    * table plus numeric refs. Counts ATTEMPTED references — a
+    * pattern-valid ref whose code point is invalid (per
+    * [[decodeNumericRefs]]) is counted here but left literal. */
+  val htmlEntityPattern: String =
+    "&(nbsp|mdash|copy|lt|gt|quot|amp);|" + htmlNumericRefPattern
+
+  /** Decode numeric character references in one split/rebuild pass: the
+    * text is split on [[htmlNumericRefPattern]], the matched refs are
+    * extracted, and parts are glued back with each ref decoded via its
+    * code point — `format_string("%c", cp)` emits the UTF-8 character,
+    * including supplementary planes (surrogate pair in the JVM string).
+    * INVALID code points — 0, beyond U+10FFFF, or the surrogate block
+    * U+D800–U+DFFF — keep the literal ref text (the conservative
+    * choice; the oracle mirrors it as a CASE around DuckDB's chr()).
+    *
+    * Scale note: the regex work (split + extract_all) runs codegen'd
+    * OUTSIDE the lambda; the per-element lambda is substr/conv/concat
+    * over the handful of refs a page carries, so its interpreted eval
+    * is bounded by ref count, never page size. */
+  def decodeNumericRefs(text: Column): Column = {
+    val pat = htmlNumericRefPattern
+    val parts = split(text, pat, -1)
+    val refs = regexp_extract_all(text, lit(pat), lit(0))
+    concat(element_at(parts, 1),
+      array_join(zip_with(refs, slice(parts, lit(2), size(parts) - 1), (r, p) => {
+        val isHex = substring(r, 3, 1).isin("x", "X")
+        // body excludes "&#"/"&#x" prefix and the ";" terminator
+        val cp = when(isHex, conv(r.substr(lit(4), length(r) - 4), 16, 10))
+          .otherwise(r.substr(lit(3), length(r) - 3))
+          .cast("bigint")
+        val valid = cp.between(1L, 0x10FFFFL) && !cp.between(0xD800L, 0xDFFFL)
+        concat(when(valid, format_string("%c", cp.cast("int"))).otherwise(r), p)
+      }), ""))
+  }
 
   /** The deterministic page builder: documents → (doc_id, html). */
   def htmlDocs(docs: DataFrame): DataFrame = {
@@ -419,8 +469,12 @@ object TextAnalysis {
     val deblocked = htmlBlockPatterns
       .foldLeft(raw)((c, p) => regexp_replace(c, p, " "))
     val detag = regexp_replace(deblocked, "<[^>]*>", " ")
+    // Numeric refs first (a decoded `&amp;#60;` must NOT become a
+    // decodable `&#60;`), named table after, `&amp;` last within it.
     val decoded = htmlEntities
-      .foldLeft(detag) { case (c, (e, v)) => regexp_replace(c, e, v) }
+      .foldLeft(decodeNumericRefs(detag)) {
+        case (c, (e, v)) => regexp_replace(c, e, v)
+      }
     val clean = trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
     pages.select(
       col("doc_id"),

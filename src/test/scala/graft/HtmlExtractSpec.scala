@@ -67,9 +67,28 @@ class HtmlExtractSpec extends SparkSpecBase {
     assert(!clean.contains("<") || clean.contains("&"),
       "no markup may survive")
     // every generated page drops the same six boilerplate blocks and
-    // decodes the three content entities (&mdash; &amp; &nbsp;)
-    assert(out.filter(col("n_blocks") =!= 6 || col("n_entities") =!= 3)
+    // carries seven counted refs in kept content: named &mdash; &amp;
+    // &nbsp; plus numeric &#8212; &#47; &#x2605; and the out-of-range
+    // &#1114112; (counted as attempted, left literal; &#xzz; never
+    // matches the pattern)
+    assert(out.filter(col("n_blocks") =!= 6 || col("n_entities") =!= 7)
       .count() == 0)
+    assert(clean.contains("— rated 4/5 ★ (&#1114112;&#xzz; stay literal)"),
+      s"numeric refs must decode (valid) or stay literal (invalid/malformed), got: $clean")
+  }
+
+  test("numeric refs: decimal/hex/supplementary decode; zero, surrogate, out-of-range, malformed stay literal") {
+    val html = "<p>A&#66;C &#x2605; pile&#128169; nl&#10;x " +
+      "&#0; &#55296; &#1114112; &#xzz; &#99999999; &amp;#60;</p>"
+    val r = one(html)
+    // &amp;#60; proves no double decode: the numeric pass runs BEFORE
+    // the named table, so the '&#60;' exposed by &amp; stays literal.
+    assert(r.getAs[String]("text_clean") ==
+      "ABC ★ pile💩 nl x &#0; &#55296; &#1114112; &#xzz; &#99999999; &#60;")
+    // counted: 7 numeric-SHAPED refs (incl. the 3 invalid-code-point
+    // ones) + named &amp;; NOT counted: &#xzz; (no digits) and
+    // &#99999999; (8 digits — overlong, never matches)
+    assert(r.getAs[Long]("n_entities") == 8L)
   }
 
   test("t09 production plan is one map-side pass: no exchange, no sort, no join") {
