@@ -506,21 +506,55 @@ object Oracles {
          |FROM nt LEFT JOIN nr ON nt.doc_id = nr.doc_id
          |ORDER BY nt.doc_id""".stripMargin,
 
-    "t05_pii_mask" ->
-      """WITH built AS (
-        |  SELECT c_custkey,
-        |    'contact ' || lower(regexp_replace(c_name, '[^A-Za-z0-9#]', '', 'g')) ||
-        |    ' at user' || CAST(c_custkey AS VARCHAR) ||
-        |    '@example' || CAST(c_nationkey AS VARCHAR) ||
-        |    '.com or 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
-        |    '-' || lpad(CAST(c_nationkey * 173 % 10000 AS VARCHAR), 4, '0') AS raw
-        |  FROM customer)
-        |SELECT c_custkey, raw,
-        |  regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS masked,
-        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
-        |FROM built ORDER BY c_custkey""".stripMargin,
+    // t05 is GENERATED from TextAnalysis' shared pattern constants and
+    // the same Luhn position parity (luhnSumSql mirrors luhnSum term by
+    // term), so the builder, the checksum, and the masking rules cannot
+    // drift between the engines.
+    "t05_pii_mask" -> {
+      import graft.operators.TextAnalysis.{piiCardPattern, piiEmailPattern, piiIpv4Pattern, piiPhonePattern}
+      def luhn(e: String): String = (1 to 16).map { i =>
+        val d = s"CAST(substr($e, $i, 1) AS INT)"
+        if ((16 - i) % 2 == 1) s"(CASE WHEN 2*$d > 9 THEN 2*$d - 9 ELSE 2*$d END)"
+        else d
+      }.mkString("(", " + ", ")")
+      s"""WITH b0 AS (
+         |  SELECT c_custkey, c_nationkey, c_name,
+         |    '4' || lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0') ||
+         |    lpad(CAST((c_custkey * 7919 + c_nationkey) % 100000000 AS VARCHAR), 8, '0') AS base15
+         |  FROM customer),
+         |b1 AS (SELECT *, (10 - ${luhn("(base15 || '0')")} % 10) % 10 AS correct FROM b0),
+         |built AS (
+         |  SELECT c_custkey,
+         |    'contact ' || lower(regexp_replace(c_name, '[^A-Za-z0-9#]', '', 'g')) ||
+         |    ' at user' || CAST(c_custkey AS VARCHAR) ||
+         |    '@example' || CAST(c_nationkey AS VARCHAR) ||
+         |    '.com or 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+         |    '-' || lpad(CAST(c_nationkey * 173 % 10000 AS VARCHAR), 4, '0') ||
+         |    ' ip 192.' || CAST(c_custkey % 254 + 1 AS VARCHAR) ||
+         |    '.' || CAST(c_nationkey % 250 AS VARCHAR) ||
+         |    '.' || CAST(c_custkey * 7 % 250 AS VARCHAR) ||
+         |    ' card ' || base15 ||
+         |    CAST(CASE WHEN c_custkey % 2 = 0 THEN correct ELSE (correct + 5) % 10 END AS VARCHAR) AS raw
+         |  FROM b1),
+         |m AS (SELECT c_custkey, raw,
+         |    regexp_replace(regexp_replace(regexp_replace(raw,
+         |      '$piiEmailPattern', '[EMAIL]', 'g'),
+         |      '$piiPhonePattern', '[PHONE]', 'g'),
+         |      '$piiIpv4Pattern', '[IP]', 'g') AS after_ip FROM built),
+         |r AS (SELECT c_custkey, raw, after_ip,
+         |    string_split_regex(after_ip, '$piiCardPattern') AS parts,
+         |    regexp_extract_all(after_ip, '$piiCardPattern') AS cands,
+         |    regexp_extract_all(raw, '$piiCardPattern') AS rawcands FROM m)
+         |SELECT c_custkey, raw,
+         |  parts[1] || array_to_string(list_transform(range(1, len(cands)+1), i ->
+         |    (CASE WHEN ${luhn("cands[i]")} % 10 = 0 THEN '[CARD]' ELSE cands[i] END) || parts[i+1]), '') AS masked,
+         |  CAST(len(regexp_extract_all(raw, '$piiEmailPattern')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$piiPhonePattern')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(raw, '$piiIpv4Pattern')) AS BIGINT) AS n_ips,
+         |  CAST(len(rawcands) AS BIGINT) AS n_cards,
+         |  CAST(len(list_filter(rawcands, x -> ${luhn("x")} % 10 = 0)) AS BIGINT) AS n_cards_valid
+         |FROM r ORDER BY c_custkey""".stripMargin
+    },
 
     "t06_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS toks FROM documents),

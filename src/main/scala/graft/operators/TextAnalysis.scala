@@ -107,29 +107,96 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("bigint").as("n_distinct"))
   }
 
+  /** PII masking patterns, shared verbatim with the oracle. All
+    * RE2-safe (no lookarounds/backrefs); `[0-9]` not `\d` so the two
+    * engines agree on ASCII-only digit classes. */
+  val piiEmailPattern: String = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val piiPhonePattern: String = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val piiIpv4Pattern: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** Card CANDIDATE shape; candidates are masked only when the Luhn
+    * checksum verifies ([[luhnSum]]) — format alone is not PII. */
+  val piiCardPattern: String = "\\b[0-9]{16}\\b"
+
+  /** Luhn digit sum of a fixed-length all-digit string column: digits
+    * at ODD distance from the right are doubled with carry-fold
+    * (2d > 9 → 2d − 9). The number verifies iff the sum ≡ 0 (mod 10).
+    * Pure integer arithmetic, statically unrolled to `n` codegen'd
+    * terms — engine-exact by construction, and [[graft.Oracles]]
+    * generates the identical SQL sum from the same position parity. */
+  def luhnSum(numStr: Column, n: Int): Column =
+    (1 to n).map { i =>
+      val d = substring(numStr, i, 1).cast("int")
+      if ((n - i) % 2 == 1) {
+        val t = d * 2
+        when(t > 9, t - 9).otherwise(t)
+      } else d
+    }.reduce(_ + _)
+
   /** t05: PII masking — the redaction pass of a training-data pipeline:
-    * emails → [EMAIL], phone-shaped numbers → [PHONE], with per-row match
+    * emails → [EMAIL], phone-shaped numbers → [PHONE], IPv4 addresses →
+    * [IP], and Luhn-VERIFIED 16-digit card numbers → [CARD] (a
+    * digit-shaped number that fails the checksum is NOT PII and must
+    * survive — the classic over-redaction bug), with per-row match
     * counts for audit. Input text is built deterministically (the
-    * synthetic corpus carries no PII), the masking rules are the real
+    * synthetic corpus carries no PII) with both valid and invalid
+    * check digits planted by parity; the masking rules are the real
     * thing. RE2-safe patterns, mirrored verbatim in the oracle. */
   def t05PiiMask(s: SparkSession, d: String): DataFrame = {
-    val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    // 15-digit card base; the correct Luhn check digit is derived with
+    // a zero placeholder in the check position (keeps the doubling
+    // parity of the full 16-digit number), then even custkeys get the
+    // correct digit (valid card) and odd custkeys a corrupted one
+    // (+5 mod 10 — never equal to the correct digit).
+    val base15 = concat(lit("4"),
+      lpad((col("c_custkey") % 1000000).cast("string"), 6, "0"),
+      lpad(((col("c_custkey") * 7919 + col("c_nationkey")) % 100000000)
+        .cast("string"), 8, "0"))
+    val correct = pmod(lit(10) - pmod(luhnSum(concat(base15, lit("0")), 16), lit(10)), lit(10))
+    val check = when(col("c_custkey") % 2 === 0, correct)
+      .otherwise(pmod(correct + 5, lit(10)))
     val raw = concat(
       lit("contact "), lower(regexp_replace(col("c_name"), "[^A-Za-z0-9#]", "")),
       lit(" at user"), col("c_custkey").cast("string"),
       lit("@example"), col("c_nationkey").cast("string"),
       lit(".com or 555-"), lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
-      lit("-"), lpad((col("c_nationkey") * 173 % 10000).cast("string"), 4, "0"))
-    Tables.customer(s, d)
-      .select(col("c_custkey"), raw.as("raw"))
-      .select(col("c_custkey"), col("raw"),
-        regexp_replace(regexp_replace(col("raw"), email, "[EMAIL]"), phone, "[PHONE]")
-          .as("masked"),
-        size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("bigint")
-          .as("n_emails"),
-        size(regexp_extract_all(col("raw"), lit(phone), lit(0))).cast("bigint")
-          .as("n_phones"))
+      lit("-"), lpad((col("c_nationkey") * 173 % 10000).cast("string"), 4, "0"),
+      lit(" ip 192."), (col("c_custkey") % 254 + 1).cast("string"),
+      lit("."), (col("c_nationkey") % 250).cast("string"),
+      lit("."), (col("c_custkey") * 7 % 250).cast("string"),
+      lit(" card "), base15, check.cast("string"))
+    piiMask(Tables.customer(s, d).select(col("c_custkey"), raw.as("raw")))
+  }
+
+  /** [[t05PiiMask]] over any (c_custkey, raw) frame — split out so the
+    * spec can feed adversarial fixtures (valid-format/invalid-Luhn must
+    * NOT mask). Emails/phones/IPs mask by pattern alone
+    * (regexp_replace); card candidates go through a split/rebuild pass
+    * where each is masked only if its Luhn sum verifies — the checksum
+    * arithmetic runs per CANDIDATE (a handful per row), never per
+    * character, so the interpreted lambda cost is bounded by match
+    * count. */
+  def piiMask(rows: DataFrame): DataFrame = {
+    val afterIp = regexp_replace(regexp_replace(regexp_replace(col("raw"),
+      piiEmailPattern, "[EMAIL]"), piiPhonePattern, "[PHONE]"),
+      piiIpv4Pattern, "[IP]")
+    val parts = split(afterIp, piiCardPattern, -1)
+    val cands = regexp_extract_all(col("raw"), lit(piiCardPattern), lit(0))
+    def luhnOk(r: Column): Column = pmod(luhnSum(r, 16), lit(10)) === 0
+    val masked = concat(element_at(parts, 1),
+      array_join(zip_with(
+        regexp_extract_all(afterIp, lit(piiCardPattern), lit(0)),
+        slice(parts, lit(2), size(parts) - 1),
+        (r, p) => concat(when(luhnOk(r), lit("[CARD]")).otherwise(r), p)), ""))
+    rows
+      .select(col("c_custkey"), col("raw"), masked.as("masked"),
+        size(regexp_extract_all(col("raw"), lit(piiEmailPattern), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(piiPhonePattern), lit(0)))
+          .cast("bigint").as("n_phones"),
+        size(regexp_extract_all(col("raw"), lit(piiIpv4Pattern), lit(0)))
+          .cast("bigint").as("n_ips"),
+        size(cands).cast("bigint").as("n_cards"),
+        size(filter(cands, r => luhnOk(r))).cast("bigint").as("n_cards_valid"))
   }
 
   /** t06: REPETITION metrics — the Gopher-family quality filters that
