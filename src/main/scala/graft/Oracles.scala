@@ -607,6 +607,26 @@ object Oracles {
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x'||substr(md5('$seed:'||$x),1,15)) AS BIGINT)"
 
+  /** x10's chunking CTE chain (tokenize → chunk-index explode → md5 of
+    * the token slice), generated once from the shared geometry
+    * constants and reused by every chunk-consuming oracle (x10, x12) so
+    * the fingerprints cannot drift between them. `fromSql` supplies the
+    * (doc_id, text) source relation; the final CTE `c` carries
+    * (doc_id, toks, n, chunk_no, chunk_md5). */
+  private def chunkCtes(fromSql: String): String = {
+    val C = graft.operators.Sampling.ChunkTokens
+    val S = graft.operators.Sampling.ChunkStride
+    s"""t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM $fromSql),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+       |cn AS (SELECT doc_id, toks, n,
+       |        unnest(range(0, CASE WHEN n <= $C THEN 1
+       |                            ELSE (n - $C + $S - 1) // $S + 1 END)) AS chunk_no
+       |      FROM n),
+       |c AS (SELECT doc_id, toks, n, chunk_no,
+       |        md5(array_to_string(toks[chunk_no * $S + 1 : chunk_no * $S + $C], ' ')) AS chunk_md5
+       |      FROM cn)""".stripMargin
+  }
+
   /** RHP band-assignment mirror for the shared e02/d05 bucketing: one
     * SELECT per LSH table, with the hyperplane sign weights (md5-parity,
     * [[graft.functions.Vec.rhpSign]]) embedded as ±1 literals — the exact
@@ -1646,21 +1666,33 @@ object Oracles {
     // x10: overlapping fixed-window chunking — geometry constants shared
     // with Sampling.x10SeqChunk; chunk text fingerprints are md5 of the
     // space-rejoined token slice, identical strings on both engines.
-    "x10_seq_chunk" -> {
-      val C = graft.operators.Sampling.ChunkTokens
-      val S = graft.operators.Sampling.ChunkStride
-      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
-         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-         |c AS (SELECT doc_id, toks, n,
-         |        unnest(range(0, CASE WHEN n <= $C THEN 1
-         |                            ELSE (n - $C + $S - 1) // $S + 1 END)) AS chunk_no
-         |      FROM n)
+    "x10_seq_chunk" ->
+      s"""WITH ${chunkCtes("(SELECT doc_id, text FROM documents)")}
          |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
-         |  CAST(chunk_no * $S AS BIGINT) AS start_tok,
-         |  CAST(LEAST($C, n - chunk_no * $S) AS BIGINT) AS n_chunk_tokens,
-         |  md5(array_to_string(toks[chunk_no * $S + 1 : chunk_no * $S + $C], ' ')) AS chunk_md5
-         |FROM c ORDER BY doc_id, chunk_no""".stripMargin
-    },
+         |  CAST(chunk_no * ${graft.operators.Sampling.ChunkStride} AS BIGINT) AS start_tok,
+         |  CAST(LEAST(${graft.operators.Sampling.ChunkTokens}, n - chunk_no * ${graft.operators.Sampling.ChunkStride}) AS BIGINT) AS n_chunk_tokens,
+         |  chunk_md5
+         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // x12: chunk-level exact dedup over x10's fingerprints — the chunk
+    // CTEs are the SAME generated text as x10's (chunkCtes), over the
+    // doubled corpus (d01's +1000000 convention), so the two keys
+    // cannot drift. Keeper = lexicographic min (doc_id, chunk_no),
+    // derived as min-doc then min-chunk-within-that-doc.
+    "x12_chunk_dedup" ->
+      s"""WITH ${chunkCtes(
+             "(SELECT doc_id, text FROM documents UNION ALL " +
+             "SELECT doc_id + 1000000 AS doc_id, text FROM documents)")},
+         |g AS (SELECT chunk_md5, COUNT(*) AS n_copies,
+         |        COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keep_doc
+         |      FROM c GROUP BY 1 HAVING COUNT(*) >= 2),
+         |k AS (SELECT g.chunk_md5, CAST(MIN(c.chunk_no) AS BIGINT) AS keep_chunk
+         |      FROM c JOIN g ON c.chunk_md5 = g.chunk_md5 AND c.doc_id = g.keep_doc
+         |      GROUP BY 1)
+         |SELECT g.chunk_md5, keep_doc, keep_chunk,
+         |  CAST(n_copies AS BIGINT) AS n_copies, CAST(n_docs AS BIGINT) AS n_docs
+         |FROM g JOIN k ON g.chunk_md5 = k.chunk_md5
+         |ORDER BY g.chunk_md5""".stripMargin,
 
     "x02_seq_pack" ->
       s"""WITH t AS (SELECT doc_id,

@@ -148,7 +148,10 @@ object Queries {
     "x08_curation_decide"  -> (Curation.x08CurationDecide _),
     "x09_curation_merge"   -> (Curation.x09CurationMerge _),
     "x10_seq_chunk"        -> (Sampling.x10SeqChunk _),
-    "x11_quantile_profile" -> (Sampling.x11QuantileProfile _)
+    "x11_quantile_profile" -> (Sampling.x11QuantileProfile _),
+    // x12 consumes x10's chunk fingerprints: chunk-level exact dedup
+    // over the doubled corpus (the raw corpus has no cross-doc spans).
+    "x12_chunk_dedup"      -> (Sampling.x12ChunkDedup _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -236,7 +239,8 @@ object Queries {
     "x08_curation_decide"  -> Seq("doc_id"),
     "x09_curation_merge"   -> Seq("doc_id"),
     "x10_seq_chunk"        -> Seq("doc_id", "chunk_no"),
-    "x11_quantile_profile" -> Seq("source")
+    "x11_quantile_profile" -> Seq("source"),
+    "x12_chunk_dedup"      -> Seq("chunk_md5")
   )
 
   /** Verification view: production plan + canonical output order. */

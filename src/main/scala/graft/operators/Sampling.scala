@@ -317,9 +317,14 @@ object Sampling {
     * codegen'd projection AFTER the explode (never inside a
     * higher-order lambda). Output volume is Σ ceil-ish(n/stride), the
     * corpus token count over the stride — linear, no shuffle at all. */
-  def x10SeqChunk(s: SparkSession, d: String): DataFrame = {
+  def x10SeqChunk(s: SparkSession, d: String): DataFrame =
+    seqChunk(Tables.documents(s, d))
+
+  /** [[x10SeqChunk]] over any (doc_id, text, ...) frame — factored so
+    * chunk-level consumers (x12) can chunk a corpus of their own. */
+  def seqChunk(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), toks.as("toks"),
         size(toks).cast("bigint").as("n"))
       .select(col("doc_id"), col("toks"), col("n"),
@@ -335,6 +340,43 @@ object Sampling {
           slice(col("toks"), (col("chunk_no") * ChunkStride + 1).cast("int"),
             lit(ChunkTokens)))).as("chunk_md5"))
   }
+
+  /** x12: cross-document CHUNK-level exact dedup — the gated consumer
+    * x10's `chunk_md5` column exists for (Lee-et-al-style sequence
+    * dedup at chunk granularity: a duplicated 32-token span is dropped
+    * even when the surrounding documents differ). Like d01's exact
+    * dedup, the raw synthetic corpus has no cross-doc duplicate spans,
+    * so the gate corpus doubles the documents under shifted ids
+    * (+1,000,000 — d01's convention): every chunk then has a planted
+    * duplicate and the keeper/count logic does real work. Emits one
+    * row per DUPLICATED chunk fingerprint (n_copies ≥ 2 — the dedup
+    * worklist): the lexicographically-first (doc_id, chunk_no) keeper,
+    * copy count, and distinct-doc count.
+    *
+    * Scale shape: x10's zero-shuffle chunk explode feeds ONE
+    * md5-keyed shuffle with map-side partial aggregation (d01's exact
+    * shape, string keys); no window, no join. Output is bounded by the
+    * duplicated-chunk count, never the corpus. The countDistinct
+    * plans as an Expand + two-level HashAggregate — both levels
+    * partial-combine map-side. */
+  def x12ChunkDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    chunkDedup(seqChunk(doubled))
+  }
+
+  /** [[x12ChunkDedup]] over any (doc_id, chunk_no, chunk_md5) frame —
+    * split out so specs can plant known duplicate spans. */
+  def chunkDedup(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_no"))).as("k"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chunk_md5"), col("k.doc_id").as("keep_doc"),
+        col("k.chunk_no").as("keep_chunk"), col("n_copies"), col("n_docs"))
 
   /** Percentiles reported by x11, shared with the oracle. */
   val QuantilePcts: Seq[Int] = Seq(25, 50, 75, 90)

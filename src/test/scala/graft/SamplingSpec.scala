@@ -144,6 +144,31 @@ class SamplingSpec extends SparkSpecBase {
     assert(n > 0 && n < Tables.documents(spark, sf001).count())
   }
 
+  test("x12: keeper is the lexicographic-min (doc, chunk); unique chunks are not emitted") {
+    import spark.implicits._
+    val chunks = Seq(
+      (5L, 0L, "aaa"), (5L, 2L, "aaa"), // same doc twice: keeper (5,0), n_docs 1
+      (9L, 1L, "bbb"), (3L, 7L, "bbb"), (3L, 2L, "bbb"), // keeper (3,2): min doc THEN min chunk
+      (1L, 0L, "unique")
+    ).toDF("doc_id", "chunk_no", "chunk_md5")
+    val out = Sampling.chunkDedup(chunks).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(("aaa", 5L, 0L, 2L, 1L), ("bbb", 3L, 2L, 3L, 2L)))
+  }
+
+  test("x12 production: every duplicated fingerprint spans the doubled corpus pair") {
+    val out = Queries.production("x12_chunk_dedup")(spark, sf001)
+    // the doubled corpus plants an exact +1000000 copy of every doc, so
+    // every chunk fingerprint occurs >= 2 times and keepers are originals
+    val x10 = Queries.production("x10_seq_chunk")(spark, sf001)
+    assert(out.count() > 0)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
+      == 2 * x10.count(), "doubling must account for every chunk occurrence")
+    assert(out.filter(col("keep_doc") >= 1000000L).count() == 0,
+      "keeper must always be the original, not the planted copy")
+  }
+
   test("x06: a source name with no trailing digits defaults to wt=1 instead of NPE") {
     import spark.implicits._
     // regexp_extract misses -> null int; the driver-side fold must see a
