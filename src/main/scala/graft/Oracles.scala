@@ -1287,6 +1287,47 @@ object Oracles {
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
            |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
+      // e09: BM25 top-k with rational idf — every intermediate is exact
+      // integer arithmetic in HUGEINT (Spark mirrors in DECIMAL(38,0)),
+      // per-term micro-scores via truncating integer division, summed
+      // exactly; the only float is the 6dp display division. Constants
+      // (query rule, df cap, k) come from Retrieval. tf/dl are
+      // multiply-referenced AND expensive → AS MATERIALIZED (DuckDB
+      // inlines shared CTEs otherwise — the d12 lesson).
+      "e09_bm25_topk" -> {
+        import graft.operators.Retrieval.{K, MaxDfDiv, QueryEvery}
+        s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+           |              FROM documents),
+           |tokr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |                 i -> toks[i]||' '||toks[i+1])) AS tok
+           |         FROM toks WHERE len(toks) >= ${graft.operators.Retrieval.TermGram}),
+           |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           |                    FROM tokr GROUP BY 1, 2),
+           |dl AS MATERIALIZED (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           |                    FROM tf GROUP BY 1),
+           |nt AS (SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM documents) AS n,
+           |              (SELECT CAST(SUM(dl) AS HUGEINT) FROM dl) AS t),
+           |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+           |       HAVING COUNT(*) * $MaxDfDiv <= (SELECT n FROM nt)),
+           |q AS (SELECT doc_id AS q_id, tok FROM tf WHERE doc_id % $QueryEvery = 0),
+           |sc AS (SELECT q.q_id, tf.doc_id,
+           |        CAST(SUM(
+           |          ((2*((SELECT n FROM nt) - df) + 1) * 44 * (SELECT t FROM nt) * tf * 1000000)
+           |          // ((2*df + 1) * (20*(SELECT t FROM nt)*tf + 6*(SELECT t FROM nt)
+           |                           + 18*dl.dl*(SELECT n FROM nt)))
+           |        ) AS BIGINT) AS micros
+           |       FROM q JOIN tf USING (tok) JOIN df USING (tok)
+           |       JOIN dl ON tf.doc_id = dl.doc_id
+           |       WHERE tf.doc_id <> q.q_id
+           |       GROUP BY 1, 2),
+           |r AS (SELECT q_id, doc_id, micros,
+           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY micros DESC, doc_id) AS rnk
+           |      FROM sc)
+           |SELECT q_id, doc_id, ROUND(CAST(micros AS DOUBLE)/1000000, 6) AS score,
+           |  CAST(rnk AS BIGINT) AS rnk
+           |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+      },
+
       // e07: per-cell label profile under the SAME trained coarse
       // quantizer as e03 (identical Lloyd CTEs + full-corpus final
       // assignment); majority label ties break to the lowest label id,

@@ -110,6 +110,9 @@ object Queries {
     "e06_index_append"     -> ((s, d) =>
       Incremental.e06IndexAppend(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "e07_cluster_stats"    -> (Similarity.e07ClusterStats _),
+    // e09: lexical BM25 top-k — the keyword sibling of the ANN ladder;
+    // exact-integer rational-idf scoring, one corpus-token exchange.
+    "e09_bm25_topk"        -> (Retrieval.e09Bm25TopK _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
@@ -214,6 +217,7 @@ object Queries {
     "e05_ivfpq"            -> Seq("q_id", "rnk"),
     "e06_index_append"     -> Seq("q_id", "rnk"),
     "e07_cluster_stats"    -> Seq("cell"),
+    "e09_bm25_topk"        -> Seq("q_id", "rnk"),
     "e08_filtered_ann"     -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.{Text, TopKByScore}
+
+/** Lexical retrieval (SURVEY §2 e09): inverted-index BM25 top-k — the
+  * keyword sibling of the ANN ladder (e01–e08). Every retrieval/curation
+  * stack pairs the two: embedding search finds paraphrases,
+  * keyword/BM25 search finds terminology — contamination-by-retrieval
+  * audits, hybrid RAG data selection, and query-driven corpus slicing
+  * all need the lexical half (d07/d14 only catch verbatim n-grams).
+  *
+  * The reference has no retrieval operator; this is a beyond-reference
+  * capability (VERDICT r13 top-next). The ranking function is BM25 with
+  * a RATIONAL idf — `(N − df + ½)/(df + ½)` without the log wrapper —
+  * so every score is a ratio of exact integers and the whole key stays
+  * inside the no-transcendentals oracle-parity rules. The log is
+  * monotone, so per-TERM ranking is order-identical; summed scores
+  * weight rare terms harder than the log form (a documented scoring
+  * choice, not an approximation error — the gate is exact either way).
+  */
+object Retrieval {
+
+  /** Query-set rule: documents with doc_id % QueryEvery == 0 are the
+    * query side (their DISTINCT terms form the bag-of-words query) —
+    * 1% of the corpus, the e01 convention. */
+  val QueryEvery = 100
+
+  /** Results per query. */
+  val K = 10
+
+  /** BM25 shape constants: k1 = 6/5 (1.2) and b = 3/4 (0.75) as exact
+    * rationals — the standard defaults, integer-clearable. */
+  val K1Num = 6; val K1Den = 5
+  val BNum = 3; val BDen = 4
+
+  /** Stop-term df cap: terms in MORE than N/[[MaxDfDiv]] documents are
+    * dropped from the index (and thus from every query). BM25's idf
+    * already ~zeroes their contribution; the cap additionally bounds the
+    * query-join fan-out per term to df ≤ N/10 rows — the stop-shingle
+    * discipline of d02 (Dedup.NgramMaxDf) applied to retrieval, which
+    * is what keeps a "the"-class term from joining the whole corpus at
+    * 100 TB. On the synthetic gate corpus the bigram df maximum sits
+    * WELL under the cap at every SF (46/50 at sf0.01, 338/500 at
+    * sf0.1, measured), so the capped result provably equals the
+    * uncapped one there — d02's proof pattern; the oracle mirrors the
+    * cap so the gate stays exact even where it bites. */
+  val MaxDfDiv = 10
+
+  /** Index TERM = word BIGRAM. The synthetic corpus has a ~31-token
+    * vocabulary in which every unigram is corpus-wide (min df = 25 of
+    * 500 docs — ALL stop terms under any sane cap), so unigram BM25 is
+    * degenerate there; word bigrams (~1k vocabulary, median df 28/500)
+    * carry real retrieval signal and are a standard lexical index
+    * choice (phrase-level matching). Docs under 2 tokens have no terms
+    * and are simply unindexed. */
+  val TermGram = 2
+
+  /** e09: BM25 top-[[K]] per query doc over the documents table.
+    *
+    * EXACT-INTEGER scoring: with k1 = 6/5, b = 3/4, avgdl = T/N
+    * (T = corpus tokens, N = corpus docs), the per-term score
+    *
+    *   idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * clears every denominator to
+    *
+    *   score = (2(N−df)+1) · 44·T·tf  /  (2df+1) · (20·T·tf + 6·T + 18·dl·N)
+    *
+    * — a ratio of two exact DECIMAL(38,0) integers (≤ ~10²³ at sf10,
+    * far under 10³⁸). Each term contributes its MICRO-score
+    * `num·10⁶ DIV den` (truncating integer division, positive in both
+    * engines), per-(query,doc) totals are exact bigint sums of micros
+    * (order-independent — no float accumulation), and the only float
+    * ever produced is the display score micros/10⁶ rounded at 6dp.
+    *
+    * Scale shape: ONE corpus-token exchange — the exploded token frame
+    * is explicitly repartitioned by `tok`, and because HashPartitioning
+    * on a SUBSET of grouping keys satisfies ClusteredDistribution, the
+    * (doc,tok) tf aggregate, the df aggregate, the df-cap join, the
+    * query-side filter, and the query join ALL run on that single
+    * exchange (plan-asserted in RetrievalSpec). The explicit repartition
+    * is also AQE-coalesce-exempt (the LSH band-table rule — the join
+    * OUTPUT is what explodes, not its input). Downstream shuffles are
+    * candidate-bounded: per-(q,doc) sum ≤ Σ qf·df ≤ |query terms|·N/10
+    * rows, then [[TopKByScore]]'s bounded min-heap per query (no
+    * window, no sort of the scored relation). Driver-side scalars are
+    * exactly two longs (N, T) folded per the scalar-literal rule. */
+  def e09Bm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25TopK(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[e09Bm25TopK]] over any (doc_id, text) frame (spec entry). */
+  def bm25TopK(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.functions.GraftNgrams
+    // Corpus scalars (N docs, T term occurrences), folded driver-side
+    // and re-entered as literals (join-on-literal / unpartitioned-window
+    // are the alternatives and both are banned shapes). One narrow
+    // aggregate pass; terms per doc = bigram count = greatest(len−1, 0).
+    val nt = docs.agg(
+      count(lit(1)).as("n"),
+      sum(greatest(size(Text.tokens(col("text"))).cast("bigint") - 1, lit(0L)))
+        .as("t")).head()
+    val bigN = nt.getAs[Long]("n")
+    val bigT = nt.getAs[Long]("t")
+
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val grams = GraftNgrams(s, col("text"), TermGram)
+    // The explicit isNotNull matters for EXCHANGE REUSE: the post side
+    // of the query join infers isnotnull(doc_id) from the
+    // null-rejecting candidate filter and pushes it below the
+    // exchange, while the df branch has no such constraint — without
+    // the shared filter the two exchange children differ by one Filter
+    // node, ReuseExchange can't merge them, and the corpus is
+    // exploded+shuffled TWICE (observed in the first plan).
+    val tok = docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        size(grams).cast("bigint").as("dl"),
+        explode(grams).as("tok"))
+      .repartition(nPart, col("tok"))
+    // tf per (doc, term); dl rides along (functionally dependent on
+    // doc_id, and tok-partitioning satisfies the grouping's clustering,
+    // so NO further exchange for tf, df, or the tf⋈df join below).
+    val tf = tok.groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfKept = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") * MaxDfDiv <= bigN)
+    val post = tf.join(dfKept, "tok")
+    // Query side: its OWN 1%-of-corpus scan (the filter pushes to the
+    // parquet scan), distinct terms map-side via array_distinct — no
+    // shuffle and no third corpus pass; sharing the tok exchange
+    // instead would push the %-filter below it and fork the exchange.
+    val q = docs
+      .filter(col("doc_id").isNotNull && col("doc_id") % QueryEvery === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(grams)).as("tok"))
+
+    val dec = DecimalType(38, 0)
+    def d38(c: Column): Column = c.cast(dec)
+    val num = d38(lit(2L) * (lit(bigN) - col("df")) + lit(1L)) *
+      d38(lit(44L)) * d38(lit(bigT)) * d38(col("tf")) * d38(lit(1000000L))
+    val den = d38(lit(2L) * col("df") + lit(1L)) *
+      (d38(lit(20L)) * d38(lit(bigT)) * d38(col("tf")) +
+        d38(lit(6L)) * d38(lit(bigT)) +
+        d38(lit(18L)) * d38(col("dl")) * d38(lit(bigN)))
+    val scored = q.join(post, "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"), num.as("num"), den.as("den"))
+      .select(col("q_id"), col("doc_id"),
+        expr("num DIV den").cast("bigint").as("micros"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("micros").as("micros"))
+    scored
+      .groupBy("q_id")
+      .agg(TopKByScore(s, struct(col("micros").cast("double"), col("doc_id")), K)
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "x")))
+      .select(col("q_id"), col("x.id").as("doc_id"),
+        round(col("x.score") / 1e6, 6).as("score"),
+        (col("pos") + 1).cast("bigint").as("rnk"))
+  }
+}
