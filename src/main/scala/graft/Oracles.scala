@@ -510,6 +510,37 @@ object Oracles {
     // the same Luhn position parity (luhnSumSql mirrors luhnSum term by
     // term), so the builder, the checksum, and the masking rules cannot
     // drift between the engines.
+    // t10: corpus bigram-LM surprisal. The integer-log definition
+    // (len(bin(T2 // c12)) - 1) is shared with the Spark plan; c12 is
+    // multiply-referenced and expensive -> AS MATERIALIZED.
+    "t10_ngram_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |          i -> toks[i]||' '||toks[i+1])) AS g
+         |      FROM toks WHERE len(toks) >= 2),
+         |c12 AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY 1),
+         |t2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS t2 FROM c12),
+         |o AS (SELECT doc_id, c12,
+         |        CAST(len(bin((SELECT t2 FROM t2) // c12)) - 1 AS BIGINT) AS bits
+         |      FROM b JOIN c12 USING (g)),
+         |st AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+         |        MAX(bits) AS max_bits,
+         |        CAST(SUM(CASE WHEN c12 <= ${graft.operators.TextAnalysis.RareTf}
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_bigrams
+         |      FROM o GROUP BY 1),
+         |base AS (SELECT doc_id,
+         |        CAST(GREATEST(len(string_split_regex(text, '\\s+')) - 1, 0) AS BIGINT) AS n_bigrams
+         |      FROM documents)
+         |SELECT base.doc_id, n_bigrams,
+         |  COALESCE(sum_bits, 0) AS sum_bits,
+         |  COALESCE(max_bits, 0) AS max_bits,
+         |  COALESCE(n_rare_bigrams, 0) AS n_rare_bigrams,
+         |  CASE WHEN n_bigrams = 0 THEN 0.0
+         |       ELSE ROUND(CAST(COALESCE(sum_bits, 0) AS DOUBLE) / n_bigrams, 6)
+         |  END AS mean_bits
+         |FROM base LEFT JOIN st ON base.doc_id = st.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+
     "t05_pii_mask" -> {
       import graft.operators.TextAnalysis.{piiCardPattern, piiEmailPattern, piiIpv4Pattern, piiPhonePattern}
       def luhn(e: String): String = (1 to 16).map { i =>

@@ -61,6 +61,9 @@ object Queries {
     "t07_quality_filter"   -> (TextAnalysis.t07QualityFilter _),
     "t08_rare_token_score" -> (TextAnalysis.t08RareTokenScore _),
     "t09_html_extract"     -> (TextAnalysis.t09HtmlExtract _),
+    // t10: corpus bigram-LM surprisal — integer log2 via bit length,
+    // e09's single-shared-exchange shape.
+    "t10_ngram_lm_score"   -> (TextAnalysis.t10NgramLmScore _),
     "d01_dedup_exact"      -> (Dedup.d01DedupExact _),
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
@@ -196,6 +199,7 @@ object Queries {
     "t07_quality_filter"   -> Seq("doc_id"),
     "t08_rare_token_score" -> Seq("doc_id"),
     "t09_html_extract"     -> Seq("doc_id"),
+    "t10_ngram_lm_score"   -> Seq("doc_id"),
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d13_url_dedup"        -> Seq("keep_id"),
     "d14_bloom_decontaminate" -> Seq("doc_id"),

@@ -361,6 +361,72 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("rare_frac"))
   }
 
+  /** t10: corpus n-gram LM quality score (CCNet posture) — the
+    * model-free perplexity signal the per-doc rule gates (t02/t06/t07)
+    * and the corpus rare-TOKEN signal (t08) cannot express: how
+    * SURPRISING is this document under a language model trained on the
+    * corpus itself. The model is the corpus bigram-frequency ("phrase
+    * unigram") LM — each bigram occurrence is scored by its corpus
+    * relative frequency c₁₂/T₂ — and the per-occurrence surprisal is
+    * the INTEGER log₂,
+    *
+    *   bits = ⌊log₂(T₂ div c₁₂)⌋ = length(bin(T₂ div c₁₂)) − 1,
+    *
+    * computed exactly in both engines from the binary representation
+    * (no transcendental ever runs; the two integer floors compose to a
+    * deterministic, shared definition). Junk (OCR noise, mojibake,
+    * shuffled text) is made of corpus-rare bigrams → HIGH mean bits;
+    * boilerplate/looping text → LOW. Emits per doc: bigram count,
+    * exact total/max surprisal bits, rare-bigram count
+    * (c₁₂ ≤ [[RareTf]]), and the 6dp mean.
+    *
+    * Scale shape — e09's single-exchange discipline: ONE corpus bigram
+    * exchange (explicit repartition by gram) feeds both the count
+    * aggregate and the scoring join (ReuseExchange; the count table is
+    * one row per gram so the hot-gram join fans out 1:1 — no t08-style
+    * df slicing needed), then one per-doc aggregate, map-side partial.
+    * T₂ is a driver-folded scalar (the scalar-literal rule). Counts up
+    * to ~10¹² bigrams stay exact in the bigint micros-free arithmetic;
+    * sum_bits ≤ 63·n per doc. */
+  def t10NgramLmScore(s: SparkSession, d: String): DataFrame =
+    ngramLmScore(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[t10NgramLmScore]] over any (doc_id, text) frame (spec entry —
+    * planted common-phrase vs junk fixtures pin the scoring). */
+  def ngramLmScore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.functions.GraftNgrams
+    val grams = GraftNgrams(s, col("text"), 2)
+    val t2 = docs.agg(
+      sum(greatest(size(Text.tokens(col("text"))).cast("bigint") - 1, lit(0L))))
+      .head().getLong(0)
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val b = docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .repartition(nPart, col("g"))
+    val c12 = b.groupBy("g").agg(count(lit(1)).as("c12"))
+    val stats = b.join(c12, "g")
+      .select(col("doc_id"), col("c12"),
+        (length(bin(expr(s"CAST($t2 AS BIGINT) DIV c12"))) - 1)
+          .cast("bigint").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("bits").as("sum_bits"),
+        max("bits").as("max_bits"),
+        sum(when(col("c12") <= RareTf, 1L).otherwise(0L)).as("n_rare_bigrams"))
+    docs
+      .select(col("doc_id"),
+        greatest(size(Text.tokens(col("text"))).cast("bigint") - 1, lit(0L))
+          .as("n_bigrams"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("max_bits"), lit(0L)).as("max_bits"),
+        coalesce(col("n_rare_bigrams"), lit(0L)).as("n_rare_bigrams"),
+        when(col("n_bigrams") === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("sum_bits"), lit(0L)).cast("double") /
+            col("n_bigrams").cast("double"), 6)).as("mean_bits"))
+  }
+
   /** t04: order-sensitive polynomial rolling-hash fingerprint per doc.
     * Relational form of [[Text.rollingFingerprint]]: posexplode tokens →
     * codegen'd md5 term projection → one hash aggregate. The term sum runs

@@ -29,6 +29,29 @@ class CorpusSignalsSpec extends SparkSpecBase {
     assert(r(1).getDouble(4) == 0.666667)                       // round(2/3, 6)
   }
 
+  // --- t10 -----------------------------------------------------------
+
+  test("t10: junk scores high surprisal, common phrasing low; zero-bigram docs survive") {
+    // corpus bigram counts (T2 = 12): "a b"=5, "b a"=3, uniques=1 each.
+    // bits = len(bin(T2 div c12)) - 1: ab -> 12 div 5 = 2 -> 1 bit;
+    // ba -> 4 -> 2 bits; uniques -> 12 -> 3 bits.
+    val docs = Seq(
+      (1L, "a b a b a b a b"),    // 7 bigrams: 4x ab(1) + 3x ba(2) = 10
+      (2L, "a b q1 q2 q3 q4"),    // 5 bigrams: ab(1) + 4 uniques(3) = 13
+      (3L, "solo")                // no bigram
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramLmScore(spark, docs).orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("n_bigrams")).toSeq == Seq(7L, 5L, 0L))
+    assert(r.map(_.getAs[Long]("sum_bits")).toSeq == Seq(10L, 13L, 0L))
+    assert(r.map(_.getAs[Long]("max_bits")).toSeq == Seq(2L, 3L, 0L))
+    assert(r.map(_.getAs[Long]("n_rare_bigrams")).toSeq == Seq(0L, 4L, 0L))
+    assert(r(0).getAs[Double]("mean_bits") == 1.428571) // round(10/7, 6)
+    assert(r(1).getAs[Double]("mean_bits") == 2.6)
+    assert(r(2).getAs[Double]("mean_bits") == 0.0)
+    // the quality DIRECTION: shuffled-junk doc > looping-phrase doc
+    assert(r(1).getAs[Double]("mean_bits") > r(0).getAs[Double]("mean_bits"))
+  }
+
   test("t08: all-hot corpus yields zero rare counts, not dropped rows") {
     val docs = Seq((1L, "a a a"), (2L, "a a"), (3L, "a")).toDF("doc_id", "text")
     val r = TextAnalysis.rareTokenScore(docs).orderBy("doc_id").collect()
