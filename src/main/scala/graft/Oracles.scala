@@ -1158,6 +1158,74 @@ object Oracles {
       s"JOIN p${m}m${KmeansIters + 1} m$m ON m$m.vec_id = m0.vec_id " +
         s"JOIN p${m}c$KmeansIters c$m ON c$m.cell = m$m.cell").mkString("\n        ")
     val reconCat = (0 until PqM).map(m => s"c$m.cv").mkString(" || ")
+    // e05's full WITH-body as a reusable CTE chain (ends at r2: the
+    // ranked dense results) — the standalone e05 entry selects from it,
+    // and e10 composes it with the BM25 chain below for rank fusion.
+    val e05Body =
+      s"""trainset AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
+         |cent0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id < $KmeansCells),
+         |$lloyd,
+         |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
+         |$pqCtes,
+         |rec AS (SELECT m0.vec_id, ($reconCat) AS recon
+         |        FROM p0m${KmeansIters + 1} m0 JOIN p0c$KmeansIters c0 ON c0.cell = m0.cell
+         |        $reconJoins),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |probed AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ROUND(${cosRaw("q.qv", "c.cv")}, 6) DESC, c.cell) AS rr
+         |    FROM q, cent$KmeansIters c) WHERE rr <= $Probe),
+         |adc AS (SELECT p.q_id, r.vec_id AS c_id,
+         |    ROUND(${cosRawN("q.qv", "r.recon", 64)}, 6) AS adc
+         |  FROM probed p JOIN q USING (q_id)
+         |  JOIN m${KmeansIters + 1} mf ON mf.cell = p.cell
+         |  JOIN rec r ON r.vec_id = mf.vec_id AND r.vec_id <> p.q_id),
+         |short AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
+         |    FROM adc) WHERE rr <= $pqShortlist),
+         |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
+         |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
+         |r2 AS (SELECT q_id, c_id, cosine,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)""".stripMargin
+    // e09's full WITH-body (ends at lexr: the ranked lexical results).
+    // Its query CTE is named lexq, NOT q, so the chain composes with
+    // e05Body (which owns `q`) in e10's fused oracle.
+    val bm25Body = {
+      import graft.operators.Retrieval.{MaxDfDiv, QueryEvery}
+      s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |              FROM documents),
+         |tokr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |                 i -> toks[i]||' '||toks[i+1])) AS tok
+         |         FROM toks WHERE len(toks) >= ${graft.operators.Retrieval.TermGram}),
+         |btf AS MATERIALIZED (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |                    FROM tokr GROUP BY 1, 2),
+         |bdl AS MATERIALIZED (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+         |                    FROM btf GROUP BY 1),
+         |bnt AS (SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM documents) AS n,
+         |              (SELECT CAST(SUM(dl) AS HUGEINT) FROM bdl) AS t),
+         |bdf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM btf GROUP BY 1
+         |       HAVING COUNT(*) * $MaxDfDiv <= (SELECT n FROM bnt)),
+         |lexq AS (SELECT doc_id AS q_id, tok FROM btf WHERE doc_id % $QueryEvery = 0),
+         |lexsc AS (SELECT lexq.q_id, btf.doc_id,
+         |        CAST(SUM(
+         |          ((2*((SELECT n FROM bnt) - df) + 1) * 44 * (SELECT t FROM bnt) * tf * 1000000)
+         |          // ((2*df + 1) * (20*(SELECT t FROM bnt)*tf + 6*(SELECT t FROM bnt)
+         |                           + 18*bdl.dl*(SELECT n FROM bnt)))
+         |        ) AS BIGINT) AS micros
+         |       FROM lexq JOIN btf USING (tok) JOIN bdf USING (tok)
+         |       JOIN bdl ON btf.doc_id = bdl.doc_id
+         |       WHERE btf.doc_id <> lexq.q_id
+         |       GROUP BY 1, 2),
+         |lexr AS (SELECT q_id, doc_id, micros,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY micros DESC, doc_id) AS rnk
+         |      FROM lexsc)""".stripMargin
+    }
     Map(
       // e05 composes the two index mirrors verbatim: e03's coarse Lloyd
       // CTEs give the cell assignment (m{iters+1}), e04's per-subspace
@@ -1165,38 +1233,37 @@ object Oracles {
       // joins THROUGH the cell assignment so only vectors in a query's
       // probed cells are scored — the composed plan's defining property.
       "e05_ivfpq" ->
-        s"""WITH trainset AS (SELECT vec_id, embedding FROM embeddings
-           |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
-           |cent0 AS (
-           |  SELECT CAST(vec_id AS INT) AS cell,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-           |  FROM embeddings WHERE vec_id < $KmeansCells),
-           |$lloyd,
-           |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
-           |$pqCtes,
-           |rec AS (SELECT m0.vec_id, ($reconCat) AS recon
-           |        FROM p0m${KmeansIters + 1} m0 JOIN p0c$KmeansIters c0 ON c0.cell = m0.cell
-           |        $reconJoins),
-           |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-           |probed AS (
-           |  SELECT q_id, cell FROM (
-           |    SELECT q.q_id, c.cell,
-           |      ROW_NUMBER() OVER (PARTITION BY q.q_id
-           |        ORDER BY ROUND(${cosRaw("q.qv", "c.cv")}, 6) DESC, c.cell) AS rr
-           |    FROM q, cent$KmeansIters c) WHERE rr <= $Probe),
-           |adc AS (SELECT p.q_id, r.vec_id AS c_id,
-           |    ROUND(${cosRawN("q.qv", "r.recon", 64)}, 6) AS adc
-           |  FROM probed p JOIN q USING (q_id)
-           |  JOIN m${KmeansIters + 1} mf ON mf.cell = p.cell
-           |  JOIN rec r ON r.vec_id = mf.vec_id AND r.vec_id <> p.q_id),
-           |short AS (SELECT q_id, c_id FROM (
-           |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
-           |    FROM adc) WHERE rr <= $pqShortlist),
-           |scored AS (SELECT sh.q_id, sh.c_id, ROUND($cosQC, 6) AS cosine
-           |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
-           |r2 AS (SELECT q_id, c_id, cosine,
-           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)
+        s"""WITH $e05Body
            |SELECT q_id, c_id, cosine, rnk FROM r2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+      // e10: RRF fusion of the lexical (bm25Body -> lexr) and dense
+      // (e05Body -> r2) rankings — both chains composed VERBATIM, so the
+      // fused oracle and the standalone gates cannot drift. Fused score
+      // is exact integer micros (1000000 // (RrfC + rnk) per list
+      // membership), provenance ranks surface as nullable columns.
+      "e10_hybrid_rrf" -> {
+        import graft.operators.Retrieval.{K, RrfC, RrfK}
+        s"""WITH $bm25Body,
+           |$e05Body,
+           |fu AS (
+           |  SELECT q_id, doc_id AS id, 1000000 // ($RrfC + rnk) AS m,
+           |         rnk AS lex_rnk, CAST(NULL AS BIGINT) AS den_rnk
+           |  FROM lexr WHERE rnk <= $K
+           |  UNION ALL
+           |  SELECT q_id, c_id AS id, 1000000 // ($RrfC + rnk) AS m,
+           |         CAST(NULL AS BIGINT) AS lex_rnk, rnk AS den_rnk
+           |  FROM r2 WHERE rnk <= 10),
+           |ff AS (SELECT q_id, id, CAST(SUM(m) AS BIGINT) AS micros,
+           |         MAX(lex_rnk) AS lex_rnk, MAX(den_rnk) AS den_rnk
+           |       FROM fu GROUP BY 1, 2),
+           |fr AS (SELECT q_id, id, micros, lex_rnk, den_rnk,
+           |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY micros DESC, id) AS rnk
+           |       FROM ff)
+           |SELECT q_id, id AS doc_id, ROUND(CAST(micros AS DOUBLE)/1000000, 6) AS rrf,
+           |  CAST(lex_rnk AS BIGINT) AS lex_rnk, CAST(den_rnk AS BIGINT) AS den_rnk,
+           |  CAST(rnk AS BIGINT) AS rnk
+           |FROM fr WHERE rnk <= $RrfK ORDER BY q_id, rnk""".stripMargin
+      },
 
       // e06 mirrors the APPEND posture in SQL: every training CTE
       // (coarse seeds, Lloyd sample, PQ seeds) is restricted to the BASE
@@ -1326,37 +1393,22 @@ object Oracles {
       // multiply-referenced AND expensive → AS MATERIALIZED (DuckDB
       // inlines shared CTEs otherwise — the d12 lesson).
       "e09_bm25_topk" -> {
-        import graft.operators.Retrieval.{K, MaxDfDiv, QueryEvery}
-        s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-           |              FROM documents),
-           |tokr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-           |                 i -> toks[i]||' '||toks[i+1])) AS tok
-           |         FROM toks WHERE len(toks) >= ${graft.operators.Retrieval.TermGram}),
-           |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-           |                    FROM tokr GROUP BY 1, 2),
-           |dl AS MATERIALIZED (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
-           |                    FROM tf GROUP BY 1),
-           |nt AS (SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM documents) AS n,
-           |              (SELECT CAST(SUM(dl) AS HUGEINT) FROM dl) AS t),
-           |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
-           |       HAVING COUNT(*) * $MaxDfDiv <= (SELECT n FROM nt)),
-           |q AS (SELECT doc_id AS q_id, tok FROM tf WHERE doc_id % $QueryEvery = 0),
-           |sc AS (SELECT q.q_id, tf.doc_id,
-           |        CAST(SUM(
-           |          ((2*((SELECT n FROM nt) - df) + 1) * 44 * (SELECT t FROM nt) * tf * 1000000)
-           |          // ((2*df + 1) * (20*(SELECT t FROM nt)*tf + 6*(SELECT t FROM nt)
-           |                           + 18*dl.dl*(SELECT n FROM nt)))
-           |        ) AS BIGINT) AS micros
-           |       FROM q JOIN tf USING (tok) JOIN df USING (tok)
-           |       JOIN dl ON tf.doc_id = dl.doc_id
-           |       WHERE tf.doc_id <> q.q_id
-           |       GROUP BY 1, 2),
-           |r AS (SELECT q_id, doc_id, micros,
-           |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY micros DESC, doc_id) AS rnk
-           |      FROM sc)
+        import graft.operators.Retrieval.K
+        s"""WITH $bm25Body
            |SELECT q_id, doc_id, ROUND(CAST(micros AS DOUBLE)/1000000, 6) AS score,
            |  CAST(rnk AS BIGINT) AS rnk
-           |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+           |FROM lexr WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+      },
+
+      // e11's oracle is e09's VERBATIM — the incremental-equivalence
+      // gate (d09/e06/x09 convention): base-postings ∪ batch-postings
+      // must hash-equal one-shot indexing of the combined corpus.
+      "e11_postings_append" -> {
+        import graft.operators.Retrieval.K
+        s"""WITH $bm25Body
+           |SELECT q_id, doc_id, ROUND(CAST(micros AS DOUBLE)/1000000, 6) AS score,
+           |  CAST(rnk AS BIGINT) AS rnk
+           |FROM lexr WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
       },
 
       // e07: per-cell label profile under the SAME trained coarse

@@ -116,6 +116,14 @@ object Queries {
     // e09: lexical BM25 top-k — the keyword sibling of the ANN ladder;
     // exact-integer rational-idf scoring, one corpus-token exchange.
     "e09_bm25_topk"        -> (Retrieval.e09Bm25TopK _),
+    // e10: HYBRID retrieval — RRF fusion of e09's lexical and e05's
+    // dense rankings over the shared id space; candidate-bounded past
+    // the two input pipelines (<= 20 fused rows per query).
+    "e10_hybrid_rrf"       -> (Retrieval.e10HybridRrf _),
+    // e11: incremental postings append — base-index ∪ batch == one-shot
+    // index (exactly additive state); gated against e09's oracle
+    // verbatim, the d09/e06/x09 incremental-equivalence convention.
+    "e11_postings_append"  -> (Retrieval.e11PostingsAppend _),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
@@ -222,6 +230,8 @@ object Queries {
     "e06_index_append"     -> Seq("q_id", "rnk"),
     "e07_cluster_stats"    -> Seq("cell"),
     "e09_bm25_topk"        -> Seq("q_id", "rnk"),
+    "e10_hybrid_rrf"       -> Seq("q_id", "rnk"),
+    "e11_postings_append"  -> Seq("q_id", "rnk"),
     "e08_filtered_ann"     -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),

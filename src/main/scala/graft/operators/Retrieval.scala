@@ -92,20 +92,98 @@ object Retrieval {
   def e09Bm25TopK(s: SparkSession, d: String): DataFrame =
     bm25TopK(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
 
-  /** [[e09Bm25TopK]] over any (doc_id, text) frame (spec entry). */
-  def bm25TopK(s: SparkSession, docs: DataFrame): DataFrame = {
-    import graft.functions.GraftNgrams
-    // Corpus scalars (N docs, T term occurrences), folded driver-side
-    // and re-entered as literals (join-on-literal / unpartitioned-window
-    // are the alternatives and both are banned shapes). One narrow
-    // aggregate pass; terms per doc = bigram count = greatest(len−1, 0).
+  /** RRF rank constant (the standard 60 of Cormack et al.); shared with
+    * the oracle. A list-member's fused contribution is the truncated
+    * integer `10⁶ DIV (RrfC + rank)` — exact in both engines. */
+  val RrfC = 60
+
+  /** Fused results per query. */
+  val RrfK = 10
+
+  /** e10: HYBRID retrieval — reciprocal-rank fusion of the lexical
+    * ranking ([[e09Bm25TopK]], BM25 over `documents`) and the dense
+    * ranking (e05 IVF×PQ ANN over `embeddings`) for the SAME query
+    * items: documents and embeddings share one id space and the
+    * id % 100 query convention, so for each query the two systems rank
+    * the same corpus from two modalities. This is the production hybrid
+    * search shape (every RAG/curation retrieval stack fuses a keyword
+    * index with a vector index; RRF is the standard score-free fusion —
+    * it needs only RANKS, so BM25-vs-cosine score scales never meet).
+    * Embedding coverage is PARTIAL above sf0.01 (vec_id spans the first
+    * 40% of doc ids): covered queries fuse both lists, the rest rank
+    * lexical-only — exactly the partial-embedding-coverage behavior a
+    * production hybrid index has mid-backfill, and the oracle mirrors
+    * it (absent list = absent terms, never a dropped query).
+    *
+    * Fused score = Σ over lists of `10⁶ DIV (RrfC + rank)` (exact
+    * integer micros; an item in one list gets one term), ranked
+    * (micros DESC, id ASC), top-[[RrfK]] per query. Emits provenance:
+    * the item's rank in each source list (null when absent).
+    *
+    * Scale shape: both inputs are already top-10-per-query frames, so
+    * everything past them is candidate-bounded — per query ≤ 20 fused
+    * rows BY CONSTRUCTION. One ≤20·|queries|-row shuffle aggregates the
+    * union; the final ranking is a bounded sort_array over the per-query
+    * candidate struct list (no window over the unbounded q_id space, no
+    * join-back through the expensive upstream pipelines). Cost is the
+    * sum of the two retrieval pipelines + ε. */
+  def e10HybridRrf(s: SparkSession, d: String): DataFrame =
+    rrfFuse(
+      e09Bm25TopK(s, d).select(col("q_id"), col("doc_id").as("id"), col("rnk")),
+      Similarity.e05IvfPq(s, d,
+        Similarity.calibratedPqShortlist(s, d))
+        .select(col("q_id"), col("c_id").as("id"), col("rnk")))
+
+  /** [[e10HybridRrf]] over any two (q_id, id, rnk) ranked lists (spec
+    * entry — planted rankings pin the fusion math). */
+  def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame = {
+    val micros = expr(s"CAST(1000000 DIV ($RrfC + rnk) AS BIGINT)")
+    val u = lex.select(col("q_id"), col("id"), micros.as("m"),
+        col("rnk").cast("bigint").as("lex_rnk"), lit(null).cast("bigint").as("den_rnk"))
+      .unionByName(dense.select(col("q_id"), col("id"), micros.as("m"),
+        lit(null).cast("bigint").as("lex_rnk"), col("rnk").cast("bigint").as("den_rnk")))
+    u.groupBy("q_id", "id")
+      .agg(sum("m").as("micros"), max("lex_rnk").as("lex_rnk"),
+        max("den_rnk").as("den_rnk"))
+      // Per-query candidate set <= 2 lists x top-10 rows by construction,
+      // so the collect_list buffer is bounded and the FULL sort_array
+      // makes the result partitioning-independent (no bare list order).
+      .groupBy("q_id")
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("micros")).as("neg"), col("id"),
+        col("micros"), col("lex_rnk"), col("den_rnk")))), 1, RrfK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("doc_id"),
+        round(col("t.micros").cast("double") / 1e6, 6).as("rrf"),
+        col("t.lex_rnk").as("lex_rnk"), col("t.den_rnk").as("den_rnk"),
+        (col("pos") + 1).cast("bigint").as("rnk"))
+  }
+
+  /** Per-slice corpus scalars (N docs, T term occurrences), folded
+    * driver-side and re-entered as literals (join-on-literal /
+    * unpartitioned-window are the alternatives and both are banned
+    * shapes). One narrow aggregate pass; terms per doc = bigram count
+    * = greatest(len−1, 0). BOTH scalars are ADDITIVE over disjoint doc
+    * slices — the property [[postingsAppendTopK]]'s incremental merge
+    * rests on. */
+  private def ntScalars(docs: DataFrame): (Long, Long) = {
     val nt = docs.agg(
       count(lit(1)).as("n"),
-      sum(greatest(size(Text.tokens(col("text"))).cast("bigint") - 1, lit(0L)))
+      coalesce(sum(greatest(
+        size(Text.tokens(col("text"))).cast("bigint") - 1, lit(0L))), lit(0L))
         .as("t")).head()
-    val bigN = nt.getAs[Long]("n")
-    val bigT = nt.getAs[Long]("t")
+    (nt.getAs[Long]("n"), nt.getAs[Long]("t"))
+  }
 
+  /** (doc_id, dl, tok, tf) postings rows for a (doc_id, text) frame —
+    * the inverted-index STATE: one row per (doc, term) with the doc's
+    * term count riding along. ONE corpus exchange (explicit repartition
+    * by tok, AQE-coalesce-exempt); docs with < [[TermGram]] tokens have
+    * no terms and are simply absent (their dl = 0 never enters a
+    * score). Postings of DISJOINT doc slices union to the combined
+    * corpus's postings verbatim — tf is per-doc, so append is exact. */
+  def postings(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.functions.GraftNgrams
     val nPart = s.sessionState.conf.numShufflePartitions
     val grams = GraftNgrams(s, col("text"), TermGram)
     // The explicit isNotNull matters for EXCHANGE REUSE: the post side
@@ -115,28 +193,26 @@ object Retrieval {
     // the shared filter the two exchange children differ by one Filter
     // node, ReuseExchange can't merge them, and the corpus is
     // exploded+shuffled TWICE (observed in the first plan).
-    val tok = docs
+    docs
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         size(grams).cast("bigint").as("dl"),
         explode(grams).as("tok"))
       .repartition(nPart, col("tok"))
-    // tf per (doc, term); dl rides along (functionally dependent on
-    // doc_id, and tok-partitioning satisfies the grouping's clustering,
-    // so NO further exchange for tf, df, or the tf⋈df join below).
-    val tf = tok.groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-    val dfKept = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") * MaxDfDiv <= bigN)
-    val post = tf.join(dfKept, "tok")
-    // Query side: its OWN 1%-of-corpus scan (the filter pushes to the
-    // parquet scan), distinct terms map-side via array_distinct — no
-    // shuffle and no third corpus pass; sharing the tok exchange
-    // instead would push the %-filter below it and fork the exchange.
-    val q = docs
-      .filter(col("doc_id").isNotNull && col("doc_id") % QueryEvery === 0)
-      .select(col("doc_id").as("q_id"),
-        explode(array_distinct(grams)).as("tok"))
+      // tf per (doc, term); dl rides along (functionally dependent on
+      // doc_id, and tok-partitioning satisfies the grouping's
+      // clustering, so NO further exchange for tf, df, or the tf⋈df
+      // join downstream).
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+  }
 
+  /** BM25 scoring + bounded top-k over a query-term frame `q`
+    * (q_id, tok) and a df-joined postings frame `post`
+    * (doc_id, dl, tok, tf, df) — the shared tail of the one-shot and
+    * incremental paths (identical Column trees, so the two paths
+    * cannot drift arithmetically). */
+  private def scoreAndTop(s: SparkSession, q: DataFrame, post: DataFrame,
+                          bigN: Long, bigT: Long): DataFrame = {
     val dec = DecimalType(38, 0)
     def d38(c: Column): Column = c.cast(dec)
     val num = d38(lit(2L) * (lit(bigN) - col("df")) + lit(1L)) *
@@ -160,5 +236,86 @@ object Retrieval {
       .select(col("q_id"), col("x.id").as("doc_id"),
         round(col("x.score") / 1e6, 6).as("score"),
         (col("pos") + 1).cast("bigint").as("rnk"))
+  }
+
+  /** [[e09Bm25TopK]] over any (doc_id, text) frame (spec entry). */
+  def bm25TopK(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.functions.GraftNgrams
+    val (bigN, bigT) = ntScalars(docs)
+    val grams = GraftNgrams(s, col("text"), TermGram)
+    val tf = postings(s, docs)
+    val dfKept = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") * MaxDfDiv <= bigN)
+    val post = tf.join(dfKept, "tok")
+    // Query side: its OWN 1%-of-corpus scan (the filter pushes to the
+    // parquet scan), distinct terms map-side via array_distinct — no
+    // shuffle and no third corpus pass; sharing the tok exchange
+    // instead would push the %-filter below it and fork the exchange.
+    val q = docs
+      .filter(col("doc_id").isNotNull && col("doc_id") % QueryEvery === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(grams)).as("tok"))
+    scoreAndTop(s, q, post, bigN, bigT)
+  }
+
+  /** e11: INCREMENTAL lexical-index append — e06's deployment posture
+    * for the BM25 side: a 100 TB postings index is built ONCE and new
+    * crawl batches are APPENDED, never a full rebuild. Unlike the dense
+    * index (whose quantizers must be frozen to keep stored codes
+    * valid), the lexical state is EXACTLY appendable with no freeze at
+    * all: postings rows (doc, term, tf) are per-doc, df/N/T are
+    * additive over disjoint doc slices — so base-postings ∪
+    * batch-postings IS the combined corpus's index, bit-for-bit.
+    *
+    * The catalog key rebuilds base state in-query (the d09/e06/x09
+    * gated-incremental convention: base = doc_id % IngestMod ≠ 0,
+    * batch = the rest) and is gated against e09's oracle VERBATIM —
+    * hash-proving append == one-shot indexing on real data every round.
+    *
+    * The one semantic trap this key exists to pin: every GLOBAL
+    * statistic must be recomputed over the MERGED state, never carried
+    * stale from the base index — a term under the df cap in the base
+    * corpus can cross it after ingest (batch docs all containing it)
+    * and must then drop out of every query, and all idf/avgdl values
+    * shift with N/T. Stale-base stats are the classic incremental-
+    * search-index bug; the verbatim-oracle gate would catch it
+    * (RetrievalSpec pins the cap-crossing case on fixtures).
+    *
+    * Scale shape: the merged postings frame is lineage-cut
+    * ([[graft.Checkpoints.cut]]) — it feeds THREE consumers (df
+    * aggregate, df-cap join probe, query-term slice), and without the
+    * cut each consumer re-runs the corpus-wide explode (the x08
+    * lesson); in production the base side of the union is a parquet
+    * READ of the persisted index, so the ingest pays batch-explode +
+    * df-recount, never a base re-index. */
+  def e11PostingsAppend(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Incremental.IngestMod
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    postingsAppendTopK(s,
+      docs.filter(col("doc_id") % IngestMod =!= 0),
+      docs.filter(col("doc_id") % IngestMod === 0))
+  }
+
+  /** [[e11PostingsAppend]] over any two disjoint (doc_id, text) slices
+    * (spec entry — fixtures pin df-cap crossing and frame equality with
+    * the one-shot index). */
+  def postingsAppendTopK(s: SparkSession, base: DataFrame,
+                         batch: DataFrame): DataFrame = {
+    // Additive scalars: per-slice driver folds summed — the persisted-
+    // state shape (the index stores two longs next to the postings).
+    val (bn, bt) = ntScalars(base)
+    val (cn, ct) = ntScalars(batch)
+    val bigN = bn + cn
+    val bigT = bt + ct
+    val merged = graft.Checkpoints.cut(
+      postings(s, base).unionByName(postings(s, batch)))
+    val dfKept = merged.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") * MaxDfDiv <= bigN)
+    val post = merged.join(dfKept, "tok")
+    // Query terms off the postings state itself: one (doc, term) row
+    // each — already distinct, no raw-text re-scan of the query docs.
+    val q = merged.filter(col("doc_id") % QueryEvery === 0)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    scoreAndTop(s, q, post, bigN, bigT)
   }
 }

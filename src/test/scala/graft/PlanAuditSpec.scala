@@ -77,11 +77,12 @@ class PlanAuditSpec extends SparkSpecBase {
     // e07 profiles cells under the same <=16-row broadcast quantizer;
     // d12's keeper affinity reuses that same broadcast centroid table;
     // e08 is e03's probe chain with a pre-scoring candidate semi-join —
-    // same <=16-row centroid broadcast, nothing else nested-loops).
+    // same <=16-row centroid broadcast, nothing else nested-loops;
+    // e10 contains e05's pipeline verbatim as its dense half).
     val broadcastSmallByDesign =
       Set("e01_knn_brute", "e03_ivf_ann", "e04_pq_ann", "e05_ivfpq",
         "e06_index_append", "e07_cluster_stats", "d12_semantic_groups",
-        "e08_filtered_ann")
+        "e08_filtered_ann", "e10_hybrid_rrf")
     for ((name, _) <- analyzed if !broadcastSmallByDesign(name)) {
       assert(!operators(name).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         s"$name contains BroadcastNestedLoopJoin")
