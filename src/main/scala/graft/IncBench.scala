@@ -58,6 +58,13 @@ object IncBench {
     val d09m = marginal(Incremental.mergeFromState(spark, sfDir, s"$stateDir/groups", mod))
     val d09d = marginal(Incremental.mergeDeltaFromState(spark, sfDir, s"$stateDir/groups", mod))
     val e06m = marginal(Incremental.appendFromState(spark, sfDir, s"$stateDir/ann", mod))
+    // Lexical index: e11's production posture — base postings read back
+    // from parquet, batch postings built fresh, global stats recomputed
+    // over the union (nothing frozen, nothing stale).
+    val tPost = timed(graft.operators.Retrieval.writePostingsState(
+      spark, sfDir, s"$stateDir/postings", mod))
+    val e11m = marginal(graft.operators.Retrieval.appendPostingsFromState(
+      spark, sfDir, s"$stateDir/postings", mod))
     // Curation: the x08 composition from persisted state — the price of
     // an incremental curation decision over a new batch (vs the gated
     // x08, which rebuilds all five stages from scratch in-query).
@@ -78,6 +85,7 @@ object IncBench {
     println(s"""{"metric":"incremental_marginal","unit":"sec","sf":"$sfDir","mod":$mod,""" +
       s""""build_group_state":$tGroup,"build_index_state":$tIndex,""" +
       s""""d09_marginal":$d09m,"d09_delta_marginal":$d09d,"e06_marginal":$e06m,""" +
+      s""""build_postings_state":$tPost,"e11_marginal":$e11m,""" +
       s""""d09_delta_rows":$deltaRows,"d09_full_rows":$fullRows,""" +
       s""""build_curation_state":$tCur,"x08_marginal":$x08m,""" +
       s""""x08_delta_marginal":$x08d,"x08_delta_rows":$x08DeltaRows,""" +

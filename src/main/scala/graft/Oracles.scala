@@ -274,6 +274,33 @@ object Oracles {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
+    // q29: per-type daily-volume spike flags. The cleared integer form
+    // (W·x − S)² > 9·(W·Q − S²) runs in HUGEINT — exact, like the
+    // Spark plan's DECIMAL(38,0); trailing stats over the previous 7
+    // OBSERVED days (ROWS frame over the post-aggregate cell frame).
+    "q29_event_spike" -> {
+      import graft.operators.EventOps.{DayUs, SpikeKSq, SpikeWindow}
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |                CAST(COUNT(*) AS BIGINT) AS n
+         |               FROM events GROUP BY 1, 2),
+         |tr AS (SELECT event_type, day, n,
+         |        CAST(COUNT(n) OVER w AS BIGINT) AS trail_n,
+         |        CAST(SUM(n) OVER w AS BIGINT) AS trail_sum,
+         |        SUM(CAST(n AS HUGEINT) * n) OVER w AS trail_sq
+         |       FROM daily
+         |       WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |                    ROWS BETWEEN $SpikeWindow PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, day, n, trail_n, trail_sum,
+         |  CASE WHEN trail_n > 0
+         |       THEN ROUND(CAST(trail_sum AS DOUBLE)/trail_n, 6) END AS trail_mean,
+         |  (trail_n = $SpikeWindow AND
+         |   ($SpikeWindow * CAST(n AS HUGEINT) - trail_sum)
+         |     * ($SpikeWindow * CAST(n AS HUGEINT) - trail_sum)
+         |     > $SpikeKSq * ($SpikeWindow * trail_sq
+         |                    - CAST(trail_sum AS HUGEINT) * trail_sum)) AS is_spike
+         |FROM tr ORDER BY event_type, day""".stripMargin
+    },
+
     "q23_range_join" ->
       """WITH w AS (
         |  SELECT o_orderkey AS win_id, o_custkey % 150 AS u,
@@ -540,6 +567,31 @@ object Oracles {
          |  END AS mean_bits
          |FROM base LEFT JOIN st ON base.doc_id = st.doc_id
          |ORDER BY base.doc_id""".stripMargin,
+
+    // t11: per-doc top-K tf-idf keywords. Same micros grammar as the
+    // Spark plan (tf * (2(N-df)+1) * 1e6 // (2df+1), HUGEINT-safe);
+    // ties by term ASC (binary collation both engines).
+    "t11_tfidf_keywords" -> {
+      import graft.operators.TextAnalysis.KeywordK
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+         |tokr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |            i -> toks[i]||' '||toks[i+1])) AS tok
+         |         FROM toks WHERE len(toks) >= 2),
+         |ktf AS MATERIALIZED (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |                     FROM tokr GROUP BY 1, 2),
+         |kdf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM ktf GROUP BY 1),
+         |kn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM documents),
+         |sc AS (SELECT doc_id, tok, tf, df,
+         |        CAST((CAST(tf AS HUGEINT) * (2*((SELECT n FROM kn) - df) + 1) * 1000000)
+         |             // (2*CAST(df AS HUGEINT) + 1) AS BIGINT) AS micros
+         |       FROM ktf JOIN kdf USING (tok)),
+         |kr AS (SELECT doc_id, tok, tf, df, micros,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY micros DESC, tok) AS rnk
+         |       FROM sc)
+         |SELECT doc_id, tok AS term, tf, df,
+         |  ROUND(CAST(micros AS DOUBLE)/1000000, 6) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+         |FROM kr WHERE rnk <= $KeywordK ORDER BY doc_id, rnk""".stripMargin
+    },
 
     "t05_pii_mask" -> {
       import graft.operators.TextAnalysis.{piiCardPattern, piiEmailPattern, piiIpv4Pattern, piiPhonePattern}

@@ -52,6 +52,9 @@ object Queries {
     "q26_column_triage"    -> (EtlCore.q26ColumnTriage _),
     "q27_funnel"           -> (EventOps.q27Funnel _),
     "q28_retention"        -> (EventOps.q28Retention _),
+    // q29: per-type daily-volume spike flags — exact cleared-integer
+    // 3-sigma test over the post-aggregate (type, day) cell frame.
+    "q29_event_spike"      -> (EventOps.q29EventSpike _),
     "t01_lang_id"          -> (TextAnalysis.t01LangId _),
     "t02_quality_score"    -> (TextAnalysis.t02QualityScore _),
     "t03_token_count"      -> (TextAnalysis.t03TokenCount _),
@@ -64,6 +67,8 @@ object Queries {
     // t10: corpus bigram-LM surprisal — integer log2 via bit length,
     // e09's single-shared-exchange shape.
     "t10_ngram_lm_score"   -> (TextAnalysis.t10NgramLmScore _),
+    // t11: per-doc top-K tf-idf keywords off the shared postings pass.
+    "t11_tfidf_keywords"   -> (TextAnalysis.t11TfidfKeywords _),
     "d01_dedup_exact"      -> (Dedup.d01DedupExact _),
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
@@ -198,6 +203,7 @@ object Queries {
     "q26_column_triage"    -> Seq("column_name"),
     "q27_funnel"           -> Seq("user_id"),
     "q28_retention"        -> Seq("cohort_day", "day_offset"),
+    "q29_event_spike"      -> Seq("event_type", "day"),
     "t01_lang_id"          -> Seq("doc_id"),
     "t02_quality_score"    -> Seq("doc_id"),
     "t03_token_count"      -> Seq("doc_id"),
@@ -208,6 +214,7 @@ object Queries {
     "t08_rare_token_score" -> Seq("doc_id"),
     "t09_html_extract"     -> Seq("doc_id"),
     "t10_ngram_lm_score"   -> Seq("doc_id"),
+    "t11_tfidf_keywords"   -> Seq("doc_id", "rnk"),
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d13_url_dedup"        -> Seq("keep_id"),
     "d14_bloom_decontaminate" -> Seq("doc_id"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -371,6 +371,75 @@ object EventOps {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       // days was distinct (user, day), so a plain count IS distinct users
       .agg(count(lit(1)).as("n_active"))
+
+  /** Trailing baseline width for [[q29EventSpike]]: the spike test
+    * compares a day against its type's previous 7 OBSERVED days (days
+    * with zero events of a type don't produce a row and don't enter the
+    * baseline — the observed-rows semantics both engines share). */
+  val SpikeWindow = 7
+
+  /** Squared z-score threshold for [[q29EventSpike]]: flag when
+    * (x − μ)² > 9·σ², i.e. |x − μ| > 3σ. */
+  val SpikeKSq = 9L
+
+  /** q29: EVENT-VOLUME SPIKE detection — the ingest-monitoring staple
+    * every production event pipeline runs (broken instrumentation, bot
+    * floods, and outage back-fills all announce themselves as per-type
+    * daily-volume anomalies): per (event_type, day), flag days whose
+    * count deviates from the type's trailing-[[SpikeWindow]]-day mean by
+    * more than 3 standard deviations.
+    *
+    * EXACT integer math — no mean, variance, or sqrt is ever
+    * materialized: with S = Σ trailing counts and Q = Σ trailing
+    * squares over exactly W observed days,
+    *
+    *   (x − S/W)² > 9·(Q/W − S²/W²)  ⟺  (W·x − S)² > 9·(W·Q − S²)
+    *
+    * and both sides of the cleared form are exact DECIMAL(38,0)
+    * integers — the flag cannot sit on a float rounding boundary. Days
+    * with fewer than W observed predecessors are never flagged (no
+    * baseline); the 6dp trailing mean is surfaced for reporting only.
+    *
+    * Scale shape: ONE corpus scan compacts events to the (type, day)
+    * cell frame — bounded by |event taxonomy| × days, independent of
+    * event volume — and the trailing window runs over THAT frame
+    * (x11's post-aggregate window class: rows per type ≤ calendar
+    * days, a hot type streams a bounded cell list through one cheap
+    * task; partition key bounded by the event taxonomy, never the
+    * corpus). */
+  def q29EventSpike(s: SparkSession, d: String): DataFrame =
+    eventSpike(Tables.eventsWithTs(s, d)
+      .select(col("event_type"), expr("ts_ns DIV 1000").as("ts_us")))
+
+  /** [[q29EventSpike]] over any (event_type, ts_us) frame — split out
+    * so specs can plant flat histories with one planted spike, ramp
+    * (non-spike) growth, and short-history types. */
+  def eventSpike(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def d38(c: Column): Column = c.cast(dec)
+    val daily = ev
+      .groupBy(col("event_type"), expr(s"ts_us DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-SpikeWindow, -1)
+    val st = daily.select(col("event_type"), col("day"), col("n"),
+      count(col("n")).over(w).as("trail_n"),
+      sum(col("n")).over(w).as("trail_sum"),
+      sum(d38(col("n")) * d38(col("n"))).over(w).as("trail_sq"))
+    val lhsRoot = d38(lit(SpikeWindow.toLong) * col("n") - col("trail_sum"))
+    val rhs = d38(lit(SpikeKSq)) *
+      (d38(lit(SpikeWindow.toLong)) * col("trail_sq") -
+        d38(col("trail_sum")) * d38(col("trail_sum")))
+    st.select(col("event_type"), col("day"), col("n"),
+      col("trail_n"), col("trail_sum"),
+      when(col("trail_n") > 0,
+        round(col("trail_sum").cast("double") / col("trail_n").cast("double"), 6))
+        .as("trail_mean"),
+      when(col("trail_n") === SpikeWindow && lhsRoot * lhsRoot > rhs, lit(true))
+        .otherwise(lit(false)).as("is_spike"))
+  }
 
   /** [[q27Funnel]] over any (user_id, event_type, ts_us) frame — split
     * out so specs can plant broken funnels (out-of-order stages, missing

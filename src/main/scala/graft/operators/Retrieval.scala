@@ -305,10 +305,17 @@ object Retrieval {
     // state shape (the index stores two longs next to the postings).
     val (bn, bt) = ntScalars(base)
     val (cn, ct) = ntScalars(batch)
-    val bigN = bn + cn
-    val bigT = bt + ct
-    val merged = graft.Checkpoints.cut(
-      postings(s, base).unionByName(postings(s, batch)))
+    appendTail(s, postings(s, base).unionByName(postings(s, batch)),
+      bn + cn, bt + ct)
+  }
+
+  /** Shared append tail: lineage-cut the merged postings (three
+    * consumers), recompute the GLOBAL df/cap/query stats over it, score.
+    * Used by the gated in-query key and the persisted-state path, so
+    * the two cannot drift. */
+  private def appendTail(s: SparkSession, mergedRaw: DataFrame,
+                         bigN: Long, bigT: Long): DataFrame = {
+    val merged = graft.Checkpoints.cut(mergedRaw)
     val dfKept = merged.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") * MaxDfDiv <= bigN)
     val post = merged.join(dfKept, "tok")
@@ -317,5 +324,36 @@ object Retrieval {
     val q = merged.filter(col("doc_id") % QueryEvery === 0)
       .select(col("doc_id").as("q_id"), col("tok"))
     scoreAndTop(s, q, post, bigN, bigT)
+  }
+
+  /** Persist the BASE lexical index (production shape, [[graft.IncBench]]
+    * prices the marginal): postings rows as parquet plus the additive
+    * (N, T) scalars as a one-row frame — the WHOLE state an exact BM25
+    * append needs (df/avgdl/idf all derive from postings + scalars;
+    * nothing is frozen, nothing goes stale). */
+  def writePostingsState(s: SparkSession, d: String, dir: String,
+                         mod: Int = graft.operators.Incremental.IngestMod): Unit = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % mod =!= 0)
+    postings(s, base).write.mode("overwrite").parquet(s"$dir/postings")
+    val (n, t) = ntScalars(base)
+    s.createDataFrame(Seq((n, t))).toDF("n", "t")
+      .write.mode("overwrite").parquet(s"$dir/nt")
+  }
+
+  /** The production ingest: base postings READ BACK from parquet, batch
+    * postings built fresh, global stats recomputed over the union —
+    * frame-equal to the in-query [[e11PostingsAppend]]
+    * (PostingsStateSpec) and priced per batch by [[graft.IncBench]]. */
+  def appendPostingsFromState(s: SparkSession, d: String, dir: String,
+                              mod: Int = graft.operators.Incremental.IngestMod): DataFrame = {
+    val batch = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % mod === 0)
+    val ntRow = s.read.parquet(s"$dir/nt").head()
+    val (cn, ct) = ntScalars(batch)
+    appendTail(s, s.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+      .unionByName(postings(s, batch)),
+      ntRow.getAs[Long]("n") + cn, ntRow.getAs[Long]("t") + ct)
   }
 }

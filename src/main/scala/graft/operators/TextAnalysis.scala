@@ -427,6 +427,62 @@ object TextAnalysis {
             col("n_bigrams").cast("double"), 6)).as("mean_bits"))
   }
 
+  /** Keywords reported per doc by [[t11TfidfKeywords]]. */
+  val KeywordK = 5
+
+  /** t11: per-document TF-IDF KEYWORD extraction — the corpus-relative
+    * "what is this document about" signal (topic tagging, datasheet
+    * summaries, cluster labeling all start here): for every document,
+    * its top-[[KeywordK]] word-bigram terms by tf·idf, where idf is the
+    * rational BM25-family form (2(N−df)+1)/(2df+1) — terms the corpus
+    * uses everywhere score near zero, terms concentrated in this
+    * document score high. Emits (term, tf, df, 6dp score, rank).
+    *
+    * EXACT scoring: micros = tf·(2(N−df)+1)·10⁶ DIV (2df+1), computed
+    * in DECIMAL(38,0) then truncated — a deterministic integer in both
+    * engines (same grammar as e09's cleared-denominator BM25, minus the
+    * length saturation, which keyword extraction doesn't want: tf IS
+    * the signal). N is a driver-folded scalar.
+    *
+    * Scale shape: [[Retrieval.postings]]' single corpus-token exchange
+    * feeds BOTH the df aggregate and the tf⋈df join (tok-clustered, no
+    * further exchange), then ONE per-doc aggregate ranks map-side-
+    * partially: the per-doc candidate list is bounded by the doc's own
+    * distinct-term count (≤ its token count — the same per-row bound
+    * every t-block op already holds in memory), fully sorted via
+    * sort_array (no bare collect order), sliced to [[KeywordK]]. No
+    * window over the unbounded doc_id space. */
+  def t11TfidfKeywords(s: SparkSession, d: String): DataFrame =
+    tfidfKeywords(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[t11TfidfKeywords]] over any (doc_id, text) frame (spec entry —
+    * fixtures pin the idf ordering and the term-ASC tie-break). */
+  def tfidfKeywords(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def d38(c: Column): Column = c.cast(dec)
+    val bigN = docs.count()
+    val tf = Retrieval.postings(s, docs)
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "tok")
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (d38(col("tf")) * d38(lit(2L) * (lit(bigN) - col("df")) + lit(1L)) *
+          d38(lit(1000000L))).as("num"),
+        d38(lit(2L) * col("df") + lit(1L)).as("den"))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        expr("num DIV den").cast("bigint").as("micros"))
+    scored
+      .groupBy("doc_id")
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("micros")).as("neg"), col("tok"),
+        col("micros"), col("tf"), col("df")))), 1, KeywordK).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("t.tok").as("term"),
+        col("t.tf").as("tf"), col("t.df").as("df"),
+        round(col("t.micros").cast("double") / 1e6, 6).as("tfidf"),
+        (col("pos") + 1).cast("bigint").as("rnk"))
+  }
+
   /** t04: order-sensitive polynomial rolling-hash fingerprint per doc.
     * Relational form of [[Text.rollingFingerprint]]: posexplode tokens →
     * codegen'd md5 term projection → one hash aggregate. The term sum runs

@@ -52,6 +52,36 @@ class CorpusSignalsSpec extends SparkSpecBase {
     assert(r(1).getAs[Double]("mean_bits") > r(0).getAs[Double]("mean_bits"))
   }
 
+  // --- t11 -----------------------------------------------------------
+
+  test("t11: tf-idf keyword ranking — shared bigrams demoted, ties break term-ASC") {
+    // N=3. df("a b")=2 -> idf 3/5 -> micros tf*600000; df=1 terms ->
+    // idf 5/3 -> micros tf*5e6 DIV 3 = 1666666.
+    val docs = Seq(
+      (1L, "a b a b c d"), // tf: "a b"=2, "b a"=1, "b c"=1, "c d"=1
+      (2L, "a b x y"),
+      (3L, "p q")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfKeywords(spark, docs).orderBy("doc_id", "rnk").collect()
+    val d1 = r.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(x => (x.getAs[Long]("rnk"), x.getAs[String]("term"),
+        x.getAs[Double]("tfidf"))).toSeq
+    assert(d1 == Seq((1L, "b a", 1.666666), (2L, "b c", 1.666666),
+      (3L, "c d", 1.666666), (4L, "a b", 1.2)), s"got $d1")
+    val d2 = r.filter(_.getAs[Long]("doc_id") == 2L)
+      .map(x => (x.getAs[Long]("rnk"), x.getAs[String]("term"))).toSeq
+    assert(d2 == Seq((1L, "b x"), (2L, "x y"), (3L, "a b")), s"got $d2")
+    assert(r.count(_.getAs[Long]("doc_id") == 3L) == 1)
+  }
+
+  test("t11: per-doc keyword list cut to KeywordK by (score, term) order") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfKeywords(spark, docs).orderBy("rnk").collect()
+    assert(r.length == TextAnalysis.KeywordK)
+    assert(r.map(_.getAs[String]("term")).toSeq ==
+      Seq("t1 t2", "t2 t3", "t3 t4", "t4 t5", "t5 t6"))
+  }
+
   test("t08: all-hot corpus yields zero rare counts, not dropped rows") {
     val docs = Seq((1L, "a a a"), (2L, "a a"), (3L, "a")).toDF("doc_id", "text")
     val r = TextAnalysis.rareTokenScore(docs).orderBy("doc_id").collect()

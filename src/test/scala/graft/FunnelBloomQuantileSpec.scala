@@ -67,6 +67,33 @@ class FunnelBloomQuantileSpec extends SparkSpecBase {
 
   // ------------------------------------------------------------- d14
 
+  // ------------------------------------------------------------- q29
+
+  test("event spike: exact 3-sigma flags — flat jump, jittered near-miss vs hit, short history") {
+    import graft.operators.EventOps.DayUs
+    def rows(t: String, counts: Seq[Int]): Seq[(String, Long)] =
+      counts.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(i => (t, d.toLong * DayUs + i)) }
+    val ev = (rows("a", Seq(10, 10, 10, 10, 10, 10, 10, 10, 100)) ++
+      rows("b", Seq(8, 12, 10, 9, 11, 10, 10, 13, 20)) ++
+      rows("c", Seq(1, 1, 1, 1, 50))).toDF("event_type", "ts_us")
+    val out = EventOps.eventSpike(ev).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("day")) -> r).toMap
+    // flat baseline (sigma = 0): same count is NOT a spike, any jump is
+    assert(!out(("a", 7L)).getAs[Boolean]("is_spike"))
+    assert(out(("a", 7L)).getAs[Double]("trail_mean") == 10.0)
+    assert(out(("a", 8L)).getAs[Boolean]("is_spike"))
+    // jittered baseline (S=70, Q=710): x=13 -> 441 < 630 near-miss;
+    // next day (S=75, Q=815): x=20 -> 4225 > 720 hit
+    assert(!out(("b", 7L)).getAs[Boolean]("is_spike"))
+    assert(out(("b", 8L)).getAs[Boolean]("is_spike"))
+    // < W observed predecessors: never flagged, however extreme
+    assert(out.keys.filter(_._1 == "c").forall(k => !out(k).getAs[Boolean]("is_spike")))
+    // no baseline at all: mean is null, not 0
+    assert(out(("a", 0L)).isNullAt(out(("a", 0L)).fieldIndex("trail_mean")))
+    assert(!out(("a", 3L)).getAs[Boolean]("is_spike"))
+  }
+
   test("bloom decontamination: planted contamination is flagged, clean text is not") {
     val benchText = "alpha beta gamma delta epsilon zeta eta theta" // one 8-gram
     val docs = Seq(

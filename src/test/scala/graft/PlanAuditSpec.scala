@@ -128,13 +128,19 @@ class PlanAuditSpec extends SparkSpecBase {
     //    distinct document lengths (≤ max tokens per doc), independent of
     //    corpus rows, so a hot source streams a bounded cell list through
     //    one cheap task.
+    //  - q29 {event_type}: the trailing-stats window runs over the
+    //    POST-AGGREGATE (type, day) cell frame — rows per type bounded
+    //    by calendar days, the partition-key set bounded by the event
+    //    taxonomy; the hottest possible type streams one bounded cell
+    //    list, never its event volume.
     val allowlisted: Map[String, Set[Set[String]]] = Map(
       "d02_ngram_jaccard" -> Set(Set("s")),
       "d08_containment" -> Set(Set("s")),
       "q12_window_topn" -> Set(Set("o_custkey")),
       "q22_asof_join" -> Set(Set("user_id")),
       "s02_sessionize" -> Set(Set("user_id")),
-      "x11_quantile_profile" -> Set(Set("source")))
+      "x11_quantile_profile" -> Set(Set("source")),
+      "q29_event_spike" -> Set(Set("event_type")))
     val seen = scala.collection.mutable.Set.empty[(String, Set[String])]
     for ((name, _) <- analyzed) {
       val windows = operators(name).collect {

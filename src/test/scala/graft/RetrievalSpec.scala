@@ -128,6 +128,18 @@ class RetrievalSpec extends SparkSpecBase {
     assert(merged.collect().toSet == full)
   }
 
+  test("e11: persisted-state append == in-query key (production ingest shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-postings").toString
+    Retrieval.writePostingsState(spark, sf001, dir)
+    val fromState = Retrieval.appendPostingsFromState(spark, sf001, dir)
+      .collect().toSet
+    val inQuery = Queries.production("e11_postings_append")(spark, sf001)
+      .collect().toSet
+    assert(fromState.nonEmpty)
+    assert(fromState == inQuery,
+      "reading base postings back from parquet must not change any result")
+  }
+
   test("e09 production: ONE corpus-wide exchange, the rest candidate-bounded; no window") {
     val df = Queries.production("e09_bm25_topk")(spark, sf001)
     // Execute THIS QueryExecution (a write would plan a fresh one), so
