@@ -452,6 +452,11 @@ object Dedup {
     * the catalog default (4) is sized for the oracle-gate SFs, and at
     * 200k vectors its 16-buckets-per-table occupancy OOMs the candidate
     * join (measured, BENCH.md sf10). */
+  /** Candidate pairs each pair-generation task should own: ~1M pairs is
+    * tens of MB of map-side distinct state — comfortably in memory,
+    * no sort fallback, no spill. */
+  val PairsPerTask = 1000000L
+
   def d05EmbeddingDedup(s: SparkSession, d: String,
                         bits: Int = Similarity.RhpBits,
                         tables: Int = Similarity.RhpTables): DataFrame = {
@@ -462,19 +467,56 @@ object Dedup {
     // partitions from shuffle INPUT bytes — left to itself it coalesces
     // this ~MB-scale exchange to one partition and a single task emits
     // every candidate pair. An explicit repartition is exempt from AQE
-    // coalescing, so pair generation keeps the session's parallelism.
-    val n = s.sessionState.conf.numShufflePartitions
+    // coalescing — but the session default is sized for corpus-ROW
+    // inputs, and once expected pairs >> rows it under-partitions the
+    // quadratic stage: at sf10 this round's testdata draw collides to
+    // 118M candidate pairs, and over 32 tasks every per-task distinct
+    // fell back to sort aggregation with ~9.7 GB of spill — 3.5× wall
+    // (the r13 "host variance" d05/d12 regression, actually this).
+    // Size the pair stage by the EXPECTED pair volume instead — the
+    // occupancy model (tables × n × occ/2, occ = n/2^bits) is
+    // deterministic from the corpus count, so the plan stays
+    // deterministic per SF and the gate unaffected.
+    val nVec = Similarity.cachedEmbeddingCount(s, d)
+    val occ = math.max(1L, nVec >> bits)
+    val expPairs = tables.toLong * nVec * occ / 2
+    val n = math.max(s.sessionState.conf.numShufflePartitions,
+      math.min(4096L, expPairs / PairsPerTask + 1).toInt)
     val a = bands.toDF("id_a", "tbl", "bkt")
       .repartition(n, col("tbl"), col("bkt"))
     val b = bands.toDF("id_b", "tbl2", "bkt2")
       .repartition(n, col("tbl2"), col("bkt2"))
+    // Candidates are NOT pre-deduped across tables: on a calibrated band
+    // width, cross-table repeats are ~0.6% of raw candidates (118.4M raw
+    // vs 117.7M distinct, measured at sf10), so a pre-scoring distinct
+    // re-aggregates the entire quadratic stream to save 0.6% of the
+    // cosine work — it was 2 aggregation passes + a 118M-row exchange +
+    // 9.7 GB of partial-agg spill. Score first, dedup the FILTERED
+    // survivors (output-sized, ~200k rows).
     val cand = a.join(b, col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&
         col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand.join(e.toDF("id_a", "va"), "id_a").join(e.toDF("id_b", "vb"), "id_b")
+      .select("id_a", "id_b")
+    // Verify WITHOUT shipping vectors through the quadratic side: the
+    // candidate list is 16 bytes/row, the vector table ~260 B/row — a
+    // shuffle join attaches va to every pair row and re-exchanges the
+    // result to meet vb (measured at sf10's 118M-pair draw: a 35.8 GB
+    // exchange + 34.4 GB of SMJ sort spill = ~70% of d05's wall).
+    // Broadcasting the BOUNDED vector table keeps the pair stream
+    // id-only end-to-end: both lookups are map-side hash probes and the
+    // cosine runs in the same stage — the whole quadratic path is ONE
+    // exchange-free pipeline from band join to threshold filter. Past
+    // the cap (2M vectors ≈ 0.5 GB) it degrades loudly to the shuffle
+    // join — at that corpus size the production answer is e05's
+    // cell-partitioned index, not d05's all-bands scan.
+    val va = Skew.boundedBroadcast(e.toDF("id_a", "va"),
+      capRows = 2000000L, tag = "d05.vectors")
+    val vb = Skew.boundedBroadcast(e.toDF("id_b", "vb"),
+      capRows = 2000000L, tag = "d05.vectors")
+    cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         round(CosineSimilarity(s, col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= 0.45)
+      .distinct()
   }
 
   /** d06: near-dup GROUP RESOLUTION. Pair lists (d02–d05) don't dedup a

@@ -89,7 +89,7 @@ object Similarity {
   }
 
   private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def cachedEmbeddingCount(s: SparkSession, d: String): Long =
+  private[operators] def cachedEmbeddingCount(s: SparkSession, d: String): Long =
     countCache.getOrElseUpdate(embeddingsFingerprint(s, d),
       Tables.embeddings(s, d).count())
 
