@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, ExprArgs, GraftNgrams, GraftShingles, GramStats, RhpBucket, TopKByScore}
+import graft.functions.{CosineSimilarity, ExprArgs, GraftNgrams, GraftShingles, GramStats, RhpBucket, TopKByLongScore, TopKByScore, TopKTerms}
 
 /** `spark.sql.extensions=graft.GraftExtensions` registration path for
   * every native graft expression. */
@@ -29,6 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKByScore(exprs(0),
+        ExprArgs.int(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_long"),
+      new ExpressionInfo(classOf[TopKByLongScore].getName, "graft_topk_long"),
+      (exprs: Seq[Expression]) => TopKByLongScore(exprs(0),
+        ExprArgs.int(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_terms"),
+      new ExpressionInfo(classOf[TopKTerms].getName, "graft_topk_terms"),
+      (exprs: Seq[Expression]) => TopKTerms(exprs(0),
         ExprArgs.int(exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_ngrams"),

@@ -683,7 +683,85 @@ object Oracles {
         |    (CAST(('0x'||substr(md5('7:'||toks[i]),1,15)) AS BIGINT) % 1048576) *
         |    ([1,31,961,29791,923521,28629151,887503681,27512614111][((i-1)%8)+1])
         |  )) % 2305843009213693951 AS BIGINT) AS fp
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // t12: within-doc repetition removal — d11's positional-window
+    // grammar (1-based here; only the final text must match) with the
+    // FIRST-IN-DOC rule replacing the cross-doc keeper: a window whose
+    // fingerprint has a smaller position in the same doc is a repeat,
+    // its [i, i+W) positions are dropped, kept tokens re-join in
+    // position order. The %3 self-append mirrors the Spark side's
+    // planted-repeat convention. win is expensive (md5 per window) and
+    // read by two consumers -> AS MATERIALIZED.
+    "t12_repeat_removal" -> {
+      val w = graft.operators.TextAnalysis.RepeatWindow
+      val terms = (0 until w)
+        .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]").mkString("||' '||")
+      s"""WITH toks AS (SELECT doc_id,
+         |    string_split_regex(CASE WHEN doc_id % 3 = 0
+         |      THEN text || ' ' || text ELSE text END, '\\s+') AS tk
+         |  FROM documents),
+         |win0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) - ${w - 2})) AS i
+         |         FROM toks WHERE len(tk) >= $w),
+         |win AS MATERIALIZED (SELECT doc_id, i,
+         |        ${h60(graft.operators.TextAnalysis.RepeatSeed, s"($terms)")} AS f
+         |      FROM win0),
+         |rep AS MATERIALIZED (SELECT doc_id, i FROM (
+         |        SELECT doc_id, i, MIN(i) OVER (PARTITION BY doc_id, f) AS i0
+         |        FROM win) WHERE i > i0),
+         |rw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_repeat_windows
+         |       FROM rep GROUP BY doc_id),
+         |rmpos AS (SELECT DISTINCT doc_id, j FROM
+         |          (SELECT doc_id, unnest(range(i, i + $w)) AS j FROM rep)),
+         |tok0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS j FROM toks),
+         |tokpos AS (SELECT doc_id, j, tk[j] AS tok FROM tok0),
+         |ag AS (SELECT t.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_removed,
+         |    COALESCE(string_agg(CASE WHEN r.doc_id IS NULL THEN t.tok END,
+         |      ' ' ORDER BY t.j), '') AS cleaned_text
+         |  FROM tokpos t LEFT JOIN rmpos r ON r.doc_id = t.doc_id AND r.j = t.j
+         |  GROUP BY t.doc_id)
+         |SELECT ag.doc_id, n_tokens, n_removed,
+         |  COALESCE(rw.n_repeat_windows, 0) AS n_repeat_windows, cleaned_text
+         |FROM ag LEFT JOIN rw ON ag.doc_id = rw.doc_id
+         |ORDER BY ag.doc_id""".stripMargin
+    },
+
+    // t13: linear quality classifier — the SAME weight/threshold
+    // constants as the Spark plan (shared literals, so the dot product
+    // cannot drift); all features are non-negative ppm integers, so
+    // DuckDB's floor // and Spark's truncating DIV agree.
+    "t13_quality_classifier" -> {
+      import graft.operators.TextAnalysis._
+      val stops = langMarkers.head._2.map(m => s"'$m'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |    CAST(len(regexp_extract_all(text, '$QcPunctPattern')) AS BIGINT) AS n_punct,
+         |    string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |t1 AS (SELECT doc_id, n_chars, n_punct, unnest(toks) AS tok FROM base),
+         |ag AS (SELECT doc_id, n_chars, n_punct,
+         |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN tok IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    CAST(SUM(CASE WHEN regexp_matches(tok, '^[0-9]+$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+         |    CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+         |  FROM t1 GROUP BY 1, 2, 3),
+         |f AS (SELECT doc_id, n_tokens,
+         |    LEAST(n_chars, $QcLenSat) * 1000000 // $QcLenSat AS len_ppm,
+         |    n_stop * 1000000 // n_tokens AS stop_ppm,
+         |    n_distinct * 1000000 // n_tokens AS distinct_ppm,
+         |    n_punct * 1000000 // GREATEST(n_chars, 1) AS punct_ppm,
+         |    n_digit * 1000000 // n_tokens AS digit_ppm
+         |  FROM ag)
+         |SELECT doc_id, n_tokens, len_ppm, stop_ppm, distinct_ppm, punct_ppm,
+         |  digit_ppm,
+         |  ($QcWLen*len_ppm + $QcWStop*stop_ppm + $QcWDistinct*distinct_ppm
+         |   + ($QcWPunct)*punct_ppm + ($QcWDigit)*digit_ppm) AS score_micros,
+         |  ($QcWLen*len_ppm + $QcWStop*stop_ppm + $QcWDistinct*distinct_ppm
+         |   + ($QcWPunct)*punct_ppm + ($QcWDigit)*digit_ppm) >= $QcThreshold AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** hash60 mirror: first 15 hex digits of md5(seed:s) as bigint. */
@@ -1852,13 +1930,16 @@ object Oracles {
 
     // x12: chunk-level exact dedup over x10's fingerprints — the chunk
     // CTEs are the SAME generated text as x10's (chunkCtes), over the
-    // doubled corpus (d01's +1000000 convention), so the two keys
-    // cannot drift. Keeper = lexicographic min (doc_id, chunk_no),
-    // derived as min-doc then min-chunk-within-that-doc.
+    // doubled corpus (ids shifted by max(doc_id)+1, mirroring the Spark
+    // side's driver-folded shift — collision-proof at any corpus size,
+    // unlike the old fixed +1,000,000), so the two keys cannot drift.
+    // Keeper = lexicographic min (doc_id, chunk_no), derived as min-doc
+    // then min-chunk-within-that-doc.
     "x12_chunk_dedup" ->
       s"""WITH ${chunkCtes(
              "(SELECT doc_id, text FROM documents UNION ALL " +
-             "SELECT doc_id + 1000000 AS doc_id, text FROM documents)")},
+             "SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) " +
+             "AS doc_id, text FROM documents)")},
          |g AS (SELECT chunk_md5, COUNT(*) AS n_copies,
          |        COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keep_doc
          |      FROM c GROUP BY 1 HAVING COUNT(*) >= 2),

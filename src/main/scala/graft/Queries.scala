@@ -69,6 +69,13 @@ object Queries {
     "t10_ngram_lm_score"   -> (TextAnalysis.t10NgramLmScore _),
     // t11: per-doc top-K tf-idf keywords off the shared postings pass.
     "t11_tfidf_keywords"   -> (TextAnalysis.t11TfidfKeywords _),
+    // t12: within-doc repetition removal (Gopher cleanup) — d11's span
+    // machinery minus the cross-doc join; repeats planted via the %3
+    // self-append convention so the gate does real work on any draw.
+    "t12_repeat_removal"   -> (TextAnalysis.t12RepeatRemove _),
+    // t13: deterministic linear quality classifier — plan-time literal
+    // weights over ppm integer features, exact integer score.
+    "t13_quality_classifier" -> (TextAnalysis.t13QualityClassifier _),
     "d01_dedup_exact"      -> (Dedup.d01DedupExact _),
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
@@ -215,6 +222,8 @@ object Queries {
     "t09_html_extract"     -> Seq("doc_id"),
     "t10_ngram_lm_score"   -> Seq("doc_id"),
     "t11_tfidf_keywords"   -> Seq("doc_id", "rnk"),
+    "t12_repeat_removal"   -> Seq("doc_id"),
+    "t13_quality_classifier" -> Seq("doc_id"),
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d13_url_dedup"        -> Seq("keep_id"),
     "d14_bloom_decontaminate" -> Seq("doc_id"),

@@ -507,10 +507,13 @@ object Dedup {
     // exchange-free pipeline from band join to threshold filter. Past
     // the cap (2M vectors ≈ 0.5 GB) it degrades loudly to the shuffle
     // join — at that corpus size the production answer is e05's
-    // cell-partitioned index, not d05's all-bands scan.
-    val va = Skew.boundedBroadcast(e.toDF("id_a", "va"),
+    // cell-partitioned index, not d05's all-bands scan. The guard
+    // reuses nVec (already cached above) — no per-hint count job — and
+    // the two sides are alias-only projections of one scan, so they
+    // canonicalize equal and ReuseExchange ships ONE broadcast.
+    val va = Skew.boundedBroadcastKnown(e.toDF("id_a", "va"), nVec,
       capRows = 2000000L, tag = "d05.vectors")
-    val vb = Skew.boundedBroadcast(e.toDF("id_b", "vb"),
+    val vb = Skew.boundedBroadcastKnown(e.toDF("id_b", "vb"), nVec,
       capRows = 2000000L, tag = "d05.vectors")
     cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),

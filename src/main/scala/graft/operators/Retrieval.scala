@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.functions.{Text, TopKByScore}
+import graft.functions.Text
 
 /** Lexical retrieval (SURVEY §2 e09): inverted-index BM25 top-k — the
   * keyword sibling of the ANN ladder (e01–e08). Every retrieval/curation
@@ -228,13 +228,19 @@ object Retrieval {
         expr("num DIV den").cast("bigint").as("micros"))
       .groupBy("q_id", "doc_id")
       .agg(sum("micros").as("micros"))
+    // Long-keyed top-k ([[graft.functions.TopKByLongScore]]): the summed
+    // micros stay an exact BIGINT through the ranking — the double-keyed
+    // form was exact only below 2^53 (~9e15; per-(q,doc) sums approach
+    // ~1e15 at sf10-scale doc lengths and pass it at ~10^8-doc corpora,
+    // where near-tie ranks would wobble). Only the DISPLAY value is a
+    // double (micros/1e6 at 6dp — exact at that magnitude).
     scored
       .groupBy("q_id")
-      .agg(TopKByScore(s, struct(col("micros").cast("double"), col("doc_id")), K)
-        .as("top"))
+      .agg(graft.functions.TopKByLongScore(
+        s, struct(col("micros"), col("doc_id")), K).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "x")))
       .select(col("q_id"), col("x.id").as("doc_id"),
-        round(col("x.score") / 1e6, 6).as("score"),
+        round(col("x.score").cast("double") / 1e6, 6).as("score"),
         (col("pos") + 1).cast("bigint").as("rnk"))
   }
 

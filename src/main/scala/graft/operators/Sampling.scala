@@ -361,8 +361,18 @@ object Sampling {
     * partial-combine map-side. */
   def x12ChunkDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // Shift = max(doc_id)+1 folded driver-side (the scalar-literal
+    // rule), NOT a fixed 1,000,000: a fixed shift silently collides
+    // with real ids past 1M documents (and the oracle, mirroring the
+    // same union, would stay green while keeper/n_docs semantics
+    // break). max(doc_id) is a narrow single-column scan; the oracle
+    // derives the same shift as a scalar subquery. Values are
+    // unchanged at any SF where the old constant was valid: keeper =
+    // min(doc_id) is always an ORIGINAL id (shift > max), and copy /
+    // distinct-doc counts don't depend on the shift magnitude.
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val doubled = docs.unionByName(
-      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
     chunkDedup(seqChunk(doubled))
   }
 

@@ -205,12 +205,20 @@ object Similarity {
     // driver. Fail loudly at the cap instead of OOMing mid-collect:
     // e01 is the exact BASELINE op; the scale path for large query sets
     // is e02–e05 (and a query-batched loop over this same kernel).
-    val nQueries = e.filter(col("vec_id") % 100 === 0).count()
-    require(nQueries <= MaxBruteQueries,
-      s"e01 query set ($nQueries rows) exceeds the driver-collect cap " +
-        s"($MaxBruteQueries); use the ANN ladder (e02-e05) or batch the queries")
+    // The pre-check uses the CACHED corpus count (no extra scan — the
+    // r14 guard ran a full count() of the filter per invocation):
+    // vec_id % 100 selects ≤ ⌈n/100⌉ rows of a dense id space, so
+    // n/100 bounds the collect; the exact length is re-checked after.
+    val estQueries = cachedEmbeddingCount(s, d) / 100L + 1L
+    require(estQueries <= MaxBruteQueries,
+      s"e01 query set (~$estQueries rows of ${cachedEmbeddingCount(s, d)}) " +
+        s"exceeds the driver-collect cap ($MaxBruteQueries); use the ANN " +
+        "ladder (e02-e05) or batch the queries")
     val queries = e.filter(col("vec_id") % 100 === 0)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(queries.length <= MaxBruteQueries,
+      s"e01 query set (${queries.length} rows) exceeds the driver-collect " +
+        s"cap ($MaxBruteQueries); use the ANN ladder (e02-e05)")
     val qb = s.sparkContext.broadcast(queries)
     val scored = e.as[(Long, Array[Float])].mapPartitions { it =>
       val qs = qb.value

@@ -73,14 +73,23 @@ object Skew {
     * corpus-wide gram shuffles past the cap) — a probe-able counter
     * turns a mystery regression into a one-line diagnosis. */
   def boundedBroadcast(df: DataFrame, capRows: Long = BroadcastRowCap,
-                       tag: String = ""): DataFrame = {
-    val n = df.count()
-    if (n <= capRows) broadcast(df)
+                       tag: String = ""): DataFrame =
+    boundedBroadcastKnown(df, df.count(), capRows, tag)
+
+  /** [[boundedBroadcast]] when the caller ALREADY KNOWS the row count
+    * (a cached corpus count, a just-collected frame's length): same
+    * guard, zero count jobs. Callers that hint several projections of
+    * one frame (d05's two vector sides) pay no per-call scan — the r14
+    * shape re-counted the same table once per hint. */
+  def boundedBroadcastKnown(df: DataFrame, knownRows: Long,
+                            capRows: Long = BroadcastRowCap,
+                            tag: String = ""): DataFrame = {
+    if (knownRows <= capRows) broadcast(df)
     else {
       broadcastFallbacks.incrementAndGet()
       val t = if (tag.isEmpty) "" else s" [$tag]"
       System.err.println(
-        s"[graft] boundedBroadcast$t: $n rows > cap $capRows — " +
+        s"[graft] boundedBroadcast$t: $knownRows rows > cap $capRows — " +
           "returning unhinted frame (join degrades to shuffle)")
       df
     }

@@ -471,16 +471,194 @@ object TextAnalysis {
         d38(lit(2L) * col("df") + lit(1L)).as("den"))
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         expr("num DIV den").cast("bigint").as("micros"))
+    // Bounded O(k) buffer ([[graft.functions.TopKTerms]]): the old
+    // collect_list → sort_array → slice shape buffered EVERY distinct
+    // term of a doc per aggregation row; the heap keeps exactly k and
+    // partial-aggregates map-side. Ranking (micros DESC, term ASC —
+    // UTF8 binary, matching sort_array's struct comparison) and output
+    // rows are identical.
     scored
       .groupBy("doc_id")
-      .agg(slice(sort_array(collect_list(struct(
-        (-col("micros")).as("neg"), col("tok"),
-        col("micros"), col("tf"), col("df")))), 1, KeywordK).as("top"))
+      .agg(graft.functions.TopKTerms(s, struct(
+        col("micros"), col("tok"), col("tf"), col("df")), KeywordK).as("top"))
       .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("doc_id"), col("t.tok").as("term"),
+      .select(col("doc_id"), col("t.term").as("term"),
         col("t.tf").as("tf"), col("t.df").as("df"),
-        round(col("t.micros").cast("double") / 1e6, 6).as("tfidf"),
+        round(col("t.score").cast("double") / 1e6, 6).as("tfidf"),
         (col("pos") + 1).cast("bigint").as("rnk"))
+  }
+
+  /** t12's window width: repeated [[RepeatWindow]]-token windows beyond
+    * their first in-document occurrence are stripped (Gopher/CCNet's
+    * within-document repetition cleanup; same width as d10/d11's
+    * cross-doc spans so the two signals are comparable). */
+  val RepeatWindow = 8
+
+  /** hash60 seed for t12's window fingerprints. */
+  val RepeatSeed = 37
+
+  /** t12: WITHIN-document repetition REMOVAL — the apply half of t06's
+    * measurement (Gopher's repetition-removal cleanup): every token
+    * covered by an [[RepeatWindow]]-token window that already occurred
+    * EARLIER IN THE SAME DOCUMENT is dropped, keeping the first
+    * occurrence; emits the cleaned single-space re-join plus audit
+    * counts (tokens, removed tokens, repeat windows). Loop-spam (a
+    * generator stuck re-emitting a block) collapses to one copy; a
+    * legitimate short refrain survives, because a 3-token phrase only
+    * forms a repeated 8-token window when its surrounding context
+    * repeats too (fixture-pinned in RepeatRemoveSpec).
+    *
+    * The raw synthetic corpus draw may carry few within-doc repeats, so
+    * the GATED key plants them deterministically (x12's doubled-corpus
+    * convention, applied within the row): docs with doc_id % 3 == 0 get
+    * their own text self-appended — every window of the second copy is
+    * then a repeat and the cleanup provably restores the original —
+    * while the other ⅔ exercise the no-op path. The oracle mirrors the
+    * same CASE.
+    *
+    * Scale shape — d11's span machinery minus the cross-doc salt join
+    * (repetition here is a PER-DOCUMENT property): positional windows
+    * via the codegen'd [[graft.functions.GraftNgrams]] pass, reduced to
+    * 60-bit fingerprints before the one explicit (doc, fp) exchange;
+    * repeats fall out of each group's sorted position list (everything
+    * after the first), so no window function and no self-join exist
+    * anywhere; removed positions explode only for repeat windows (~0 in
+    * a clean corpus); the per-doc rebuild is the one inherent
+    * corpus-sized shuffle (rewriting the corpus is the point). Every
+    * aggregate partial-combines map-side; position lists are
+    * sort_array'd so output is partitioning-independent. */
+  def t12RepeatRemove(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat_ws(" ", col("text"), col("text")))
+        .otherwise(col("text")).as("text"))
+    repeatRemove(s, docs)
+  }
+
+  /** [[t12RepeatRemove]] over any (doc_id, text) frame (spec entry —
+    * fixtures pin loop-spam removal vs legitimate-refrain survival). */
+  def repeatRemove(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.functions.GraftNgrams
+    val nPart = s.sessionState.conf.numShufflePartitions
+    // (doc, window-start i [0-based], window fingerprint f): one
+    // explicit exchange feeds both the repeat-window derivation and the
+    // per-doc repeat counts (ReuseExchange; explicit repartition is
+    // AQE-coalesce-exempt — the d11 discipline).
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(GraftNgrams(s, col("text"), RepeatWindow)).as(Seq("i", "g")))
+      .select(col("doc_id"), col("i"), Text.hash60(col("g"), RepeatSeed).as("f"))
+      .repartition(nPart, col("doc_id"), col("f"))
+    val pg = pos.groupBy("doc_id", "f")
+      .agg(sort_array(collect_list(col("i"))).as("ii"))
+    // Repeats = every position after the group's first: no window
+    // function, no join — the sorted list IS the first-occurrence rule.
+    val rep = pg.filter(size(col("ii")) >= 2)
+      .select(col("doc_id"), explode(expr("slice(ii, 2, size(ii) - 1)")).as("i"))
+    val repWin = pg.groupBy("doc_id")
+      .agg(sum((size(col("ii")) - 1).cast("bigint")).as("n_repeat_windows"))
+    // Removed token positions: union of [i, i+W) over repeat windows.
+    val rmPos = rep
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + RepeatWindow - 1)).as("j"))
+      .distinct()
+      .withColumn("rm", lit(true))
+    // Rebuild: positional tokens left-join removals; kept tokens
+    // re-join in position order (collect_list skips the nulls the
+    // removed positions leave behind).
+    docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("j", "tok")))
+      .join(rmPos, Seq("doc_id", "j"), "left")
+      .select(col("doc_id"), col("j"), col("tok"),
+        coalesce(col("rm"), lit(false)).as("rm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          when(!col("rm"), struct(col("j"), col("tok"))))),
+          x => x.getField("tok"))).as("cleaned_text"))
+      .join(repWin, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        coalesce(col("n_repeat_windows"), lit(0L)).as("n_repeat_windows"),
+        col("cleaned_text"))
+  }
+
+  /** t13's linear-model constants — OFFLINE-TRAINED weights embedded as
+    * plan-time literals (the fastText deployment posture: training
+    * happens once, out of band; serving is a dot product whose weights
+    * ride the plan, never a runtime lookup). Features are exact
+    * parts-per-million integers, so score = w·f is an exact BIGINT and
+    * the verdict an integer compare — no float, no rounding boundary
+    * anywhere. Signs encode the usual quality priors: length, stopword
+    * density, and lexical diversity up; punctuation spam and digit spam
+    * down. */
+  val QcLenSat = 2000L
+  val QcWLen = 2L
+  val QcWStop = 3L
+  val QcWDistinct = 2L
+  val QcWPunct = -4L
+  val QcWDigit = -3L
+  /** Keep iff score_micros ≥ this. Integer compare of an exact integer
+    * score — no rounding boundary exists by construction. Sits between
+    * the gate corpus's median (~1.33M) and p75 (~1.49M), so the verdict
+    * splits the corpus non-trivially at every gate SF
+    * (QualityClassifierSpec pins the split). */
+  val QcThreshold = 1400000L
+
+  /** Punctuation class for t13's spam feature (RE2-safe, shared with
+    * the oracle). */
+  val QcPunctPattern = "[.!?,;:]"
+
+  /** t13: deterministic LINEAR quality classifier — the learned-model
+    * quality posture (fastText-class) next to the rule gates (t02/t07)
+    * and corpus-relative signals (t08/t10): a literal weight vector
+    * over integer count features, exact integer dot-product score,
+    * threshold verdict. Features (ppm integers): saturated length,
+    * stopword density (t01's en function-word lexicon), lexical
+    * diversity, punctuation-spam density, digit-token density.
+    *
+    * Scale shape: one token explode → codegen'd indicator projection →
+    * single partial-combining aggregate per doc (t01's relational
+    * shape; the doc-level char features ride the grouping key like
+    * postings' dl — no join back). countDistinct plans as Expand +
+    * two-level HashAggregate, both map-side partial. No window, no
+    * join, one corpus exchange. */
+  def t13QualityClassifier(s: SparkSession, d: String): DataFrame =
+    qualityClassifier(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars")))
+
+  /** [[t13QualityClassifier]] over any (doc_id, text, n_chars) frame
+    * (spec entry — planted high/low-quality fixtures pin the score
+    * DIRECTION per feature). */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val stops = langMarkers.head._2 // the en function-word lexicon
+    val agg = docs
+      .select(col("doc_id"), col("n_chars").cast("bigint").as("n_chars"),
+        size(regexp_extract_all(col("text"), lit(QcPunctPattern), lit(0)))
+          .cast("bigint").as("n_punct"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("n_chars"), col("n_punct"),
+        when(col("tok").isin(stops.map(lit(_)): _*), 1L).otherwise(0L).as("is_stop"),
+        when(col("tok").rlike("^[0-9]+$"), 1L).otherwise(0L).as("is_digit"),
+        col("tok"))
+      // n_chars/n_punct are functionally dependent on doc_id — riding
+      // the grouping key avoids a join back to the docs scan.
+      .groupBy("doc_id", "n_chars", "n_punct")
+      .agg(count(lit(1)).as("n_tokens"), sum("is_stop").as("n_stop"),
+        sum("is_digit").as("n_digit"),
+        countDistinct(col("tok")).as("n_distinct"))
+    val f = agg.select(col("doc_id"), col("n_tokens"),
+      expr(s"least(n_chars, $QcLenSat) * 1000000 DIV $QcLenSat").as("len_ppm"),
+      expr("n_stop * 1000000 DIV n_tokens").as("stop_ppm"),
+      expr("n_distinct * 1000000 DIV n_tokens").as("distinct_ppm"),
+      expr("n_punct * 1000000 DIV greatest(n_chars, 1)").as("punct_ppm"),
+      expr("n_digit * 1000000 DIV n_tokens").as("digit_ppm"))
+    f.select(col("doc_id"), col("n_tokens"), col("len_ppm"), col("stop_ppm"),
+      col("distinct_ppm"), col("punct_ppm"), col("digit_ppm"),
+      (lit(QcWLen) * col("len_ppm") + lit(QcWStop) * col("stop_ppm") +
+        lit(QcWDistinct) * col("distinct_ppm") +
+        lit(QcWPunct) * col("punct_ppm") +
+        lit(QcWDigit) * col("digit_ppm")).as("score_micros"))
+      .withColumn("keep", col("score_micros") >= QcThreshold)
   }
 
   /** t04: order-sensitive polynomial rolling-hash fingerprint per doc.
