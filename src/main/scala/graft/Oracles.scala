@@ -1951,6 +1951,63 @@ object Oracles {
          |FROM g JOIN k ON g.chunk_md5 = k.chunk_md5
          |ORDER BY g.chunk_md5""".stripMargin,
 
+    // x14: deterministic KMV-sample quantile sketch — same hash-order
+    // sample rule (k smallest h60(doc_id) per source, v tie-break
+    // mirroring MinKPairs' (key, id) order) and the x11 integer rank
+    // rule over the sorted sample.
+    "x14_quantile_sketch" -> {
+      import graft.operators.Sampling.{QSketchK, QSketchSeed, QuantilePcts}
+      val qcols = QuantilePcts.map(p =>
+        s"vs[CAST(($p * sample_m + 99) // 100 AS INT)] AS p${p}_micros")
+        .mkString(",\n  ")
+      s"""WITH v AS (SELECT source,
+         |    CAST(n_chars AS BIGINT) * 1000000
+         |      // GREATEST(len(string_split_regex(text, '\\s+')), 1) AS v,
+         |    ${h60(QSketchSeed, "CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |r AS (SELECT source, v,
+         |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, v) AS rn,
+         |        COUNT(*) OVER (PARTITION BY source) AS n FROM v),
+         |s2 AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+         |        CAST(COUNT(*) AS BIGINT) AS sample_m,
+         |        list_sort(list(v)) AS vs
+         |      FROM r WHERE rn <= $QSketchK GROUP BY source)
+         |SELECT source, n_docs, sample_m,
+         |  $qcols
+         |FROM s2 ORDER BY source""".stripMargin
+    },
+
+    // x13: BPE merge training, one unrolled CTE chain per round (e03's
+    // Lloyd pattern): v{r} applies round r's argmax merge as the same
+    // literal replace the Spark side folds; every v/g CTE is
+    // multiply-referenced -> AS MATERIALIZED (the DuckDB CTE-inlining
+    // rule).
+    "x13_bpe_merges" -> {
+      val R = graft.operators.Sampling.BpeMerges
+      val rounds = (1 to R).map { r =>
+        s"""p$r AS (SELECT freq, ss, unnest(range(1, len(ss))) AS i FROM
+           |  (SELECT string_split(w[2:-2], ')(') AS ss, freq FROM v${r - 1})),
+           |c$r AS (SELECT ss[i] AS lhs, ss[i+1] AS rhs,
+           |          CAST(SUM(freq) AS BIGINT) AS cnt
+           |        FROM p$r GROUP BY 1, 2),
+           |g$r AS MATERIALIZED (SELECT $r AS rnd, lhs, rhs, lhs||rhs AS merged, cnt
+           |        FROM c$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+           |v$r AS MATERIALIZED (SELECT replace(w,
+           |        '('||(SELECT lhs FROM g$r)||')('||(SELECT rhs FROM g$r)||')',
+           |        '('||(SELECT merged FROM g$r)||')') AS w, freq FROM v${r - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
+         |         CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
+         |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')
+         |  GROUP BY tok),
+         |$rounds
+         |SELECT CAST(rnd AS BIGINT) AS rnd, lhs, rhs, merged, cnt AS freq
+         |FROM (${(1 to R).map(r => s"SELECT * FROM g$r").mkString(" UNION ALL ")})
+         |ORDER BY rnd""".stripMargin
+    },
+
     "x02_seq_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,

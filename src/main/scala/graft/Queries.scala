@@ -177,7 +177,13 @@ object Queries {
     "x11_quantile_profile" -> (Sampling.x11QuantileProfile _),
     // x12 consumes x10's chunk fingerprints: chunk-level exact dedup
     // over the doubled corpus (the raw corpus has no cross-doc spans).
-    "x12_chunk_dedup"      -> (Sampling.x12ChunkDedup _)
+    "x12_chunk_dedup"      -> (Sampling.x12ChunkDedup _),
+    // x13: BPE merge-table training on the (token, freq) vocabulary —
+    // per-round argmax driver-folded, merges as literal replaces.
+    "x13_bpe_merges"       -> (Sampling.x13BpeMerges _),
+    // x14: deterministic KMV-sample quantile sketch for continuous
+    // columns (x11's sibling where distinct values ≈ corpus rows).
+    "x14_quantile_sketch"  -> (Sampling.x14QuantileSketch _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -274,7 +280,9 @@ object Queries {
     "x09_curation_merge"   -> Seq("doc_id"),
     "x10_seq_chunk"        -> Seq("doc_id", "chunk_no"),
     "x11_quantile_profile" -> Seq("source"),
-    "x12_chunk_dedup"      -> Seq("chunk_md5")
+    "x12_chunk_dedup"      -> Seq("chunk_md5"),
+    "x13_bpe_merges"       -> Seq("rnd"),
+    "x14_quantile_sketch"  -> Seq("source")
   )
 
   /** Verification view: production plan + canonical output order. */

@@ -426,4 +426,126 @@ object Sampling {
       .groupBy("source")
       .agg(max("n_docs").as("n_docs"), qs: _*)
   }
+
+  /** x14's sketch size (sampled rows per stratum) and hash seed —
+    * [[KmvK]]'s scale, x03's md5-order discipline. */
+  val QSketchK = 256
+  val QSketchSeed = 41
+
+  /** x14: per-source QUANTILE SKETCH for continuous / unbounded-
+    * cardinality columns — the companion x11 cannot be: x11's exact
+    * cell compaction is bounded by DISTINCT VALUES per source (fine
+    * for token counts, ruinous for a continuous metric whose distinct
+    * values ≈ corpus rows). Here the state is a deterministic
+    * [[QSketchK]]-row sample per source — the rows whose md5-derived
+    * doc_id hashes are the stratum's smallest (x03/x04's KMV
+    * discipline: a uniform draw that reproduces on any engine or
+    * partitioning, so the sketch hash-gates like everything else,
+    * unlike t-digest/GK whose states are implementation-defined) —
+    * and each percentile is the x11 integer order-statistic rule
+    * applied to the sorted sample (p-th = sample value at rank
+    * ⌈p·m/100⌉). When a stratum has ≤ [[QSketchK]] rows the sample IS
+    * the stratum and the sketch is exact (spec-pinned); above it the
+    * error is the binomial order-statistic bound (~1/√k relative rank
+    * error, spec-bounded against the exact form).
+    *
+    * Metric: chars-per-token × 10⁶ (exact integer DIV) — a real
+    * curation signal (mojibake/OCR inflates it, token spam deflates
+    * it) whose distinct values grow with the corpus.
+    *
+    * Scale shape: one map-side projection, ONE bounded partial
+    * aggregate ([[graft.functions.MinKPairs]]: each partition ships at
+    * most k pairs per source); the per-source sort is over k values in
+    * one array — no window over doc rows, no per-value cell state. */
+  def x14QuantileSketch(s: SparkSession, d: String): DataFrame =
+    quantileSketch(s, Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        expr("CAST(n_chars AS BIGINT) * 1000000 DIV " +
+          "greatest(CAST(size(split(text, '\\\\s+')) AS BIGINT), 1)").as("v")))
+
+  /** [[x14QuantileSketch]] over any (source, doc_id, v) frame (spec
+    * entry — exactness at m ≤ k and the error bound vs the exact
+    * order statistic are pinned on synthetic distributions). */
+  def quantileSketch(s: SparkSession, rows: DataFrame): DataFrame = {
+    val sk = rows
+      .select(col("source"),
+        Text.hash60(col("doc_id").cast("string"), QSketchSeed).as("h"), col("v"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.MinKPairs(s, struct(col("h"), col("v")), QSketchK).as("smp"))
+    // The sample rides (hash ASC) order out of the aggregate; quantiles
+    // need VALUE order — one k-element array sort per source.
+    val withVs = sk
+      .withColumn("vs", sort_array(transform(col("smp"), x => x.getField("id"))))
+      .withColumn("m", size(col("vs")).cast("bigint"))
+    val qcols = QuantilePcts.map(p =>
+      element_at(col("vs"), expr(s"CAST(($p * m + 99) DIV 100 AS INT)"))
+        .as(s"p${p}_micros"))
+    withVs.select(Seq(col("source"), col("n_docs"),
+      col("m").as("sample_m")) ++ qcols: _*)
+  }
+
+  /** Merge rounds trained by x13. */
+  val BpeMerges = 8
+
+  /** x13: BPE VOCABULARY construction — the deterministic top-merge
+    * subword trainer every tokenization-facing op (x02's packing,
+    * x10's chunking) presupposes exists upstream: [[BpeMerges]] rounds
+    * of "count adjacent symbol pairs, merge the most frequent
+    * everywhere" (Sennrich et al.'s byte-pair encoding), emitting the
+    * merge table with per-merge corpus frequencies.
+    *
+    * The trainer runs on the (token, corpus frequency) VOCABULARY, not
+    * the corpus: one corpus pass compacts to the distinct-token frame
+    * (the classic word-frequency BPE formulation), then every round is
+    * an aggregate over that vocab-bounded frame — at 100 TB the corpus
+    * is read once and the iteration cost scales with vocabulary, not
+    * data. Pre-tokenization keeps alphanumeric word forms (standard
+    * BPE practice), which also makes the (x)(y) symbol framing
+    * injective. Each round's argmax (count DESC, pair ASC — fully
+    * tie-broken) is driver-folded (Lloyd's-iteration discipline:
+    * per-round state re-enters as plan literals; the vocab frame is
+    * lineage-cut once so round jobs never re-run the corpus pass).
+    * Merges apply as literal string replaces over the framed symbol
+    * string — greedy left-to-right non-overlapping in both engines, so
+    * the oracle (one unrolled CTE chain per round, e03's pattern)
+    * mirrors every round exactly. */
+  def x13BpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMerges(s, Tables.documents(s, d).select(col("text")), BpeMerges)
+
+  /** [[x13BpeMerges]] over any (text) frame (spec entry — fixtures pin
+    * the merge order, frequency weighting, and tie-breaks). */
+  def bpeMerges(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    val vocab0 = docs
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike("^[a-z0-9]+$"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      // (c) -> (c)(h)(a)(r) framing: injective over the alphanumeric
+      // pre-tokenized forms, and a merged pair is ONE literal replace.
+      .select(regexp_replace(col("tok"), "(.)", "($1)").as("w"), col("freq"))
+    val vocab = graft.Checkpoints.cut(vocab0)
+    var w = vocab
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val pairs = w
+        .select(col("freq"),
+          split(expr("substring(w, 2, length(w) - 2)"), "\\)\\(").as("ss"))
+        .select(col("freq"),
+          expr("slice(ss, 1, size(ss) - 1)").as("la"),
+          expr("slice(ss, 2, size(ss) - 1)").as("ra"))
+        .select(col("freq"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+        .groupBy(col("p.la").as("lhs"), col("p.ra").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"x13: no adjacent pairs left at merge round $r")
+      val l = top.head.getAs[String]("lhs")
+      val rr = top.head.getAs[String]("rhs")
+      picks += ((r.toLong, l, rr, l + rr, top.head.getAs[Long]("cnt")))
+      w = w.select(expr(s"replace(w, '($l)($rr)', '(${l + rr})')").as("w"),
+        col("freq"))
+    }
+    import s.implicits._
+    picks.toSeq.toDF("rnd", "lhs", "rhs", "merged", "freq")
+  }
 }
