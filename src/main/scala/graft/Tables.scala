@@ -14,6 +14,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a per-row-HEAVY pass (explode / regex / digest over every
+    * row) across the session's parallelism when the input scan has
+    * fewer splits than that: parquet scan parallelism is bounded by
+    * ROW GROUPS, and a single-row-group file (small SFs here; one fat
+    * unsplittable part in production) serializes the whole
+    * generate/project stage onto its scan task — measured 5-10× on the
+    * sf1 postings family, whose 50k-doc corpus is one row group, so
+    * the bigram explode+aggregate ran on 1 core of 32. The exchange
+    * ships RAW rows — strictly smaller than any exploded stream it
+    * feeds — and is SKIPPED when the scan already has enough splits,
+    * so the 100 TB case (thousands of row groups) pays nothing.
+    * `key` must be a well-distributed column (row id); hash
+    * partitioning on it keeps the plan deterministic (a bare
+    * round-robin repartition inserts a full local sort for retry
+    * determinism). Filters still reach the parquet scan: Catalyst
+    * pushes deterministic predicates through RepartitionByExpression. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < n) df.repartition(n, key) else df
+  }
+
   /** Schema-adaptive events loader. The driver has generated `events.ts`
     * two ways across rounds:
     *   - parquet TIMESTAMP(NANOS), which Spark 4 surfaces as a bigint when

@@ -48,9 +48,11 @@ object Dedup {
   private[operators] def shingled(s: SparkSession, d: String): DataFrame =
     shingledDocs(s, Tables.documents(s, d))
 
-  /** [[shingled]] over any (doc_id, text, ...) frame. */
+  /** [[shingled]] over any (doc_id, text, ...) frame. Spread first:
+    * the shingle digest pass runs per row and scan parallelism is
+    * row-group-bounded ([[graft.Tables.spread]]). */
   def shingledDocs(s: SparkSession, docs: DataFrame): DataFrame =
-    docs
+    graft.Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), GraftShingles(s, col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -206,7 +208,9 @@ object Dedup {
 
   /** [[d10SpanDup]] over any (doc_id, text) frame (spec entry). */
   def spanDupStats(s: SparkSession, docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+    // spread: the span digest pass runs per row and scan parallelism
+    // is row-group-bounded (graft.Tables.spread).
+    val sh = graft.Tables.spread(docs, col("doc_id")).select(col("doc_id"),
       GraftShingles(s, col("text"), SpanK).as("sp"))
     val nSpans = sh.select(col("doc_id"),
       size(col("sp")).cast("bigint").as("n_spans"))
@@ -274,8 +278,12 @@ object Dedup {
 
   /** [[d11SpanMask]] over any (doc_id, text) frame (spec entry). */
   def spanMask(s: SparkSession, docs: DataFrame): DataFrame = {
+    // spread once: the window pass and the rebuild both tokenize every
+    // row, and scan parallelism is row-group-bounded
+    // (graft.Tables.spread).
+    val docsS = graft.Tables.spread(docs, col("doc_id"))
     // (doc, window-start i [0-based], window fingerprint f)
-    val pos = docs
+    val pos = docsS
       .select(col("doc_id"),
         posexplode(GraftNgrams(s, col("text"), SpanK)).as(Seq("i", "g")))
       .select(col("doc_id"), col("i"), Text.hash60(col("g"), SpanSeed).as("f"))
@@ -311,7 +319,7 @@ object Dedup {
       .withColumn("mask", lit(true))
     // Rebuild: positional tokens left-join mask, sentinel where masked,
     // deterministic order via the sorted (pos, tok) struct aggregate.
-    docs
+    docsS
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("j", "tok")))
       .join(maskPos, Seq("doc_id", "j"), "left")
       .select(col("doc_id"), col("j"),

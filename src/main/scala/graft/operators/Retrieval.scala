@@ -167,7 +167,7 @@ object Retrieval {
     * slices — the property [[postingsAppendTopK]]'s incremental merge
     * rests on. */
   private def ntScalars(docs: DataFrame): (Long, Long) = {
-    val nt = docs.agg(
+    val nt = Tables.spread(docs, col("doc_id")).agg(
       count(lit(1)).as("n"),
       coalesce(sum(greatest(
         size(Text.tokens(col("text"))).cast("bigint") - 1, lit(0L))), lit(0L))
@@ -193,7 +193,10 @@ object Retrieval {
     // the shared filter the two exchange children differ by one Filter
     // node, ReuseExchange can't merge them, and the corpus is
     // exploded+shuffled TWICE (observed in the first plan).
-    docs
+    // spread BEFORE the gram explode: the generate+digest stage
+    // otherwise runs on the scan's row-group count (1 task at sf1 —
+    // measured 5-10x; see Tables.spread).
+    Tables.spread(docs, col("doc_id"))
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         size(grams).cast("bigint").as("dl"),
@@ -257,7 +260,7 @@ object Retrieval {
     // parquet scan), distinct terms map-side via array_distinct — no
     // shuffle and no third corpus pass; sharing the tok exchange
     // instead would push the %-filter below it and fork the exchange.
-    val q = docs
+    val q = Tables.spread(docs, col("doc_id"))
       .filter(col("doc_id").isNotNull && col("doc_id") % QueryEvery === 0)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(grams)).as("tok"))

@@ -164,7 +164,10 @@ object TextAnalysis {
       lit("."), (col("c_nationkey") % 250).cast("string"),
       lit("."), (col("c_custkey") * 7 % 250).cast("string"),
       lit(" card "), base15, check.cast("string"))
-    piiMask(Tables.customer(s, d).select(col("c_custkey"), raw.as("raw")))
+    // spread: the mask regex chains + per-candidate Luhn run per row
+    // and scan parallelism is row-group-bounded (Tables.spread).
+    piiMask(Tables.spread(Tables.customer(s, d), col("c_custkey"))
+      .select(col("c_custkey"), raw.as("raw")))
   }
 
   /** [[t05PiiMask]] over any (c_custkey, raw) frame — split out so the
@@ -396,11 +399,15 @@ object TextAnalysis {
   def ngramLmScore(s: SparkSession, docs: DataFrame): DataFrame = {
     import graft.functions.GraftNgrams
     val grams = GraftNgrams(s, col("text"), 2)
-    val t2 = docs.agg(
+    // spread once: the scalar pass, the gram explode, and the final
+    // per-doc bigram-count projection all tokenize every row
+    // (Tables.spread — scan parallelism is row-group-bounded).
+    val docsS = Tables.spread(docs, col("doc_id"))
+    val t2 = docsS.agg(
       sum(greatest(size(Text.tokens(col("text"))).cast("bigint") - 1, lit(0L))))
       .head().getLong(0)
     val nPart = s.sessionState.conf.numShufflePartitions
-    val b = docs
+    val b = docsS
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(grams).as("g"))
       .repartition(nPart, col("g"))
@@ -413,7 +420,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), sum("bits").as("sum_bits"),
         max("bits").as("max_bits"),
         sum(when(col("c12") <= RareTf, 1L).otherwise(0L)).as("n_rare_bigrams"))
-    docs
+    docsS
       .select(col("doc_id"),
         greatest(size(Text.tokens(col("text"))).cast("bigint") - 1, lit(0L))
           .as("n_bigrams"))
@@ -539,11 +546,14 @@ object TextAnalysis {
   def repeatRemove(s: SparkSession, docs: DataFrame): DataFrame = {
     import graft.functions.GraftNgrams
     val nPart = s.sessionState.conf.numShufflePartitions
+    // spread once: both the window pass and the rebuild tokenize every
+    // row (Tables.spread — scan parallelism is row-group-bounded).
+    val docsS = Tables.spread(docs, col("doc_id"))
     // (doc, window-start i [0-based], window fingerprint f): one
     // explicit exchange feeds both the repeat-window derivation and the
     // per-doc repeat counts (ReuseExchange; explicit repartition is
     // AQE-coalesce-exempt — the d11 discipline).
-    val pos = docs
+    val pos = docsS
       .select(col("doc_id"),
         posexplode(GraftNgrams(s, col("text"), RepeatWindow)).as(Seq("i", "g")))
       .select(col("doc_id"), col("i"), Text.hash60(col("g"), RepeatSeed).as("f"))
@@ -565,7 +575,7 @@ object TextAnalysis {
     // Rebuild: positional tokens left-join removals; kept tokens
     // re-join in position order (collect_list skips the nulls the
     // removed positions leave behind).
-    docs
+    docsS
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("j", "tok")))
       .join(rmPos, Seq("doc_id", "j"), "left")
       .select(col("doc_id"), col("j"), col("tok"),
@@ -631,7 +641,10 @@ object TextAnalysis {
     * DIRECTION per feature). */
   def qualityClassifier(docs: DataFrame): DataFrame = {
     val stops = langMarkers.head._2 // the en function-word lexicon
-    val agg = docs
+    // spread: the punct regex + token explode + indicator projection
+    // all run per row (Tables.spread — scan parallelism is
+    // row-group-bounded).
+    val agg = Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), col("n_chars").cast("bigint").as("n_chars"),
         size(regexp_extract_all(col("text"), lit(QcPunctPattern), lit(0)))
           .cast("bigint").as("n_punct"),
@@ -669,7 +682,7 @@ object TextAnalysis {
   def t04Fingerprint(s: SparkSession, d: String): DataFrame = {
     val p = 2305843009213693951L // 2^61 - 1
     val powers = array(Seq.iterate(1L, 8)(_ * 31L).map(lit(_)): _*)
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("i", "tok")))
       .select(col("doc_id"),
         (pmod(Text.hash60(col("tok"), 7), lit(1048576L)) *
@@ -806,7 +819,9 @@ object TextAnalysis {
       case Left(s)  => lit(s)
       case Right(f) => fields(f)
     }: _*)
-    docs.select(col("doc_id"), page.as("html"))
+    // spread: the downstream strip/decode regex chains run per row and
+    // scan parallelism is row-group-bounded (Tables.spread).
+    Tables.spread(docs, col("doc_id")).select(col("doc_id"), page.as("html"))
   }
 
   /** t09: HTML/markup → clean-text extraction with audit counts — the

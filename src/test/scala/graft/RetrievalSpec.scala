@@ -155,9 +155,13 @@ class RetrievalSpec extends SparkSpecBase {
     val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
     // repartition(tok) + per-(q,doc) sum + per-q topk = 3 real
     // exchanges; the tf/df/query consumers must REUSE the tok exchange
-    // (ReusedExchange), not replay the corpus scan.
-    assert(shuffles.size <= 3,
-      s"expected <= 3 exchanges (tok/agg/topk), got ${shuffles.size}")
+    // (ReusedExchange), not replay the corpus scan. At gate SFs the
+    // Tables.spread guard adds up to 2 more RAW-row exchanges (the
+    // corpus pass and the pushed-down 1% query slice) — absent at
+    // production scale where the scan has enough splits, and they
+    // cannot merge because the pushed filters differ below them.
+    assert(shuffles.size <= 5,
+      s"expected <= 5 exchanges (tok/agg/topk + 2 spread), got ${shuffles.size}")
     assert(nodes.exists(_.nodeName.toLowerCase.contains("reusedexchange")),
       "tf consumers must reuse the single tok exchange")
     assert(!nodes.exists(_.nodeName.toLowerCase.contains("window")),

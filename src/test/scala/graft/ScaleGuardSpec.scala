@@ -58,6 +58,30 @@ class ScaleGuardSpec extends SparkSpecBase {
     assert(hinted.count() == 100 && degraded.count() == 100)
   }
 
+  test("boundedBroadcastKnown guards without running any count job") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("k").localCheckpoint()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val before = Skew.broadcastFallbacks.get()
+      val hinted = Skew.boundedBroadcastKnown(df, knownRows = 100, capRows = 1000)
+      val degraded = Skew.boundedBroadcastKnown(df, knownRows = 100, capRows = 10)
+      Thread.sleep(200) // let any (unexpected) job-start events land
+      assert(jobs.get() == 0,
+        "known-count guard must not launch a job (the r14 d05 shape " +
+          "re-counted the same table once per hint)")
+      assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
+      assert(!degraded.queryExecution.analyzed.toString.contains("ResolvedHint"))
+      assert(Skew.broadcastFallbacks.get() == before + 1)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("x09 mergeParts: CC/relabel are fan-out-bounded, not batch-sized") {
     val st = Curation.curationState(spark, base)
     val p = Curation.mergeParts(spark, st, batch)
