@@ -761,12 +761,81 @@ object Oracles {
          |  ($QcWLen*len_ppm + $QcWStop*stop_ppm + $QcWDistinct*distinct_ppm
          |   + ($QcWPunct)*punct_ppm + ($QcWDigit)*digit_ppm) >= $QcThreshold AS keep
          |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    // t14: C4 line filtering — the SAME geometry/planting constants as
+    // the Spark plan (shared literals); rules evaluate rendered CONTENT
+    // (contains / LIKE '%.' / token count), precedence blocklist →
+    // unterminated → short.
+    "t14_boilerplate_filter" -> {
+      import graft.operators.TextAnalysis._
+      val words = BpBlocklist
+      val wordCase = words.zipWithIndex.map { case (w, j) =>
+        s"WHEN ${j * BpPolicyMod} THEN '$w'" }.mkString(" ")
+      val polHit = words.map(w => s"contains(txt, '$w')").mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+         |    $BpLineBase + doc_id % $BpLineMod AS len FROM documents),
+         |b AS (SELECT doc_id, toks, len, len(toks) AS n FROM t),
+         |l AS (SELECT doc_id, toks, len, n,
+         |    unnest(range(0, (n + len - 1) // len)) AS i FROM b),
+         |r AS (SELECT doc_id, i,
+         |    array_to_string(toks[i*len+1 : i*len+len], ' ')
+         |      || CASE WHEN (doc_id + i) % $BpPolicyMod = 0 THEN ' ' ||
+         |           CASE (doc_id + i) % ${BpPolicyMod * words.size}
+         |             $wordCase ELSE '${words.head}' END
+         |         ELSE '' END
+         |      || CASE WHEN (doc_id + i) % $BpTermMod <> 0 THEN '.' ELSE '' END AS txt,
+         |    LEAST(len, n - i*len)
+         |      + CASE WHEN (doc_id + i) % $BpPolicyMod = 0 THEN 1 ELSE 0 END AS cnt
+         |  FROM l),
+         |f AS (SELECT doc_id, i, txt, cnt, ($polHit) AS pol,
+         |    txt LIKE '%.' AS term FROM r),
+         |ag AS (SELECT doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |    CAST(SUM(CASE WHEN NOT pol AND term AND cnt >= $BpMinTokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(SUM(CASE WHEN pol THEN 1 ELSE 0 END) AS BIGINT) AS n_policy,
+         |    CAST(SUM(CASE WHEN NOT pol AND NOT term THEN 1 ELSE 0 END) AS BIGINT) AS n_unterminated,
+         |    CAST(SUM(CASE WHEN NOT pol AND term AND cnt < $BpMinTokens THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |    COALESCE(string_agg(CASE WHEN NOT pol AND term AND cnt >= $BpMinTokens
+         |      THEN txt END, chr(10) ORDER BY i), '') AS cleaned_text
+         |  FROM f GROUP BY doc_id)
+         |SELECT doc_id, n_lines, n_kept, n_policy, n_unterminated, n_short,
+         |  n_kept >= $BpMinLines AS keep, cleaned_text
+         |FROM ag ORDER BY doc_id""".stripMargin
     }
   )
 
   /** hash60 mirror: first 15 hex digits of md5(seed:s) as bigint. */
   private def h60(seed: Int, x: String): String =
     s"CAST(('0x'||substr(md5('$seed:'||$x),1,15)) AS BIGINT)"
+
+  /** x13's BPE training chain (vocab build + one p/c/g/v CTE quartet
+    * per merge round), generated once from the shared round count and
+    * reused by every vocabulary consumer (x13, x16) so the trained
+    * merges cannot drift between them. Exposes g1..gR (the per-round
+    * picks) and vR (the merged vocabulary). */
+  private def bpeTrainCtes: String = {
+    val R = graft.operators.Sampling.BpeMerges
+    val rounds = (1 to R).map { r =>
+      s"""p$r AS (SELECT freq, ss, unnest(range(1, len(ss))) AS i FROM
+         |  (SELECT string_split(w[2:-2], ')(') AS ss, freq FROM v${r - 1})),
+         |c$r AS (SELECT ss[i] AS lhs, ss[i+1] AS rhs,
+         |          CAST(SUM(freq) AS BIGINT) AS cnt
+         |        FROM p$r GROUP BY 1, 2),
+         |g$r AS MATERIALIZED (SELECT $r AS rnd, lhs, rhs, lhs||rhs AS merged, cnt
+         |        FROM c$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$r AS MATERIALIZED (SELECT replace(w,
+         |        '('||(SELECT lhs FROM g$r)||')('||(SELECT rhs FROM g$r)||')',
+         |        '('||(SELECT merged FROM g$r)||')') AS w, freq FROM v${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS MATERIALIZED (
+       |  SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
+       |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')
+       |  GROUP BY tok),
+       |$rounds""".stripMargin
+  }
 
   /** x10's chunking CTE chain (tokenize → chunk-index explode → md5 of
     * the token slice), generated once from the shared geometry
@@ -1622,6 +1691,58 @@ object Oracles {
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
            |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
+      // e12: greedy MMR as an UNROLLED selection ladder (e03's
+      // bounded-iteration pattern): s1 = relevance argmax; step i joins
+      // the not-yet-picked pool against the selected set's pairwise
+      // sims and takes the (mmr DESC, c_id ASC) argmax. Every CTE that
+      // is both upstream-expensive and multiply-referenced is
+      // MATERIALIZED (the DuckDB-inlines-shared-CTEs lesson).
+      "e12_mmr_rerank" -> {
+        val p = graft.operators.Similarity.MmrPool
+        val k = 10
+        val steps = (2 to k).map { i =>
+          val sel = (1 until i).map(j => s"SELECT * FROM s$j")
+            .mkString(" UNION ALL ")
+          s"""sel${i - 1} AS MATERIALIZED ($sel),
+             |sc$i AS (SELECT p.q_id, p.c_id, p.relm,
+             |    p.relm - MAX(y.simm) AS mmrm
+             |  FROM pool p JOIN sel${i - 1} s ON s.q_id = p.q_id
+             |  JOIN simsym y ON y.q_id = p.q_id AND y.ca = p.c_id AND y.cb = s.c_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} z
+             |                    WHERE z.q_id = p.q_id AND z.c_id = p.c_id)
+             |  GROUP BY p.q_id, p.c_id, p.relm),
+             |s$i AS MATERIALIZED (SELECT q_id, c_id, relm, mmrm, $i AS rnk FROM (
+             |  SELECT q_id, c_id, relm, mmrm,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY mmrm DESC, c_id) AS rr
+             |  FROM sc$i) WHERE rr = 1)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (1 to k).map(i => s"SELECT * FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |sc0 AS (SELECT q_id, c.vec_id AS c_id, ROUND($cosQC, 6) AS cos6
+           |        FROM q JOIN embeddings c ON c.vec_id <> q_id),
+           |pool AS MATERIALIZED (SELECT q_id, c_id,
+           |    CAST(ROUND(cos6 * 1000000) AS BIGINT) AS relm
+           |  FROM (SELECT q_id, c_id, cos6,
+           |          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS rr
+           |        FROM sc0) WHERE rr <= $p),
+           |pv AS MATERIALIZED (SELECT p.q_id, p.c_id, e.embedding AS v
+           |  FROM pool p JOIN embeddings e ON e.vec_id = p.c_id),
+           |pr AS MATERIALIZED (SELECT x.q_id, x.c_id AS ca, y.c_id AS cb,
+           |    CAST(ROUND(ROUND(${cosRaw("x.v", "y.v")}, 6) * 1000000) AS BIGINT) AS simm
+           |  FROM pv x JOIN pv y ON x.q_id = y.q_id AND x.c_id < y.c_id),
+           |simsym AS MATERIALIZED (SELECT q_id, ca, cb, simm FROM pr
+           |  UNION ALL SELECT q_id, cb AS ca, ca AS cb, simm FROM pr),
+           |s1 AS MATERIALIZED (SELECT q_id, c_id, relm, relm AS mmrm, 1 AS rnk FROM (
+           |  SELECT q_id, c_id, relm,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY relm DESC, c_id) AS rr
+           |  FROM pool) WHERE rr = 1),
+           |$steps
+           |SELECT q_id, c_id, relm AS rel_micros, mmrm AS mmr_micros,
+           |  CAST(rnk AS BIGINT) AS rnk
+           |FROM ($unionAll) ORDER BY q_id, rnk""".stripMargin
+      },
+
       "e02_ann_lsh" -> {
         // Multi-probe mirror: whenever the calibrated width exceeds the
         // catalog RhpBits, the Spark side probes each query's base
@@ -1984,28 +2105,40 @@ object Oracles {
     // rule).
     "x13_bpe_merges" -> {
       val R = graft.operators.Sampling.BpeMerges
-      val rounds = (1 to R).map { r =>
-        s"""p$r AS (SELECT freq, ss, unnest(range(1, len(ss))) AS i FROM
-           |  (SELECT string_split(w[2:-2], ')(') AS ss, freq FROM v${r - 1})),
-           |c$r AS (SELECT ss[i] AS lhs, ss[i+1] AS rhs,
-           |          CAST(SUM(freq) AS BIGINT) AS cnt
-           |        FROM p$r GROUP BY 1, 2),
-           |g$r AS MATERIALIZED (SELECT $r AS rnd, lhs, rhs, lhs||rhs AS merged, cnt
-           |        FROM c$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-           |v$r AS MATERIALIZED (SELECT replace(w,
-           |        '('||(SELECT lhs FROM g$r)||')('||(SELECT rhs FROM g$r)||')',
-           |        '('||(SELECT merged FROM g$r)||')') AS w, freq FROM v${r - 1})""".stripMargin
-      }.mkString(",\n")
-      s"""WITH v0 AS MATERIALIZED (
-         |  SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
-         |         CAST(COUNT(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
-         |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')
-         |  GROUP BY tok),
-         |$rounds
+      s"""WITH $bpeTrainCtes
          |SELECT CAST(rnd AS BIGINT) AS rnd, lhs, rhs, merged, cnt AS freq
          |FROM (${(1 to R).map(r => s"SELECT * FROM g$r").mkString(" UNION ALL ")})
          |ORDER BY rnd""".stripMargin
+    },
+
+    // x16: BPE encode with the TRAINED merges — x13's training chain
+    // verbatim (shared generator, so the vocabularies cannot drift),
+    // then the same greedy left-to-right replace applied per corpus
+    // token; subword count = '(' count of the framed-and-merged form.
+    "x16_bpe_encode" -> {
+      val R = graft.operators.Sampling.BpeMerges
+      val applies = (1 to R).map { r =>
+        s"""e$r AS (SELECT doc_id, replace(w,
+           |    '('||(SELECT lhs FROM g$r)||')('||(SELECT rhs FROM g$r)||')',
+           |    '('||(SELECT merged FROM g$r)||')') AS w, base FROM e${r - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeTrainCtes,
+         |tk AS (SELECT doc_id, tok FROM
+         |    (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
+         |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')),
+         |e0 AS (SELECT doc_id, regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
+         |         CAST(LENGTH(tok) AS BIGINT) AS base FROM tk),
+         |$applies,
+         |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_enc_tokens,
+         |    CAST(SUM(base) AS BIGINT) AS n_base_symbols,
+         |    CAST(SUM(LENGTH(w) - LENGTH(replace(w, '(', ''))) AS BIGINT) AS n_symbols
+         |  FROM e$R GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n_enc_tokens, 0) AS n_enc_tokens,
+         |  COALESCE(n_base_symbols, 0) AS n_base_symbols,
+         |  COALESCE(n_symbols, 0) AS n_symbols,
+         |  COALESCE(n_base_symbols - n_symbols, 0) AS n_merges_applied
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN ag USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "x02_seq_pack" ->
@@ -2037,6 +2170,31 @@ object Oracles {
          |WHERE CAST(${h60(MixSeed, "CAST(d.doc_id AS VARCHAR)")} AS HUGEINT) * W * n
          |    < CAST(1152921504606846976 AS HUGEINT) * wt * T
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // x15: temperature mixture — w = floor(sqrt(n)) (exact below 2^52,
+    // the range the Spark side requires), full epochs ⌊B·w/(W·n)⌋, the
+    // extra copy by the same exact-integer hash threshold as x06.
+    "x15_temperature_mix" -> {
+      import graft.operators.Sampling.{TempSeed, TempSkewSeed}
+      s"""WITH sk AS (SELECT doc_id, source FROM documents
+         |  WHERE ${h60(TempSkewSeed, "CAST(doc_id AS VARCHAR)")}
+         |    % (1 + COALESCE(try_cast(regexp_extract(source, '(\\d+)$$', 1) AS INT), 0) % 4) = 0),
+         |c AS (SELECT source, COUNT(*) AS n FROM sk GROUP BY source),
+         |w AS (SELECT source, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM c),
+         |t AS (SELECT SUM(n) AS B, SUM(wt) AS W FROM w),
+         |r AS (SELECT source, n, wt, B, W,
+         |    CAST((CAST(B AS HUGEINT) * wt) // (CAST(W AS HUGEINT) * n) AS BIGINT) AS ef
+         |  FROM w, t),
+         |s AS (SELECT d.doc_id, d.source, r.ef
+         |    + CASE WHEN CAST(${h60(TempSeed, "CAST(d.doc_id AS VARCHAR)")} AS HUGEINT) * W * n
+         |           < CAST(1152921504606846976 AS HUGEINT)
+         |             * (CAST(B AS HUGEINT) * wt - CAST(ef AS HUGEINT) * W * n)
+         |      THEN 1 ELSE 0 END AS ne
+         |  FROM sk d JOIN r USING (source))
+         |SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
+         |FROM (SELECT doc_id, source, unnest(range(0, ne)) AS i FROM s WHERE ne > 0)
+         |ORDER BY doc_id, epoch""".stripMargin
     }
   )
 

@@ -76,6 +76,10 @@ object Queries {
     // t13: deterministic linear quality classifier — plan-time literal
     // weights over ppm integer features, exact integer score.
     "t13_quality_classifier" -> (TextAnalysis.t13QualityClassifier _),
+    // t14: C4-style line-level boilerplate filtering — one map-side
+    // projection, zero shuffles; lines rendered deterministically from
+    // the flat token stream (t12's planting convention).
+    "t14_boilerplate_filter" -> (TextAnalysis.t14BoilerplateFilter _),
     "d01_dedup_exact"      -> (Dedup.d01DedupExact _),
     "d02_ngram_jaccard"    -> (Dedup.d02NgramJaccard _),
     "d03_minhash_lsh"      -> (Dedup.d03MinhashLsh _),
@@ -103,6 +107,10 @@ object Queries {
     // set — deterministic false positives, so still hash-gated.
     "d14_bloom_decontaminate" -> (Dedup.d14BloomDecontaminate _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
+    // e12: MMR-diversified rerank over e01's exact pool — exact integer
+    // micros end-to-end; the greedy chain runs in one bounded
+    // expression per query, oracle = unrolled selection CTE ladder.
+    "e12_mmr_rerank"       -> (Similarity.e12MmrRerank _),
     "e02_ann_lsh"          -> ((s, d) =>
       Similarity.e02AnnLsh(s, d, bits = Similarity.calibratedRhpBits(s, d))),
     "e03_ivf_ann"          -> (Similarity.e03IvfAnn _),
@@ -183,7 +191,15 @@ object Queries {
     "x13_bpe_merges"       -> (Sampling.x13BpeMerges _),
     // x14: deterministic KMV-sample quantile sketch for continuous
     // columns (x11's sibling where distinct values ≈ corpus rows).
-    "x14_quantile_sketch"  -> (Sampling.x14QuantileSketch _)
+    "x14_quantile_sketch"  -> (Sampling.x14QuantileSketch _),
+    // x15: temperature-reweighted source mixture (w ∝ √n, per-doc epoch
+    // fan-out) — the upsampling data-recipe knob next to x06's
+    // no-upsampling cap; exact-integer thresholds, map-side explode.
+    "x15_temperature_mix"  -> (Sampling.x15TemperatureMix _),
+    // x16: BPE encode with x13's trained merges — the apply half of the
+    // tokenization loop (train x13 → encode x16 → pack x02 → chunk x10);
+    // gated-rebuild convention (trains in-query, production persists).
+    "x16_bpe_encode"       -> (Sampling.x16BpeEncode _)
   )
 
   /** Canonical verification ordering per key (ascending, by column name).
@@ -230,6 +246,7 @@ object Queries {
     "t11_tfidf_keywords"   -> Seq("doc_id", "rnk"),
     "t12_repeat_removal"   -> Seq("doc_id"),
     "t13_quality_classifier" -> Seq("doc_id"),
+    "t14_boilerplate_filter" -> Seq("doc_id"),
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d13_url_dedup"        -> Seq("keep_id"),
     "d14_bloom_decontaminate" -> Seq("doc_id"),
@@ -245,6 +262,7 @@ object Queries {
     "d11_span_mask"        -> Seq("doc_id"),
     "d12_semantic_groups"  -> Seq("vec_id"),
     "e01_knn_brute"        -> Seq("q_id", "rnk"),
+    "e12_mmr_rerank"       -> Seq("q_id", "rnk"),
     "e02_ann_lsh"          -> Seq("q_id", "rnk"),
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),
     "e04_pq_ann"           -> Seq("q_id", "rnk"),
@@ -282,7 +300,9 @@ object Queries {
     "x11_quantile_profile" -> Seq("source"),
     "x12_chunk_dedup"      -> Seq("chunk_md5"),
     "x13_bpe_merges"       -> Seq("rnd"),
-    "x14_quantile_sketch"  -> Seq("source")
+    "x14_quantile_sketch"  -> Seq("source"),
+    "x15_temperature_mix"  -> Seq("doc_id", "epoch"),
+    "x16_bpe_encode"       -> Seq("doc_id")
   )
 
   /** Verification view: production plan + canonical output order. */

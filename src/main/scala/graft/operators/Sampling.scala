@@ -241,6 +241,99 @@ object Sampling {
       .select(col("doc_id"), col("source"))
   }
 
+  /** x15 mixture hash seed, and the seed of the planted source skew. */
+  val TempSeed = 37
+  val TempSkewSeed = 41
+
+  /** x15: TEMPERATURE-reweighted source mixture with upsampling — the
+    * data-recipe knob x06 deliberately lacks: x06 caps at the natural
+    * data (no source repeats), while real pretraining mixtures
+    * (GPT-3's table of per-source epochs, LLaMA's sampling
+    * proportions) flatten the source distribution with w_s ∝ n_s^α
+    * and REPEAT rare high-quality sources for multiple epochs while
+    * downsampling the dominant crawl. α = 1/2 here — the standard
+    * flattening range, and the one exponent that is EXACTLY integer
+    * arithmetic: w_s = isqrt(n_s) (floor square root), no
+    * transcendental anywhere. The output budget is the corpus size B,
+    * redistributed: source s gets rate r_s = B·w_s/(W·n_s) expected
+    * copies per doc — ⌊r_s⌋ full epochs for every doc plus one extra
+    * copy decided by the exact-integer hash threshold
+    * h·W·n_s < 2^60·(B·w_s − ⌊r_s⌋·W·n_s) in DECIMAL(38,0) (x06's
+    * grammar), so the manifest reproduces bit-for-bit on any engine
+    * and composition matches the temperature weights in expectation.
+    * Emits one manifest row per (doc, epoch).
+    *
+    * Scale shape: pass 1 is a partial-aggregated per-source count
+    * (distinct-source-sized — the x06 driver-fold exception); the rate
+    * table BROADCASTS onto a map-side filter + bounded explode — the
+    * corpus itself never shuffles. Epoch fan-out is bounded by
+    * max r_s + 1, a plan-time constant of the recipe.
+    *
+    * Gate corpus: the synthetic draw is source-UNIFORM (source =
+    * doc_id % 20 at every SF), which makes every rate exactly 1 and
+    * the operator a no-op — so the gated key first SKEWS the corpus
+    * deterministically (keep iff hash60(doc_id) ≡ 0 mod (1 + src# %
+    * 4), a hash draw UNcorrelated with the modular source layout),
+    * giving four source-size classes and real up/downsampling on any
+    * draw (the t12/x12 planting convention; TempMixSpec pins that
+    * both directions occur). */
+  def x15TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val srcNum = coalesce(
+      regexp_extract(col("source"), "(\\d+)$", 1).cast("int"), lit(0))
+    val skewed = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .filter(pmod(Text.hash60(col("doc_id").cast("string"), TempSkewSeed),
+        (lit(1) + pmod(srcNum, lit(4))).cast("bigint")) === 0L)
+    temperatureMix(s, skewed)
+  }
+
+  /** [[x15TemperatureMix]] over any (doc_id, source) frame — split out
+    * so specs can pin epoch counts on hand-computable mixtures. */
+  def temperatureMix(s: SparkSession, docs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val rows = counts.collect()
+    if (rows.isEmpty)
+      return docs.select(col("doc_id"), col("source"), lit(0L).as("epoch"))
+    val iN = counts.schema.fieldIndex("n")
+    // Exact floor sqrt. The double seed is exact for n < 2^52 (sqrt is
+    // correctly rounded and n this close to a square IS a square); the
+    // correction loops make the claim unconditional anyway.
+    def isqrt(n: Long): Long = {
+      var x = math.max(0L, math.sqrt(n.toDouble).toLong)
+      while ((x + 1L) * (x + 1L) <= n) x += 1L
+      while (x * x > n) x -= 1L
+      x
+    }
+    // The oracle mirrors isqrt as FLOOR(SQRT(CAST(n AS DOUBLE))), exact
+    // only below 2^52 — keep both engines inside the proven range.
+    require(rows.forall(_.getLong(iN) < (1L << 52)),
+      "x15: per-source count exceeds the exact-FLOOR(SQRT) range (2^52)")
+    val stats = rows.map { r =>
+      val n = r.getLong(iN); (r.getString(0), n, isqrt(n))
+    }
+    val bTot = stats.map(_._2).sum // output budget = corpus size
+    val w = stats.map(_._3).sum
+    // Full-epoch count per source, folded driver-side in BigInt (the
+    // products can brush Long range at extreme corpus sizes).
+    import s.implicits._
+    val rates = stats.toSeq.map { case (src, n, wt) =>
+      val ef = (BigInt(bTot) * wt / (BigInt(w) * n)).toLong
+      (src, n, wt, ef)
+    }.toDF("source", "n", "wt", "ef")
+      .withColumn("B", lit(bTot)).withColumn("W", lit(w))
+    docs
+      .join(broadcast(rates), "source")
+      .withColumn("ne", col("ef") +
+        when(Text.hash60(col("doc_id").cast("string"), TempSeed).cast(dec)
+          * col("W") * col("n") <
+          lit(1152921504606846976L).cast(dec) *
+            (col("B").cast(dec) * col("wt") - col("ef").cast(dec) * col("W") * col("n")),
+          1L).otherwise(0L))
+      .filter(col("ne") > 0L)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("ne") - 1L)).as("epoch"))
+  }
+
   /** Tokens per pack (context-window budget) and shard count for x02. */
   val PackTokens = 2048
   val PackShards = 8
@@ -516,6 +609,15 @@ object Sampling {
   /** [[x13BpeMerges]] over any (text) frame (spec entry — fixtures pin
     * the merge order, frequency weighting, and tie-breaks). */
   def bpeMerges(s: SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    bpeMergeList(s, docs, rounds).toDF("rnd", "lhs", "rhs", "merged", "freq")
+  }
+
+  /** The trained merge table as a driver-side list (plan-time literals
+    * for the consumers that APPLY the vocabulary — x16). Same
+    * per-round collect discipline as the Lloyd centroids. */
+  def bpeMergeList(s: SparkSession, docs: DataFrame,
+                   rounds: Int): Seq[(Long, String, String, String, Long)] = {
     val vocab0 = docs
       .select(explode(Text.tokens(col("text"))).as("tok"))
       .filter(col("tok").rlike("^[a-z0-9]+$"))
@@ -545,7 +647,57 @@ object Sampling {
       w = w.select(expr(s"replace(w, '($l)($rr)', '(${l + rr})')").as("w"),
         col("freq"))
     }
-    import s.implicits._
-    picks.toSeq.toDF("rnd", "lhs", "rhs", "merged", "freq")
+    picks.toSeq
+  }
+
+  /** x16: BPE ENCODING with the trained vocabulary — the apply half of
+    * x13 (train → APPLY → pack x02 → chunk x10 closes the tokenization
+    * loop): every alphanumeric token is framed (c)(h)(a)(r) and the 8
+    * trained merges replace greedily left-to-right (identical replace
+    * semantics in both engines — x13's application grammar, now over
+    * the CORPUS instead of the vocabulary); emits per-document subword
+    * stats — the TRAINED-tokenizer token count t03's whitespace count
+    * approximates, plus the compression the vocabulary buys (the
+    * signal a tokenizer-fit dashboard watches per source/language).
+    *
+    * Gated-rebuild convention (e11/x09's class): the key re-trains the
+    * merge table in-query (8 vocab-bounded rounds, driver-folded picks
+    * — the Lloyd discipline); production persists the merge table and
+    * pays only the encode pass. Scale shape: one corpus explode →
+    * codegen'd filter + 8 chained literal replaces (no regex/md5 in
+    * any lambda — there are no lambdas) → ONE partial-combining
+    * per-doc aggregate; the left join back to documents only restores
+    * zero-encodable-token docs (doc_id-only scan, never re-runs the
+    * encode side). */
+  def x16BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    bpeEncode(docs, bpeMergeList(s, docs.select(col("text")), BpeMerges))
+  }
+
+  /** [[x16BpeEncode]] over any (doc_id, text) frame with an explicit
+    * merge table (spec entry — fixtures pin the greedy application). */
+  def bpeEncode(docs: DataFrame,
+                merges: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    val framed = regexp_replace(col("tok"), "(.)", "($1)")
+    val enc = merges.foldLeft(framed) { case (c, (_, l, r, m, _)) =>
+      call_function("replace", c, lit(s"($l)($r)"), lit(s"($m)"))
+    }
+    val ag = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike("^[a-z0-9]+$"))
+      .select(col("doc_id"), length(col("tok")).cast("bigint").as("base"),
+        (length(enc) - length(call_function("replace", enc, lit("("), lit(""))))
+          .cast("bigint").as("nsym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_enc_tokens"),
+        sum(col("base")).as("n_base_symbols"),
+        sum(col("nsym")).as("n_symbols"))
+    docs.select(col("doc_id")).join(ag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_enc_tokens"), lit(0L)).as("n_enc_tokens"),
+        coalesce(col("n_base_symbols"), lit(0L)).as("n_base_symbols"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+        coalesce(col("n_base_symbols") - col("n_symbols"), lit(0L))
+          .as("n_merges_applied"))
   }
 }

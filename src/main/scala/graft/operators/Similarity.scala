@@ -174,9 +174,9 @@ object Similarity {
     * partial top-k means at most k rows per (query, partition) reach the
     * shuffle — the row_number-window form would shuffle and sort EVERY
     * scored candidate. Output identical (score DESC, id ASC ranking). */
-  private def topK(s: SparkSession, scored: DataFrame): DataFrame =
+  private def topK(s: SparkSession, scored: DataFrame, k: Int = K): DataFrame =
     scored.groupBy("q_id")
-      .agg(TopKByScore(s, struct(col("cosine"), col("c_id")), K).as("top"))
+      .agg(TopKByScore(s, struct(col("cosine"), col("c_id")), k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), col("t.id").as("c_id"), col("t.score").as("cosine"),
         (col("pos") + 1).cast("bigint").as("rnk"))
@@ -196,7 +196,13 @@ object Similarity {
     * is bit-identical to [[CosineSimilarity]]+round, so the result stays
     * oracle-gated. The expression form survives as the parity
     * cross-check ([[e01KnnExpr]], BatchedKnnSpec). */
-  def e01KnnBrute(s: SparkSession, d: String): DataFrame = {
+  def e01KnnBrute(s: SparkSession, d: String): DataFrame =
+    bruteTopK(s, d, K)
+
+  /** e01's batched kernel at a PARAMETERIZED depth — shared with e12's
+    * candidate-pool stage (same arithmetic, same (score DESC, id ASC)
+    * retention, k-generic buffers). */
+  private[graft] def bruteTopK(s: SparkSession, d: String, K: Int): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // Driver-side bound: the query set is 1% of the corpus (vec_id%100),
@@ -290,7 +296,7 @@ object Similarity {
         (0 until sizes(qi)).iterator.map(j => (qs(qi)._1, ids(qi)(j), scores(qi)(j)))
       }
     }.toDF("q_id", "c_id", "cosine")
-    topK(s, scored)
+    topK(s, scored, K)
   }
 
   /** The pure-expression e01 (broadcast join + codegen'd cosine over the
@@ -301,6 +307,65 @@ object Similarity {
     val c = e.toDF("c_id", "cv")
     topK(s, c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")))
+  }
+
+  /** e12 pool depth: per-query exact-relevance candidates fed to the
+    * MMR kernel (3× the emitted k — the usual rerank headroom). */
+  val MmrPool = 30
+
+  /** e12: MMR-DIVERSIFIED top-k retrieval (Carbonell-Goldstein maximal
+    * marginal relevance, λ = 1/2) — the rerank every dedup-aware
+    * training-data selector runs on top of a similarity search: plain
+    * top-k returns near-duplicate neighbors (exactly what a deduped
+    * corpus search must NOT hand back), MMR picks greedily by
+    * `rel − max sim to the already-picked set`, trading relevance for
+    * coverage. All ranking math is EXACT integer micros (the 6-dp
+    * cosine is injectively lifted by ×10⁶ — adjacent rounded scores
+    * differ by ≥ 1 micro, so ordering is preserved bit-for-bit and the
+    * greedy argmax chain mirrors in DuckDB as an unrolled CTE ladder,
+    * e03's pattern).
+    *
+    * Scale shape: the corpus-sized work is exactly e01's batched brute
+    * pool (swap in any ANN pool — e05's — for the 100 TB path; the
+    * MMR tail is pool-bounded either way). Past the pool everything is
+    * nq×[[MmrPool]]: the pool is lineage-CUT once (two consumers — the
+    * pairwise self-join and the candidate lists — must not re-run the
+    * brute scan), pairwise sims are one bounded equi-self-join
+    * (30²/2 per query), and the greedy selection runs in ONE bounded
+    * [[graft.functions.GreedyMmr]] expression per query row — no
+    * iteration shuffles, no window over the scored relation. */
+  def e12MmrRerank(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GreedyMmr
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val pool = graft.Checkpoints.cut(
+      bruteTopK(s, d, MmrPool)
+        .select(col("q_id"), col("c_id"),
+          round(col("cosine") * 1e6, 0).cast("long").as("relm")))
+    val pv = graft.Checkpoints.cut(
+      pool.join(e.toDF("c_id", "v"), "c_id")
+        .select(col("q_id"), col("c_id"), col("v")))
+    val pairs = pv.toDF("q_id", "a", "va")
+      .join(pv.toDF("q_id", "b", "vb"), Seq("q_id"))
+      .filter(col("a") < col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        round(round(CosineSimilarity(s, col("va"), col("vb")), 6) * 1e6, 0)
+          .cast("long").as("simm"))
+    val cands = pool.groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("c_id"), col("relm"))))
+        .as("cands"))
+    val sims = pairs.groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("simm"))))
+        .as("sims"))
+    cands.join(sims, Seq("q_id"), "left")
+      .select(col("q_id"),
+        posexplode(GreedyMmr(s, col("cands"),
+          coalesce(col("sims"),
+            array().cast("array<struct<a:bigint,b:bigint,simm:bigint>>")),
+          K)).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.c_id").as("c_id"),
+        col("t.rel_micros").as("rel_micros"),
+        col("t.mmr_micros").as("mmr_micros"),
+        (col("pos") + 1).cast("bigint").as("rnk"))
   }
 
   /** e02: LSH-bucketed approximate top-k — candidates share a

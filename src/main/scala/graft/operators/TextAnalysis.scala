@@ -871,4 +871,105 @@ object TextAnalysis {
         .as("kept_ratio"),
       clean.as("text_clean"))
   }
+
+  /** t14's line geometry and planting constants — shared with the
+    * oracle. Lines are rendered deterministically from the flat token
+    * stream (the corpus ships single-line text; the render step is the
+    * same plan-side planting convention as t12's %3 self-append and
+    * t09's page builder, so the filter rules do real work on any
+    * draw): line length cycles 4..8 tokens by doc, a terminal '.' is
+    * attached to two lines in three, and every 7th line carries one
+    * planted blocklist token (cycling through the list so each
+    * blocklist member is exercised). */
+  val BpLineBase = 4
+  val BpLineMod = 5
+  val BpTermMod = 3
+  val BpPolicyMod = 7
+  /** C4's line-keep thresholds: ≥5 tokens, ≥3 surviving lines/doc. */
+  val BpMinTokens = 5
+  val BpMinLines = 3
+  /** Line-level blocklist (C4's "javascript"/policy-phrase rule). */
+  val BpBlocklist: Seq[String] = Seq("javascript", "cookie", "lorem")
+
+  /** t14: C4-style LINE-level boilerplate filtering — the Raffel-et-al
+    * cleanup every web-crawl pipeline runs between extraction (t09)
+    * and doc-level quality gates (t02/t07/t13): drop lines that carry
+    * a blocklist term (cookie banners / script remnants), lines
+    * without terminal punctuation (menus, headers), and lines under
+    * [[BpMinTokens]] tokens; a document KEEPS only if ≥ [[BpMinLines]]
+    * lines survive. Rules are evaluated on line CONTENT (a real corpus
+    * token that contains a blocklist word is dropped too — the rule,
+    * not the plant, decides), with precedence blocklist → unterminated
+    * → short, each line counted once. Emits the cleaned doc (kept
+    * lines joined with newlines) plus the per-rule audit counts a
+    * curation dashboard monitors.
+    *
+    * Scale shape: ONE codegen'd map-side projection — zero shuffles,
+    * zero joins; the line array is built and filtered per row with
+    * higher-order functions (plain string ops only — no md5/regex
+    * inside any lambda, per the hot-path rule). Embarrassingly
+    * parallel at 100 TB; scan parallelism freed via Tables.spread. */
+  def t14BoilerplateFilter(s: SparkSession, d: String): DataFrame =
+    boilerplateFilter(Tables.spread(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      col("doc_id")))
+
+  /** [[t14BoilerplateFilter]] over any (doc_id, text) frame (spec entry
+    * — fixtures pin rule precedence and the keep threshold). */
+  def boilerplateFilter(docs: DataFrame): DataFrame = {
+    val lineLen = (lit(BpLineBase) + pmod(col("doc_id"), lit(BpLineMod)))
+      .cast("bigint")
+    val planted = array(BpBlocklist.map(lit): _*)
+    // Render: one struct per line — text (token slice + plants), token
+    // count. Plant arithmetic matches the oracle literal-for-literal.
+    val lines = transform(
+      sequence(lit(0L), expr("(n + len - 1) DIV len - 1")),
+      i => {
+        val pol = pmod(col("doc_id") + i, lit(BpPolicyMod.toLong)) === 0L
+        val term = pmod(col("doc_id") + i, lit(BpTermMod.toLong)) =!= 0L
+        // Which blocklist word: (doc_id+i) mod 21 ∈ {0,7,14} on policy
+        // lines — a CASE ladder (mirrors as SQL CASE; no integral
+        // division exists in the lambda Column API).
+        val m21 = pmod(col("doc_id") + i,
+          lit((BpPolicyMod * BpBlocklist.size).toLong))
+        val polTok = BpBlocklist.zipWithIndex.tail.foldLeft(
+          when(m21 === 0L, lit(BpBlocklist.head))) {
+          case (c, (w, j)) => c.when(m21 === (j * BpPolicyMod).toLong, lit(w))
+        }.otherwise(lit(BpBlocklist.head))
+        val txt = concat(
+          concat_ws(" ", slice(col("toks"), (i * col("len") + 1L).cast("int"),
+            col("len").cast("int"))),
+          when(pol, concat(lit(" "), polTok)).otherwise(lit("")),
+          when(term, lit(".")).otherwise(lit("")))
+        val cnt = least(col("len"), col("n") - i * col("len")) +
+          when(pol, 1L).otherwise(0L)
+        struct(txt.as("txt"), cnt.as("cnt"))
+      })
+    // Rules read the rendered CONTENT: blocklist containment, terminal
+    // '.', token count — precedence blocklist → unterminated → short.
+    def hit(x: Column) = BpBlocklist
+      .map(w => x.getField("txt").contains(w)).reduce(_ || _)
+    def term(x: Column) = x.getField("txt").endsWith(".")
+    def kept(x: Column) =
+      !hit(x) && term(x) && x.getField("cnt") >= BpMinTokens.toLong
+    val nKept = size(filter(col("lines"), kept(_))).cast("bigint")
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("bigint").as("n"), lineLen.as("len"))
+      .select(col("doc_id"), lines.as("lines"))
+      .select(
+        col("doc_id"),
+        size(col("lines")).cast("bigint").as("n_lines"),
+        nKept.as("n_kept"),
+        size(filter(col("lines"), hit(_))).cast("bigint").as("n_policy"),
+        size(filter(col("lines"), x => !hit(x) && !term(x)))
+          .cast("bigint").as("n_unterminated"),
+        size(filter(col("lines"), x =>
+          !hit(x) && term(x) && x.getField("cnt") < BpMinTokens.toLong))
+          .cast("bigint").as("n_short"),
+        (nKept >= BpMinLines.toLong).as("keep"),
+        array_join(transform(filter(col("lines"), kept(_)),
+          _.getField("txt")), "\n").as("cleaned_text"))
+  }
 }

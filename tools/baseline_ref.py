@@ -362,6 +362,37 @@ def main(sf):
         np.argsort(-np.round(sims, 6), axis=1)[:, :11]
     maybe("e01_knn_brute", e01)
 
+    def e12():
+        e = pd.read_parquet(P("embeddings"))
+        V = np.stack(e.embedding.to_numpy()).astype(np.float64)
+        ids = e.vec_id.to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+        rows = []
+        for qi in np.where(ids % 100 == 0)[0]:
+            cos6 = np.round((V @ V[qi]) / (norms * norms[qi]), 6)
+            cos6[qi] = -np.inf
+            order = np.lexsort((ids, -cos6))[:30]
+            rel = np.round(cos6[order] * 1e6).astype(np.int64)
+            pids = ids[order]
+            PV, pn = V[order], norms[order]
+            S = np.round(np.round((PV @ PV.T) / np.outer(pn, pn), 6)
+                         * 1e6).astype(np.int64)
+            taken, rem = [], list(range(len(order)))
+            for step in range(min(10, len(order))):
+                best, bs = None, None
+                for c in rem:
+                    score = rel[c] if not taken else \
+                        rel[c] - max(S[c][t] for t in taken)
+                    if best is None or score > bs or \
+                       (score == bs and pids[c] < pids[best]):
+                        best, bs = c, score
+                taken.append(best); rem.remove(best)
+                rows.append((int(ids[qi]), int(pids[best]), int(rel[best]),
+                             int(bs), len(taken)))
+        return pd.DataFrame(rows, columns=[
+            "q_id", "c_id", "rel_micros", "mmr_micros", "rnk"])
+    maybe("e12_mmr_rerank", e12)
+
     def e04():
         # product-quantization ANN, numpy/BLAS form: per-subspace
         # 16-centroid spherical k-means (2 Lloyd rounds on the same 25%
@@ -1303,6 +1334,43 @@ def main(sf):
                                            "digit_ppm", "score_micros", "keep"])
     maybe("t13_quality_classifier", t13)
 
+    def t14():
+        d = pd.read_parquet(P("documents"), columns=["doc_id", "text"])
+        block = ("javascript", "cookie", "lorem")
+        rows = []
+        for did, text in zip(d.doc_id.astype("int64"), d.text):
+            toks = re.split(r"\s+", text)
+            n = len(toks)
+            L = 4 + did % 5
+            nl = (n + L - 1) // L
+            n_kept = n_pol = n_unt = n_short = 0
+            kept = []
+            for i in range(nl):
+                txt = " ".join(toks[i * L:i * L + L])
+                cnt = min(L, n - i * L)
+                if (did + i) % 7 == 0:
+                    m = (did + i) % 21
+                    txt += " " + ("javascript" if m == 0 else
+                                  "cookie" if m == 7 else "lorem")
+                    cnt += 1
+                if (did + i) % 3 != 0:
+                    txt += "."
+                if any(w in txt for w in block):
+                    n_pol += 1
+                elif not txt.endswith("."):
+                    n_unt += 1
+                elif cnt < 5:
+                    n_short += 1
+                else:
+                    n_kept += 1
+                    kept.append(txt)
+            rows.append((did, nl, n_kept, n_pol, n_unt, n_short,
+                         n_kept >= 3, "\n".join(kept)))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_lines", "n_kept", "n_policy", "n_unterminated",
+            "n_short", "keep", "cleaned_text"])
+    maybe("t14_boilerplate_filter", t14)
+
     def x13():
         from collections import Counter
         d = pd.read_parquet(P("documents"), columns=["text"])
@@ -1334,6 +1402,43 @@ def main(sf):
         return pd.DataFrame(out, columns=["rnd", "lhs", "rhs", "merged", "freq"])
     maybe("x13_bpe_merges", x13)
 
+    def x16():
+        from collections import Counter
+        d = pd.read_parquet(P("documents"), columns=["doc_id", "text"])
+        word = re.compile(r"^[a-z0-9]+$")
+        vocab = Counter()
+        for text in d.text:
+            vocab.update(t for t in re.split(r"\s+", text) if word.match(t))
+        sym = {t: tuple(t) for t in vocab}
+        merges = []
+        for r in range(8):
+            pairs = Counter()
+            for t, ss in sym.items():
+                f = vocab[t]
+                for i in range(len(ss) - 1):
+                    pairs[(ss[i], ss[i + 1])] += f
+            (l, rr), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((l, rr))
+            for t, ss in sym.items():
+                ns, i = [], 0
+                while i < len(ss):
+                    if i + 1 < len(ss) and ss[i] == l and ss[i + 1] == rr:
+                        ns.append(l + rr); i += 2
+                    else:
+                        ns.append(ss[i]); i += 1
+                sym[t] = tuple(ns)
+        nsym_of = {t: len(ss) for t, ss in sym.items()}
+        rows = []
+        for did, text in zip(d.doc_id.astype("int64"), d.text):
+            toks = [t for t in re.split(r"\s+", text) if word.match(t)]
+            base = sum(len(t) for t in toks)
+            nsym = sum(nsym_of[t] for t in toks)
+            rows.append((did, len(toks), base, nsym, base - nsym))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_enc_tokens", "n_base_symbols", "n_symbols",
+            "n_merges_applied"])
+    maybe("x16_bpe_encode", x16)
+
     def x14():
         d = pd.read_parquet(P("documents"),
                             columns=["source", "doc_id", "text", "n_chars"])
@@ -1353,6 +1458,28 @@ def main(sf):
                                            "p25_micros", "p50_micros",
                                            "p75_micros", "p90_micros"])
     maybe("x14_quantile_sketch", x14)
+
+    def x15():
+        import math
+        d = pd.read_parquet(P("documents"), columns=["doc_id", "source"])
+        h60 = lambda seed, s: int(
+            hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+        src_num = d.source.str.extract(r"(\d+)$")[0].fillna(0).astype(int)
+        k = (1 + src_num % 4).to_numpy()
+        hs = np.array([h60(41, i) for i in d.doc_id])
+        sk = d[(hs % k) == 0]
+        cnt = sk.groupby("source").size().to_dict()
+        wt = {s: math.isqrt(n) for s, n in cnt.items()}
+        B = sum(cnt.values()); W = sum(wt.values())
+        rows = []
+        for did, src in zip(sk.doc_id.astype("int64"), sk.source):
+            n, w = cnt[src], wt[src]
+            ef = B * w // (W * n)
+            ne = ef + (1 if h60(37, did) * W * n <
+                       (1 << 60) * (B * w - ef * W * n) else 0)
+            rows.extend((did, src, e) for e in range(ne))
+        return pd.DataFrame(rows, columns=["doc_id", "source", "epoch"])
+    maybe("x15_temperature_mix", x15)
 
     total = round(sum(res.values()), 3)
     print(json.dumps({"metric": "baseline_total", "value": total,
