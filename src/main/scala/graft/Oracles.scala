@@ -1876,6 +1876,32 @@ object Oracles {
         |  count(*) AS n_copies
         |FROM g GROUP BY ckey ORDER BY keep_id""".stripMargin,
 
+    // m06: the oracle recomputes the segment VALUES from the generation
+    // rule (m01/m02's convention — independent ground truth the byte
+    // parser must round-trip): segment k of source doc s carries
+    // s*4096 + k, +1 on the trailing `tamper` segments of the planted
+    // variant; marker follows the container format (even source = PNG
+    // tEXt, odd = JPEG COM).
+    "m06_media_neardup" -> {
+      val segs = graft.operators.Multimodal.MetaSegments
+      val thr = graft.operators.Multimodal.NeardupMinShared
+      s"""WITH mx AS (SELECT MAX(doc_id) + 1 AS shift FROM documents),
+         |med AS (SELECT doc_id AS media_id, doc_id AS src, CAST(0 AS BIGINT) AS tamper FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + (SELECT shift FROM mx), doc_id, 1 + doc_id % 2 FROM documents),
+         |f AS (SELECT media_id, k AS ord,
+         |        CASE WHEN src % 2 = 0 THEN 'tEXt' ELSE 'COM' END AS marker,
+         |        src * 4096 + k + CASE WHEN k > $segs - tamper THEN 1 ELSE 0 END AS v
+         |      FROM med, range(1, ${segs + 1}) t(k)),
+         |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |        CAST(COUNT(*) AS BIGINT) AS n_shared
+         |      FROM f a JOIN f b ON a.ord = b.ord AND a.marker = b.marker
+         |        AND a.v = b.v AND a.media_id < b.media_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $thr
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "s03_stream_dedup" -> {
       import graft.operators.EventOps.DupIdShift
       s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

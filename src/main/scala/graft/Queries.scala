@@ -149,6 +149,10 @@ object Queries {
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
     "m04_video_meta"       -> (Multimodal.m04VideoMeta _),
     "m05_media_dedup"      -> (Multimodal.m05MediaDedup _),
+    // m06: near-dup media via an inverted index on parsed
+    // metadata-segment content — m05's digest discipline per segment;
+    // planted metadata-edited re-encodes exercise both rule directions.
+    "m06_media_neardup"    -> (Multimodal.m06MediaNeardup _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
@@ -278,6 +282,7 @@ object Queries {
     "m03_audio_meta"       -> Seq("doc_id"),
     "m04_video_meta"       -> Seq("doc_id"),
     "m05_media_dedup"      -> Seq("keep_id"),
+    "m06_media_neardup"    -> Seq("id_a", "id_b"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),

@@ -7,6 +7,11 @@ import graft.Tables
 /** A row carrying an opaque binary media payload. */
 case class MediaRow(doc_id: Long, payload: Array[Byte])
 
+/** One 8-byte metadata segment's parsed content (m06's feature row):
+  * ordinal among the payload's metadata segments, container marker, and
+  * the big-endian value of the 8 data bytes. */
+case class MetaSeg(media_id: Long, ord: Int, marker: String, value: Long)
+
 /** Decoded (stub) media metadata. */
 case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
                      format: String)
@@ -295,11 +300,18 @@ object Multimodal {
     * container files: [[HeaderDecode]]/[[SegmentWalk]] do no
     * generation-specific shortcuts. */
   private def payloadColFor(idc: org.apache.spark.sql.Column,
-                            hc: org.apache.spark.sql.Column) = {
+                            hc: org.apache.spark.sql.Column,
+                            tamper: org.apache.spark.sql.Column = lit(0L)) = {
+    // `tamper` = how many TRAILING metadata segments get their value
+    // bumped by 1 — the "metadata-edited re-encode" m06 plants: same
+    // container, same dims, same leading segments, k > MetaSegments −
+    // tamper differ. Default 0 = the byte-identical m01–m05 payload.
+    def segV(k: Int) = segValueFor(idc, k) +
+      when(lit(k.toLong) > lit(MetaSegments.toLong) - tamper, 1L).otherwise(0L)
     val pngChunks = (1 to MetaSegments).map(k =>
-      concat(unhex(lit("0000000874455874")), be8(segValueFor(idc, k)), unhex(lit("AA5500FF"))))
+      concat(unhex(lit("0000000874455874")), be8(segV(k)), unhex(lit("AA5500FF"))))
     val jpegComs = (1 to MetaSegments).map(k =>
-      concat(unhex(lit("FFFE000A")), be8(segValueFor(idc, k))))
+      concat(unhex(lit("FFFE000A")), be8(segV(k))))
     when(idc % 2 === 0,
       concat(Seq(
         unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/type
@@ -601,4 +613,113 @@ object Multimodal {
         length(col("payload")).cast("bigint").as("n_bytes"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_bytes"), col("n_copies"))
+
+  /** Parse the 8-byte metadata segments of a payload — ordinal among
+    * them, marker, and the big-endian VALUE of the 8 data bytes. The
+    * m06 feature extractor: real byte walking (PNG chunk list / JPEG
+    * marker list, [[SegmentWalk]]'s grammar) restricted to the
+    * metadata-carrier segments (tEXt / COM) whose content is exactly
+    * 8 bytes. */
+  object MetaValueWalk {
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be64(b: Array[Byte], i: Int): Long = {
+      var v = 0L; var j = 0
+      while (j < 8) { v = (v << 8) | (b(i + j) & 0xffL); j += 1 }
+      v
+    }
+    def extract(id: Long, b: Array[Byte]): Seq[MetaSeg] = {
+      val out = scala.collection.mutable.ArrayBuffer[MetaSeg]()
+      var ord = 0
+      if (b.length >= 16 && (b(0) & 0xff) == 0x89 && b(1) == 'P') {
+        var i = 8
+        while (i + 8 <= b.length) {
+          val len = be32(b, i).toInt
+          val typ = new String(b.slice(i + 4, i + 8), "US-ASCII")
+          if (typ == "tEXt" && len == 8 && i + 16 <= b.length) {
+            ord += 1
+            out += MetaSeg(id, ord, typ, be64(b, i + 8))
+          }
+          i += 12 + len
+        }
+      } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        var i = 2
+        var done = false
+        while (!done && i + 2 <= b.length && (b(i) & 0xff) == 0xff) {
+          val m = b(i + 1) & 0xff
+          if (m == 0xd9 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+            if (m == 0xd9) done = true
+            i += 2
+          } else if (i + 4 <= b.length) {
+            val segLen = (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+            if (m == 0xfe && segLen == 10 && i + 12 <= b.length) {
+              ord += 1
+              out += MetaSeg(id, ord, "COM", be64(b, i + 4))
+            }
+            i += 2 + segLen
+          } else done = true
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  /** Keep a pair iff it shares at least this many of the
+    * [[MetaSegments]] metadata segments (position + marker + content). */
+  val NeardupMinShared = 3
+
+  /** The m06 gate corpus: every document's payload plus a planted
+    * "metadata-edited re-encode" under shifted ids (x12's max+1 shift
+    * rule) — same container, same dims, same id-derived fields, with
+    * the TRAILING 1 (even docs) or 2 (odd docs) metadata segments
+    * bumped by one. Even-doc variants share 3 of 4 segments (caught at
+    * the ≥3 threshold); odd-doc variants share only 2 (correctly NOT
+    * flagged) — both rule directions do real work on any draw. */
+  def m06Payloads(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    docs.select(col("doc_id"),
+      payloadColFor(col("doc_id"), col("n_chars")).as("payload"))
+      .unionByName(docs.select((col("doc_id") + shift).as("doc_id"),
+        payloadColFor(col("doc_id"), col("n_chars"),
+          lit(1L) + pmod(col("doc_id"), lit(2L))).as("payload")))
+  }
+
+  /** m06: NEAR-duplicate media detection by shared metadata-segment
+    * content — the structural sibling of m05's exact digest dedup (a
+    * re-encoded or metadata-edited copy hashes differently as a whole
+    * but still shares most of its parsed segments; pixel-level
+    * perceptual hashing slots into the same plan as one more feature
+    * per payload once a codec is linked — the decode step is exactly
+    * the stubbed-by-design boundary m01 documents). Candidates come
+    * from an INVERTED INDEX on (ordinal, marker, segment content):
+    * only payloads sharing a parsed segment ever meet, never
+    * all-pairs; a pair is flagged iff it shares ≥ [[NeardupMinShared]]
+    * of the [[MetaSegments]] metadata segments.
+    *
+    * Scale shape: the typed flatMap parses each payload once and emits
+    * 16-byte-keyed feature rows (segment content, never payload
+    * bytes, reaches the shuffle — m05's digest discipline per
+    * segment); the self-join fans out only where content genuinely
+    * collides (identical segment values), so output is bounded by
+    * real near-dup volume. */
+  def m06MediaNeardup(s: SparkSession, d: String): DataFrame =
+    mediaNeardup(s, m06Payloads(s, d))
+
+  /** [[m06MediaNeardup]] over any (doc_id, payload) frame (spec entry —
+    * fixtures plant hand-built containers). */
+  def mediaNeardup(s: SparkSession, payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    val feats = payloads.as[MediaRow]
+      .flatMap(r => MetaValueWalk.extract(r.doc_id, r.payload))
+      .toDF("media_id", "ord", "marker", "value")
+    val a = feats.toDF("id_a", "ord", "marker", "value")
+    val b = feats.toDF("id_b", "ord", "marker", "value")
+    a.join(b, Seq("ord", "marker", "value"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= NeardupMinShared.toLong)
+  }
 }

@@ -830,6 +830,37 @@ def main(sf):
                                        n_copies=("doc_id", "size"))
     maybe("m05_media_dedup", m05)
 
+    def m06():
+        # near-dup media by shared metadata segments: the features below
+        # are exactly the parsed 8-byte segment contents of the base +
+        # tampered-variant payloads (m05 synthesizes the same bytes);
+        # inverted index on (ordinal, marker, value), pair count, >= 3.
+        from collections import defaultdict, Counter
+        d = pd.read_parquet(P("documents"), columns=["doc_id"])
+        ids = d.doc_id.astype("int64").to_numpy()
+        shift = int(ids.max()) + 1
+        idx = defaultdict(list)
+        def feats(src, tamper):
+            marker = "tEXt" if src % 2 == 0 else "COM"
+            return [(k, marker, src * 4096 + k + (1 if k > 4 - tamper else 0))
+                    for k in range(1, 5)]
+        for src in ids:
+            src = int(src)
+            for f in feats(src, 0):
+                idx[f].append(src)
+            for f in feats(src, 1 + src % 2):
+                idx[f].append(src + shift)
+        pairs = Counter()
+        for f, ms in idx.items():
+            if len(ms) > 1:
+                ms.sort()
+                for i in range(len(ms)):
+                    for j in range(i + 1, len(ms)):
+                        pairs[(ms[i], ms[j])] += 1
+        rows = [(a, b, n) for (a, b), n in pairs.items() if n >= 3]
+        return pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "n_shared"])
+    maybe("m06_media_neardup", m06)
+
     def e08():
         # filtered ANN == brute-force cosine over the lang='en' candidate
         # set (numpy/BLAS form, e01's shape after the predicate)
