@@ -182,4 +182,39 @@ class ScaleGuardSpec extends SparkSpecBase {
     assert(bad.isEmpty,
       s"banned join shapes inside x09 sub-plans:\n  ${bad.mkString("\n  ")}")
   }
+
+  test("e12's checkpointed sub-plans are cartesian/BNLJ-free") {
+    // e12 cuts its pool and pool-vector frames (two eager
+    // sub-executions whose plans PlanAuditSpec cannot see through the
+    // LogicalRDD leaves) — sweep them with the same listener audit.
+    val qes = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+        qes.add(qe); ()
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Queries.production("e12_mmr_rerank")(spark, sf001)
+        .write.format("noop").mode("overwrite").save()
+      var (settled, quiet) = (qes.size, 0)
+      val deadline = System.nanoTime + 20L * 1000000000L
+      while (quiet < 5 && System.nanoTime < deadline) {
+        Thread.sleep(50)
+        if (qes.size == settled) quiet += 1 else { settled = qes.size; quiet = 0 }
+      }
+    } finally spark.listenerManager.unregister(l)
+    assert(qes.size >= 2, s"expected the pool/pv sub-executions, saw ${qes.size}")
+    val bad = qes.asScala.toSeq.flatMap { qe =>
+      val nodes = try PlanCapture.allNodes(qe.executedPlan)
+                  catch { case _: Throwable => Nil }
+      nodes.collect {
+        case j: BroadcastNestedLoopJoinExec => s"BNLJ: ${j.simpleStringWithNodeId()}"
+        case c: CartesianProductExec => s"Cartesian: ${c.simpleStringWithNodeId()}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"banned join shapes inside e12 sub-plans:\n  ${bad.mkString("\n  ")}")
+  }
 }
