@@ -1160,6 +1160,46 @@ object Oracles {
            |LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin
       },
 
+      // d15: PageRank-class domain centrality — the iterative graph
+      // recurrence unrolled as 8 CTE iterations (e03's Lloyd pattern).
+      // Everything is exact integer arithmetic ((r·w) DIV w_out
+      // contributions, 150000 + 85·Σ DIV 100 update) and the edge
+      // grammar is closed-form (home = doc % nDomains, md5 outlinks, 1
+      // in 10 rerouted to hub 0), so the "approximate" iterative
+      // algorithm is hash-gated like everything else. nDomains is a
+      // scalar subquery of the corpus count — the same value the Spark
+      // plan driver-folds.
+      "d15_domain_rank" -> {
+        import graft.operators.Dedup.{RankIters, RankSeed, RankLinksPerDoc,
+          RankHubMod, RankDocsPerDomain}
+        val iters = (1 to RankIters).map { k =>
+          s"""c$k AS (SELECT e.dst, CAST(SUM((r.r * e.w) // e.wsum) AS BIGINT) AS sc
+             |  FROM ew e JOIN r${k - 1} r ON r.dom = e.src GROUP BY 1),
+             |r$k AS (SELECT dom, CAST(150000 + (85 * COALESCE(sc, 0)) // 100 AS BIGINT) AS r
+             |  FROM doms LEFT JOIN c$k ON c$k.dst = doms.dom)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nd AS (SELECT GREATEST(16, COUNT(*) // $RankDocsPerDomain) AS n FROM documents),
+           |dcs AS (SELECT doc_id, doc_id % (SELECT n FROM nd) AS src FROM documents),
+           |lk AS (SELECT src, CASE WHEN h % $RankHubMod = 0 THEN 0
+           |         ELSE (h // $RankHubMod) % (SELECT n FROM nd) END AS dst
+           |  FROM (SELECT src, ${h60(RankSeed, "doc_id || ':' || j.j")} AS h
+           |        FROM dcs, range(0, $RankLinksPerDoc) j(j))),
+           |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+           |          FROM lk GROUP BY 1, 2),
+           |wout AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
+           |                      FROM edges GROUP BY 1),
+           |ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, w.wsum
+           |                    FROM edges e JOIN wout w USING (src)),
+           |doms AS MATERIALIZED (SELECT src AS dom, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |                      FROM dcs GROUP BY 1),
+           |r0 AS (SELECT dom, CAST(1000000 AS BIGINT) AS r FROM doms),
+           |$iters
+           |SELECT doms.dom, n_docs, wsum AS w_out, r AS rank_micros
+           |FROM doms JOIN wout ON wout.src = doms.dom
+           |JOIN r$RankIters USING (dom)
+           |ORDER BY dom""".stripMargin
+      },
+
       // x08: the curation DECISION table — t07's integer quality gate,
       // d07's bench quarantine + contamination verdicts, d03's verified
       // pairs restricted to clean docs resolved by d06's recursive-CTE
@@ -1424,6 +1464,50 @@ object Oracles {
          |lexr AS (SELECT q_id, doc_id, micros,
          |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY micros DESC, doc_id) AS rnk
          |      FROM lexsc)""".stripMargin
+    }
+    // Greedy-MMR selection ladder shared by e12 (brute pool) and e13
+    // (ANN pool): expects a `pool`(q_id, c_id, relm) CTE upstream and
+    // unrolls Similarity.K selection steps (e03's bounded-iteration
+    // pattern) — s1 = relevance argmax; step i joins the not-yet-picked
+    // pool against the selected set's pairwise sims and takes the
+    // (mmr DESC, c_id ASC) argmax. Every CTE that is both
+    // upstream-expensive and multiply-referenced is MATERIALIZED (the
+    // DuckDB-inlines-shared-CTEs lesson).
+    val mmrLadder: String = {
+      val k = graft.operators.Similarity.K
+      val steps = (2 to k).map { i =>
+        val sel = (1 until i).map(j => s"SELECT * FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""sel${i - 1} AS MATERIALIZED ($sel),
+           |sc$i AS (SELECT p.q_id, p.c_id, p.relm,
+           |    p.relm - MAX(y.simm) AS mmrm
+           |  FROM pool p JOIN sel${i - 1} s ON s.q_id = p.q_id
+           |  JOIN simsym y ON y.q_id = p.q_id AND y.ca = p.c_id AND y.cb = s.c_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} z
+           |                    WHERE z.q_id = p.q_id AND z.c_id = p.c_id)
+           |  GROUP BY p.q_id, p.c_id, p.relm),
+           |s$i AS MATERIALIZED (SELECT q_id, c_id, relm, mmrm, $i AS rnk FROM (
+           |  SELECT q_id, c_id, relm, mmrm,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY mmrm DESC, c_id) AS rr
+           |  FROM sc$i) WHERE rr = 1)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to k).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""pv AS MATERIALIZED (SELECT p.q_id, p.c_id, e.embedding AS v
+         |  FROM pool p JOIN embeddings e ON e.vec_id = p.c_id),
+         |pr AS MATERIALIZED (SELECT x.q_id, x.c_id AS ca, y.c_id AS cb,
+         |    CAST(ROUND(ROUND(${cosRaw("x.v", "y.v")}, 6) * 1000000) AS BIGINT) AS simm
+         |  FROM pv x JOIN pv y ON x.q_id = y.q_id AND x.c_id < y.c_id),
+         |simsym AS MATERIALIZED (SELECT q_id, ca, cb, simm FROM pr
+         |  UNION ALL SELECT q_id, cb AS ca, ca AS cb, simm FROM pr),
+         |s1 AS MATERIALIZED (SELECT q_id, c_id, relm, relm AS mmrm, 1 AS rnk FROM (
+         |  SELECT q_id, c_id, relm,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY relm DESC, c_id) AS rr
+         |  FROM pool) WHERE rr = 1),
+         |$steps
+         |SELECT q_id, c_id, relm AS rel_micros, mmrm AS mmr_micros,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM ($unionAll) ORDER BY q_id, rnk""".stripMargin
     }
     Map(
       // e05 composes the two index mirrors verbatim: e03's coarse Lloyd
@@ -1691,33 +1775,10 @@ object Oracles {
            |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
            |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
-      // e12: greedy MMR as an UNROLLED selection ladder (e03's
-      // bounded-iteration pattern): s1 = relevance argmax; step i joins
-      // the not-yet-picked pool against the selected set's pairwise
-      // sims and takes the (mmr DESC, c_id ASC) argmax. Every CTE that
-      // is both upstream-expensive and multiply-referenced is
-      // MATERIALIZED (the DuckDB-inlines-shared-CTEs lesson).
+      // e12: greedy MMR over the exact brute pool — pool CTEs here, the
+      // shared unrolled selection ladder (mmrLadder) does the rest.
       "e12_mmr_rerank" -> {
         val p = graft.operators.Similarity.MmrPool
-        val k = 10
-        val steps = (2 to k).map { i =>
-          val sel = (1 until i).map(j => s"SELECT * FROM s$j")
-            .mkString(" UNION ALL ")
-          s"""sel${i - 1} AS MATERIALIZED ($sel),
-             |sc$i AS (SELECT p.q_id, p.c_id, p.relm,
-             |    p.relm - MAX(y.simm) AS mmrm
-             |  FROM pool p JOIN sel${i - 1} s ON s.q_id = p.q_id
-             |  JOIN simsym y ON y.q_id = p.q_id AND y.ca = p.c_id AND y.cb = s.c_id
-             |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} z
-             |                    WHERE z.q_id = p.q_id AND z.c_id = p.c_id)
-             |  GROUP BY p.q_id, p.c_id, p.relm),
-             |s$i AS MATERIALIZED (SELECT q_id, c_id, relm, mmrm, $i AS rnk FROM (
-             |  SELECT q_id, c_id, relm, mmrm,
-             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY mmrm DESC, c_id) AS rr
-             |  FROM sc$i) WHERE rr = 1)""".stripMargin
-        }.mkString(",\n")
-        val unionAll = (1 to k).map(i => s"SELECT * FROM s$i")
-          .mkString(" UNION ALL ")
         s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
            |sc0 AS (SELECT q_id, c.vec_id AS c_id, ROUND($cosQC, 6) AS cos6
            |        FROM q JOIN embeddings c ON c.vec_id <> q_id),
@@ -1726,21 +1787,21 @@ object Oracles {
            |  FROM (SELECT q_id, c_id, cos6,
            |          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS rr
            |        FROM sc0) WHERE rr <= $p),
-           |pv AS MATERIALIZED (SELECT p.q_id, p.c_id, e.embedding AS v
-           |  FROM pool p JOIN embeddings e ON e.vec_id = p.c_id),
-           |pr AS MATERIALIZED (SELECT x.q_id, x.c_id AS ca, y.c_id AS cb,
-           |    CAST(ROUND(ROUND(${cosRaw("x.v", "y.v")}, 6) * 1000000) AS BIGINT) AS simm
-           |  FROM pv x JOIN pv y ON x.q_id = y.q_id AND x.c_id < y.c_id),
-           |simsym AS MATERIALIZED (SELECT q_id, ca, cb, simm FROM pr
-           |  UNION ALL SELECT q_id, cb AS ca, ca AS cb, simm FROM pr),
-           |s1 AS MATERIALIZED (SELECT q_id, c_id, relm, relm AS mmrm, 1 AS rnk FROM (
-           |  SELECT q_id, c_id, relm,
-           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY relm DESC, c_id) AS rr
-           |  FROM pool) WHERE rr = 1),
-           |$steps
-           |SELECT q_id, c_id, relm AS rel_micros, mmrm AS mmr_micros,
-           |  CAST(rnk AS BIGINT) AS rnk
-           |FROM ($unionAll) ORDER BY q_id, rnk""".stripMargin
+           |$mmrLadder""".stripMargin
+      },
+
+      // e13: the SAME ladder over the ANN pool — e05's full CTE chain
+      // (coarse Lloyd × per-subspace PQ, probe, ADC, exact re-rank)
+      // truncated at MmrPool depth IS the pool; hash equality against
+      // the Spark plan proves the rerank composes with the scaled index
+      // path bit-for-bit.
+      "e13_mmr_ann" -> {
+        val p = graft.operators.Similarity.MmrPool
+        s"""WITH $e05Body,
+           |pool AS MATERIALIZED (SELECT q_id, c_id,
+           |    CAST(ROUND(cosine * 1000000) AS BIGINT) AS relm
+           |  FROM r2 WHERE rnk <= $p),
+           |$mmrLadder""".stripMargin
       },
 
       "e02_ann_lsh" -> {
@@ -1899,6 +1960,56 @@ object Oracles {
          |        AND a.v = b.v AND a.media_id < b.media_id
          |      GROUP BY 1, 2)
          |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $thr
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // m07: the oracle derives each document's IMAGE from the pixel
+    // grammar (m01's generation-rule convention — fully independent of
+    // the byte path, so the gate proves encode → real zlib/CRC PNG →
+    // decode → unfilter → aHash round-trips the grammar exactly):
+    // per-row md5 pixel stream, exact integer 8×8 block-mean hash
+    // (strict cross-multiply, no division), 4×16-bit band buckets,
+    // hamming via bit_count(xor). Bit 63 cannot be built as 1<<63
+    // (DuckDB refuses the signed overflow) — its addend is the
+    // Long.MinValue literal, the same two's-complement value Spark's
+    // 1L<<63 wraps to; the BIGINT sum runs in HUGEINT and casts back
+    // exactly.
+    "m07_perceptual_dedup" -> {
+      import graft.operators.Multimodal.{M07Seed, M07MaxHamming, M07Bands}
+      s"""WITH src AS (SELECT doc_id,
+         |    CASE WHEN doc_id > 0 AND (doc_id % 17 = 0 OR doc_id % 31 = 0)
+         |         THEN doc_id - 1 ELSE doc_id END AS b,
+         |    (doc_id > 0 AND doc_id % 17 <> 0 AND doc_id % 31 = 0) AS edited
+         |  FROM documents),
+         |dims AS (SELECT doc_id, b, edited,
+         |    8 + (b % 9) AS w, 8 + ((b * 7) % 9) AS h FROM src),
+         |rh AS (SELECT doc_id, w, h, edited, y.y AS y,
+         |    ${h60(M07Seed, "b || ':' || y.y")} AS r
+         |  FROM dims, range(0, 16) y(y) WHERE y.y < h),
+         |pix AS MATERIALIZED (SELECT doc_id,
+         |    ((y * 8) // h) * 8 + ((x.x * 8) // w) AS bidx,
+         |    CASE WHEN edited THEN LEAST(((r >> (8 * (x.x % 7))) & 255) + 3, 255)
+         |         ELSE (r >> (8 * (x.x % 7))) & 255 END AS p
+         |  FROM rh, range(0, 16) x(x) WHERE x.x < w),
+         |tot AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) AS total,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM pix GROUP BY 1),
+         |blk AS (SELECT doc_id, bidx, CAST(SUM(p) AS BIGINT) AS bs,
+         |    CAST(COUNT(*) AS BIGINT) AS nb FROM pix GROUP BY 1, 2),
+         |fp AS MATERIALIZED (SELECT t.doc_id,
+         |    CAST(SUM(CASE WHEN bs * n > total * nb THEN
+         |      CASE WHEN bidx = 63 THEN -9223372036854775808
+         |           ELSE (CAST(1 AS BIGINT) << CAST(bidx AS INT)) END
+         |      ELSE 0 END) AS BIGINT) AS fp
+         |  FROM blk b JOIN tot t ON b.doc_id = t.doc_id GROUP BY 1),
+         |bands AS (SELECT doc_id, fp, t.band,
+         |    (fp >> (16 * CAST(band AS INT))) & 65535 AS key
+         |  FROM fp, range(0, $M07Bands) t(band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.fp AS fa, b.fp AS fb
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= $M07MaxHamming
          |ORDER BY id_a, id_b""".stripMargin
     },
 

@@ -106,6 +106,10 @@ object Queries {
     // d14 is d07's decontamination through a broadcastable bloom-position
     // set — deterministic false positives, so still hash-gated.
     "d14_bloom_decontaminate" -> (Dedup.d14BloomDecontaminate _),
+    // d15: link-graph domain centrality (PageRank-class) as a curation
+    // quality prior — exact-integer damping, 8 unrolled iterations,
+    // deterministic md5 edge grammar with a planted hub domain.
+    "d15_domain_rank"      -> (Dedup.d15DomainRank _),
     "e01_knn_brute"        -> (Similarity.e01KnnBrute _),
     // e12: MMR-diversified rerank over e01's exact pool — exact integer
     // micros end-to-end; the greedy chain runs in one bounded
@@ -130,6 +134,11 @@ object Queries {
       Similarity.e04PqAnn(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "e05_ivfpq"            -> ((s, d) =>
       Similarity.e05IvfPq(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
+    // e13: e12's MMR rerank over the e05 IVF×PQ pool — the 100 TB form
+    // (e12's brute pool self-caps at MaxBruteQueries); same bounded MMR
+    // tail, pool cost scales like e05's per-query work.
+    "e13_mmr_ann"          -> ((s, d) =>
+      Similarity.e13MmrAnn(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "e06_index_append"     -> ((s, d) =>
       Incremental.e06IndexAppend(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "e07_cluster_stats"    -> (Similarity.e07ClusterStats _),
@@ -153,6 +162,10 @@ object Queries {
     // metadata-segment content — m05's digest discipline per segment;
     // planted metadata-edited re-encodes exercise both rule directions.
     "m06_media_neardup"    -> (Multimodal.m06MediaNeardup _),
+    // m07: perceptual near-dup over REAL decoded PNG pixels (JDK-only
+    // inflate + unfilter + aHash) — catches re-encoded images m05's
+    // digest and m06's metadata index both miss; d04's band machinery.
+    "m07_perceptual_dedup" -> (Multimodal.m07PerceptualDedup _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
@@ -254,6 +267,7 @@ object Queries {
     "d01_dedup_exact"      -> Seq("keep_id"),
     "d13_url_dedup"        -> Seq("keep_id"),
     "d14_bloom_decontaminate" -> Seq("doc_id"),
+    "d15_domain_rank"      -> Seq("dom"),
     "d02_ngram_jaccard"    -> Seq("id_a", "id_b"),
     "d03_minhash_lsh"      -> Seq("id_a", "id_b"),
     "d04_simhash"          -> Seq("id_a", "id_b"),
@@ -271,6 +285,7 @@ object Queries {
     "e03_ivf_ann"          -> Seq("q_id", "rnk"),
     "e04_pq_ann"           -> Seq("q_id", "rnk"),
     "e05_ivfpq"            -> Seq("q_id", "rnk"),
+    "e13_mmr_ann"          -> Seq("q_id", "rnk"),
     "e06_index_append"     -> Seq("q_id", "rnk"),
     "e07_cluster_stats"    -> Seq("cell"),
     "e09_bm25_topk"        -> Seq("q_id", "rnk"),
@@ -283,6 +298,7 @@ object Queries {
     "m04_video_meta"       -> Seq("doc_id"),
     "m05_media_dedup"      -> Seq("keep_id"),
     "m06_media_neardup"    -> Seq("id_a", "id_b"),
+    "m07_perceptual_dedup" -> Seq("id_a", "id_b"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),

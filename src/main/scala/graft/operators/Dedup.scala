@@ -838,6 +838,102 @@ object Dedup {
         (pmod(Text.hash60(col("doc_id").cast("string"), DecontamSeed),
           lit(DecontamBenchMod)) === 0).as("is_bench")))
 
+  // ---------------------------------------------------------------- d15
+
+  /** d15 link-graph constants (shared literally with the oracle):
+    * damping 85/100 in exact integer micros, 8 fixed iterations (e03's
+    * bounded-unroll convention), 2 outlinks per document, 1-in-10 links
+    * pointing at the hub domain 0 (the planted popularity skew that
+    * makes the key prove direction on any draw), ~50 docs per domain. */
+  val RankIters = 8
+  val RankSeed = 53
+  val RankLinksPerDoc = 2
+  val RankHubMod = 10L
+  val RankDocsPerDomain = 50L
+
+  /** d15: LINK-GRAPH DOMAIN CENTRALITY as a curation quality prior —
+    * the PageRank-class signal web-scale curation (CommonCrawl posture)
+    * ranks source domains by before sampling: a domain linked from many
+    * well-linked domains is a quality prior no per-doc heuristic
+    * (t02/t07) or corpus-relative text signal (t08/t10) expresses.
+    *
+    * Deterministic end-to-end, so the "iterative graph algorithm" is
+    * still hash-gated like everything else: the doc→domain edge set is
+    * a closed-form grammar (home domain = doc_id mod nDomains with
+    * nDomains = max(16, n/50) driver-folded from the corpus count — the
+    * scalar-literal rule; 2 md5-derived outlinks per doc, 1 in 10
+    * rerouted to hub domain 0), and the rank recurrence is EXACT
+    * integer arithmetic: r₀ = 10⁶ micros, per-edge contribution
+    * (r_src·w) DIV w_out, update 150000 + 85·Σ DIV 100 — no float, no
+    * transcendental, mirrored as 8 unrolled CTE iterations (e03's Lloyd
+    * pattern).
+    *
+    * Scale shape: the edge table builds in ONE pass over the corpus
+    * (explode 2 rows/doc → partial-combining (src,dst) count) and is
+    * lineage-CUT once for its 8 reuses (the x08 lesson — without the
+    * cut every iteration re-runs the corpus scan); each iteration is
+    * one equi-join on src (uniform by construction) plus one
+    * partial-combining sum by dst — the hub's 10% in-link share
+    * map-side combines, so the planted skew never concentrates a task
+    * (the d11 lesson does not even need salting here). State is
+    * per-domain (corpus/50), never per-doc, and at 100 TB each
+    * iteration's shuffle carries only the domain-count frame. */
+  def d15DomainRank(s: SparkSession, d: String): DataFrame = {
+    // Driver-folded domain-count literal (the scalar-per-frame rule);
+    // a bare count() job on the pruned single-column scan.
+    val nDom = math.max(16L,
+      Tables.documents(s, d).select(col("doc_id")).count() / RankDocsPerDomain)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % nDom).as("src"))
+    val links = docs.select(col("src"),
+      explode(array((0 until RankLinksPerDoc).map(j =>
+        Text.hash60(concat(col("doc_id").cast("string"), lit(s":$j")),
+          RankSeed)): _*)).as("h"))
+      .select(col("src"),
+        when(col("h") % RankHubMod === 0L, 0L)
+          .otherwise(pmod(expr(s"h DIV $RankHubMod"), lit(nDom))).as("dst"))
+    val doms = graft.Checkpoints.cut(
+      docs.groupBy("src").agg(count(lit(1)).as("n_docs"))
+        .withColumnRenamed("src", "dom"))
+    // Every doc emits exactly RankLinksPerDoc links, so each domain's
+    // total outgoing weight is n_docs × that constant — derived off the
+    // tiny doms frame instead of a second corpus aggregation.
+    val wout = doms.select(col("dom").as("src"),
+      (col("n_docs") * RankLinksPerDoc).as("wsum"))
+    // No explicit broadcast hints on the domain-keyed frames: at the
+    // gate SFs AQE broadcasts them (n/50 rows), while a corpus where
+    // domains outgrow the broadcast threshold correctly falls back to
+    // a shuffle join — the hint would pin the wrong plan at 100 TB.
+    val edgesW = graft.Checkpoints.cut(
+      links.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .join(wout, "src"))
+    // The loop carries r only over IN-LINKED domains: a domain nobody
+    // links to sits at the damping constant 150000 from iteration 1 on
+    // (and at r0 = 10^6 before any), so the source side coalesces to
+    // that iteration's default instead of paying a per-iteration join
+    // against the full domain frame — one join + one partial-combining
+    // aggregate per iteration, nothing else.
+    val ranks = (1 to RankIters).foldLeft(
+      Option.empty[DataFrame]) { (rOpt, k) =>
+      val dflt = if (k == 1) 1000000L else 150000L
+      val withR = rOpt match {
+        case None    => edgesW.withColumn("r", lit(dflt))
+        case Some(r) => edgesW
+          .join(r.withColumnRenamed("dom", "src"), Seq("src"), "left")
+          .withColumn("r", coalesce(col("r"), lit(dflt)))
+      }
+      Some(withR
+        .select(col("dst"), expr("r * w DIV wsum").as("c"))
+        .groupBy("dst").agg(
+          (lit(150000L) + expr("85 * sum(c) DIV 100")).as("r"))
+        .withColumnRenamed("dst", "dom"))
+    }.get
+    doms.join(ranks, Seq("dom"), "left")
+      .select(col("dom"), col("n_docs"),
+        (col("n_docs") * RankLinksPerDoc).as("w_out"),
+        coalesce(col("r"), lit(150000L)).as("rank_micros"))
+  }
+
   /** [[d14BloomDecontaminate]] over any (doc_id, text, is_bench) frame —
     * split out so specs can plant known contamination and known
     * near-miss grams. */

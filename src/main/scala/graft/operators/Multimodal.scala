@@ -722,4 +722,335 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= NeardupMinShared.toLong)
   }
+
+  // ------------------------------------------------------------------
+  // m07: perceptual near-dup over REAL decoded PNG pixels — closes the
+  // pixel-decode boundary m01/m06 document. The corpus's PNGs here
+  // carry actual zlib-deflated IDAT scanlines, and the decode path is
+  // a real PNG reader built on JDK primitives only: chunk walk with
+  // CRC32 verification, java.util.zip.Inflater, full 5-type scanline
+  // unfiltering. No external codec library.
+  // ------------------------------------------------------------------
+
+  /** Seed for the per-(image, row) md5 pixel stream (the generation
+    * rule the oracle mirrors, m01's convention). */
+  val M07Seed = 47
+
+  /** Pair-emission radius. With [[M07Bands]] = 4 bands over the 64-bit
+    * aHash, any pair within hamming 3 shares >= 1 clean 16-bit band
+    * (pigeonhole — d04's discipline, lossless at this radius). The
+    * planted re-encodes sit at 0, the +3-brightness edits at <= 2
+    * measured over the grammar, and unrelated images at >= 16 — the
+    * threshold is far from every observed mass. */
+  val M07MaxHamming = 3
+  val M07Bands = 4
+  private val M07ReencodeMod = 17
+  private val M07EditMod = 31
+  private val M07Bright = 3
+
+  /** Imperative twin of [[graft.functions.Text.hash60]]: first 15 hex
+    * digits of md5(seed:s) as a non-negative long — one md5 per image
+    * ROW (<= 16 per payload), identical in the oracle's h60 grammar. */
+  private def h60Local(md: java.security.MessageDigest, seed: Int,
+                       s: String): Long = {
+    md.reset()
+    val dig = md.digest(s"$seed:$s".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) & 0xf0L) >> 4)
+  }
+
+  /** m07 pixel grammar — a pure function of doc_id, stated in closed
+    * form so the oracle derives the SAME image from the generation
+    * rule:
+    *  - base image id `b`: docs at doc_id % 17 == 0 (re-encode plant)
+    *    or % 31 == 0 (brightness-edit plant) show doc_id − 1's image;
+    *    everyone else their own.
+    *  - dims w = 8 + b%9, h = 8 + (7b)%9 (8..16 — thumbnail-scale, the
+    *    size perceptual hashing actually runs at in production).
+    *  - row y's pixel stream: bytes of hash60(seed=47, "b:y"), cycling
+    *    every 7 columns — iid across images, so unrelated images land
+    *    at hamming ~32 and the pair volume is plant-bounded.
+    *  - edit plants add +3 saturating brightness (pixels differ, the
+    *    perceptual hash barely moves — the signal exact digests miss).
+    */
+  private[graft] def m07BaseId(doc: Long): Long =
+    if (doc > 0 && (doc % M07ReencodeMod == 0 || doc % M07EditMod == 0)) doc - 1
+    else doc
+  private[graft] def m07Edited(doc: Long): Boolean =
+    doc > 0 && doc % M07ReencodeMod != 0 && doc % M07EditMod == 0
+  private[graft] def m07Pixels(doc: Long): (Int, Int, Array[Int]) = {
+    val b = m07BaseId(doc)
+    val w = (8 + b % 9).toInt
+    val h = (8 + (b * 7) % 9).toInt
+    val edited = m07Edited(doc)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val r = h60Local(md, M07Seed, s"$b:$y")
+      var x = 0
+      while (x < w) {
+        var p = ((r >> (8 * (x % 7))) & 255L).toInt
+        if (edited) p = math.min(p + M07Bright, 255)
+        px(y * w + x) = p
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Minimal REAL PNG codec on JDK primitives: grayscale 8-bit, any of
+    * the five standard scanline filter types, real zlib (Deflater /
+    * Inflater), real per-chunk CRC32 — emitted files decode in any
+    * compliant reader (javax.imageio cross-checked in the spec), and
+    * [[decode]] reads any grayscale-8 PNG regardless of producer. */
+  object PngCodec {
+    private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    private def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def rd32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      be32(data.length.toLong) ++ tb ++ data ++ be32(crc.getValue)
+    }
+
+    /** PNG filter pass for one scanline (prev = the RAW previous line,
+      * empty for y = 0); bpp = 1 (grayscale-8). */
+    private def filterLine(ft: Int, cur: Array[Int], prev: Array[Int]): Array[Byte] = {
+      val w = cur.length
+      val out = new Array[Byte](w)
+      var x = 0
+      while (x < w) {
+        val a = if (x > 0) cur(x - 1) else 0
+        val bb = if (prev.nonEmpty) prev(x) else 0
+        val c = if (x > 0 && prev.nonEmpty) prev(x - 1) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => bb
+          case 3 => (a + bb) / 2
+          case 4 => // Paeth
+            val p = a + bb - c
+            val pa = math.abs(p - a); val pb = math.abs(p - bb)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+        }
+        out(x) = ((cur(x) - pred) & 0xff).toByte
+        x += 1
+      }
+      out
+    }
+
+    /** Encode grayscale-8 pixels as a complete PNG. `filterType` picks
+      * the scanline filter (0..4) — the re-encode plants use Sub so the
+      * byte stream genuinely differs from its source while the pixels
+      * match. `meta` lands in a tEXt chunk (differs per doc, so even
+      * same-filter payloads never collide byte-wise). */
+    def encode(w: Int, h: Int, px: Array[Int], filterType: Int,
+               meta: String): Array[Byte] = {
+      require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
+      val raw = new java.io.ByteArrayOutputStream()
+      var prev = Array.empty[Int]
+      var y = 0
+      while (y < h) {
+        val cur = java.util.Arrays.copyOfRange(px, y * w, (y + 1) * w)
+        raw.write(filterType)
+        raw.write(filterLine(filterType, cur, prev), 0, w)
+        prev = cur
+        y += 1
+      }
+      val rb = raw.toByteArray
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(rb); defl.finish()
+      val buf = new Array[Byte](rb.length + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!defl.finished()) {
+        val n = defl.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      defl.end()
+      val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+        Array[Byte](8, 0, 0, 0, 0) // depth 8, grayscale, std compression
+      Sig ++ chunk("IHDR", ihdr) ++
+        chunk("tEXt", meta.getBytes("US-ASCII")) ++
+        chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty)
+    }
+
+    /** REAL decode of a grayscale-8 PNG: signature check, chunk walk
+      * with CRC32 VERIFICATION, multi-IDAT concat, Inflater, full
+      * 5-type unfilter. Throws on any structural violation — a decode
+      * stage must fail loudly, not hash garbage. */
+    def decode(b: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(b.length > 8 && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(b, 0, 8), Sig), "not a PNG")
+      var w = 0; var h = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8
+      while (i + 12 <= b.length) {
+        val len = rd32(b, i).toInt
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        require(i + 12 + len <= b.length, s"truncated $typ chunk")
+        val crc = new java.util.zip.CRC32
+        crc.update(b, i + 4, 4 + len)
+        require(crc.getValue == rd32(b, i + 8 + len), s"bad CRC in $typ")
+        typ match {
+          case "IHDR" =>
+            w = rd32(b, i + 8).toInt; h = rd32(b, i + 12).toInt
+            require(b(i + 16) == 8 && b(i + 17) == 0,
+              "decoder handles grayscale-8 only")
+          case "IDAT" => idat.write(b, i + 8, len)
+          case _ => ()
+        }
+        i += 12 + len
+      }
+      require(w > 0 && h > 0, "missing IHDR")
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      val raw = new Array[Byte]((w + 1) * h)
+      var off = 0
+      while (off < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, off, raw.length - off)
+        require(n > 0 || infl.finished(), "bad zlib stream")
+        off += n
+      }
+      infl.end()
+      require(off == raw.length, s"short pixel data ($off of ${raw.length})")
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (w + 1)) & 0xff
+        var x = 0
+        while (x < w) {
+          val f = raw(y * (w + 1) + 1 + x) & 0xff
+          val a = if (x > 0) px(y * w + x - 1) else 0
+          val bb = if (y > 0) px((y - 1) * w + x) else 0
+          val c = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => bb
+            case 3 => (a + bb) / 2
+            case 4 =>
+              val p = a + bb - c
+              val pa = math.abs(p - a); val pb = math.abs(p - bb)
+              val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+            case other => throw new IllegalArgumentException(
+              s"unknown filter type $other")
+          }
+          px(y * w + x) = (f + pred) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, px)
+    }
+  }
+
+  /** 64-bit average hash over an 8×8 block grid with EXACT integer
+    * boundaries: pixel (x, y) belongs to block ((8y) div h, (8x) div w)
+    * and bit b is set iff blocksum·N > totalsum·n_b (strict cross-
+    * multiply — no division, no float, so the oracle states the same
+    * bit in closed form). */
+  private[graft] def aHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val bs = new Array[Long](64)
+    val nb = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bidx = by * 8 + x * 8 / w
+        val p = px(y * w + x)
+        bs(bidx) += p; nb(bidx) += 1; total += p
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toLong
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (bs(i) * n > total * nb(i)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** The m07 gate corpus: every document's thumbnail PNG under the
+    * pixel grammar. Re-encode plants (doc % 17 == 0) carry their
+    * source's EXACT pixels re-compressed under the Sub filter with
+    * different tEXt metadata — byte-different, pixel-identical, the
+    * case m05's digest and m06's metadata index both miss; edit plants
+    * (doc % 31) carry +3-brightness pixels — byte- AND pixel-different
+    * but perceptually the same image. */
+  def m07Payloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (w, h, px) = m07Pixels(id)
+          val ft = if (id > 0 && id % M07ReencodeMod == 0) 1 else 0
+          MediaRow(id, PngCodec.encode(w, h, px, ft, s"m07 doc $id"))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** m07: perceptual near-duplicate detection over DECODED pixels —
+    * the re-encoded-image signal the metadata index (m06) cannot see:
+    * decode each payload (real inflate + unfilter), reduce it to a
+    * 64-bit aHash, and emit pairs within hamming [[M07MaxHamming]] via
+    * [[M07Bands]] 16-bit band buckets (pigeonhole-complete at this
+    * radius, d04's machinery).
+    *
+    * Scale shape: decode is one mapPartitions pass; ONLY (id, 8-byte
+    * hash) rows ever shuffle (m05's digest discipline); the band
+    * self-join fans out only on genuine 16-bit band collisions and the
+    * explicit repartition pins pair-generation parallelism (the AQE
+    * quadratic-output lesson). At larger corpora the band layout must
+    * recalibrate like d05's bits (wider bands / a second-level key);
+    * the 64-bit hash bounds what banding can do — the documented next
+    * step at 10⁹+ images is a multi-probe on band XOR neighbors. */
+  def m07PerceptualDedup(s: SparkSession, d: String): DataFrame =
+    perceptualDedup(s, m07Payloads(s, d))
+
+  /** [[m07PerceptualDedup]] over any (doc_id, payload) frame of
+    * grayscale-8 PNGs (spec entry — fixtures plant hand-encoded
+    * images). */
+  def perceptualDedup(s: SparkSession, payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    val hashes = payloads.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val (w, h, px) = PngCodec.decode(r.payload)
+        (r.doc_id, aHash64(w, h, px))
+      }
+    }.toDF("doc_id", "fp")
+    val bands = hashes.select(col("doc_id"), col("fp"),
+      explode(array((0 until M07Bands).map(bnd => struct(lit(bnd).as("band"),
+        shiftright(col("fp"), 16 * bnd).bitwiseAND(lit(65535L)).as("key"))): _*))
+        .as("x"))
+      .select(col("doc_id"), col("fp"),
+        col("x.band").as("band"), col("x.key").as("key"))
+    val n = s.sessionState.conf.numShufflePartitions
+    val a = bands.toDF("id_a", "fa", "band", "key")
+      .repartition(n, col("band"), col("key"))
+    val b = bands.toDF("id_b", "fb", "band2", "key2")
+      .repartition(n, col("band2"), col("key2"))
+    a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fa", "fb").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= M07MaxHamming.toLong)
+  }
 }

@@ -26,7 +26,11 @@ import graft.functions.{CosineSimilarity, RhpBucket, TopKByScore}
   */
 object Similarity {
 
-  private val K = 10
+  /** Catalog emit depth for the top-k retrieval keys (e01-e05, e12/e13).
+    * Public so the oracle generator shares the SAME constant for its
+    * unrolled selection ladders — a local literal there would silently
+    * desynchronize if this ever changed. */
+  val K = 10
 
   /** Shared RHP banding config: L tables × `bits` hyperplane sign bits,
     * seeds 1000 + t·bits. e02 (ANN top-k) and d05 (near-dup pairs) read
@@ -202,7 +206,7 @@ object Similarity {
   /** e01's batched kernel at a PARAMETERIZED depth — shared with e12's
     * candidate-pool stage (same arithmetic, same (score DESC, id ASC)
     * retention, k-generic buffers). */
-  private[graft] def bruteTopK(s: SparkSession, d: String, K: Int): DataFrame = {
+  private[graft] def bruteTopK(s: SparkSession, d: String, depth: Int): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // Driver-side bound: the query set is 1% of the corpus (vec_id%100),
@@ -239,8 +243,8 @@ object Similarity {
       // per (query, partition): k best as parallel primitive arrays,
       // worst slot tracked by linear scan (k is small; a losing
       // candidate costs one compare against the current worst minimum)
-      val scores = Array.fill(nq)(Array.fill(K)(Double.NegativeInfinity))
-      val ids = Array.fill(nq)(new Array[Long](K))
+      val scores = Array.fill(nq)(Array.fill(depth)(Double.NegativeInfinity))
+      val ids = Array.fill(nq)(new Array[Long](depth))
       val sizes = new Array[Int](nq)
       val wmin = Array.fill(nq)(Double.NegativeInfinity) // min retained score once full
       it.foreach { case (cId, cv) =>
@@ -265,25 +269,25 @@ object Similarity {
               val score = BigDecimal(raw)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
               val ss = scores(qi); val is = ids(qi)
-              if (sizes(qi) < K) {
+              if (sizes(qi) < depth) {
                 ss(sizes(qi)) = score; is(sizes(qi)) = cId; sizes(qi) += 1
-                if (sizes(qi) == K) {
+                if (sizes(qi) == depth) {
                   var m = ss(0); var j = 1
-                  while (j < K) { if (ss(j) < m) m = ss(j); j += 1 }
+                  while (j < depth) { if (ss(j) < m) m = ss(j); j += 1 }
                   wmin(qi) = m
                 }
               } else {
                 // replace the worst (lowest score, ties to HIGHEST id —
                 // the mirror of keep-best (score DESC, id ASC))
                 var w = 0; var j = 1
-                while (j < K) {
+                while (j < depth) {
                   if (ss(j) < ss(w) || (ss(j) == ss(w) && is(j) > is(w))) w = j
                   j += 1
                 }
                 if (score > ss(w) || (score == ss(w) && cId < is(w))) {
                   ss(w) = score; is(w) = cId
                   var m = ss(0); j = 1
-                  while (j < K) { if (ss(j) < m) m = ss(j); j += 1 }
+                  while (j < depth) { if (ss(j) < m) m = ss(j); j += 1 }
                   wmin(qi) = m
                 }
               }
@@ -296,7 +300,7 @@ object Similarity {
         (0 until sizes(qi)).iterator.map(j => (qs(qi)._1, ids(qi)(j), scores(qi)(j)))
       }
     }.toDF("q_id", "c_id", "cosine")
-    topK(s, scored, K)
+    topK(s, scored, depth)
   }
 
   /** The pure-expression e01 (broadcast join + codegen'd cosine over the
@@ -335,12 +339,56 @@ object Similarity {
     * [[graft.functions.GreedyMmr]] expression per query row — no
     * iteration shuffles, no window over the scored relation. */
   def e12MmrRerank(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.GreedyMmr
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    mmrTail(s, e, bruteTopK(s, d, MmrPool))
+  }
+
+  /** e13: MMR over the e05 ANN pool — e12's rerank at its 100 TB shape.
+    * e12's brute pool is queries × corpus exact cosine behind e01's
+    * driver-collect cap: past [[MaxBruteQueries]] the plan REFUSES
+    * rather than runs. Here the pool is the IVF×PQ ladder instead —
+    * probe [[Probe]] cells, ADC-scan only their compressed
+    * reconstructions, exact re-rank the calibrated shortlist, keep the
+    * top [[MmrPool]] — so pool cost scales like e05's per-query work
+    * (probe/cells of a compressed scan), and everything downstream is
+    * the SAME bounded MMR tail as e12 (one GreedyMmr expression per
+    * query, 30²/2 pairwise sims). Both halves stay deterministic, so
+    * the key is hash-gated end-to-end: oracle = e05's CTE chain at pool
+    * depth feeding e12's unrolled selection ladder. e12 remains the
+    * exact sibling (pool recall vs brute is corpus-dependent; measured
+    * by MmrRecallProbeMain, recorded in BENCH.md). */
+  def e13MmrAnn(s: SparkSession, d: String,
+                shortlist: Int = PqShortlist): DataFrame =
+    mmrTail(s,
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      e13MmrAnnPool(s, d, shortlist))
+
+  /** e13's pool half — the e05 IVF×PQ ladder at [[MmrPool]] depth
+    * (exposed for MmrSpec and the MmrRecallProbeMain overlap probe). */
+  def e13MmrAnnPool(s: SparkSession, d: String,
+                    shortlist: Int = PqShortlist): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = corpusCentroids(s, d)
+    e05FromIndex(s, e, centroids,
+      e05IndexFrom(s, e, centroids, corpusCodebooks(s, d)),
+      shortlist, depth = MmrPool)
+  }
+
+  /** The pool-bounded greedy-MMR tail shared by e12 (brute pool) and e13
+    * (ANN pool): `ranked` is any (q_id, c_id, cosine[6dp], …) frame of at
+    * most [[MmrPool]] candidates per query. Relevance lifts injectively
+    * to integer micros, pairwise sims are one bounded equi-self-join,
+    * and the greedy chain runs in ONE [[graft.functions.GreedyMmr]]
+    * expression per query row. The pool is lineage-CUT once for its two
+    * consumers (the pairwise join and the candidate lists) so the
+    * upstream pool pipeline — brute scan or the full IVF×PQ ladder —
+    * never re-runs. */
+  private def mmrTail(s: SparkSession, e: DataFrame,
+                      ranked: DataFrame): DataFrame = {
+    import graft.functions.GreedyMmr
     val pool = graft.Checkpoints.cut(
-      bruteTopK(s, d, MmrPool)
-        .select(col("q_id"), col("c_id"),
-          round(col("cosine") * 1e6, 0).cast("long").as("relm")))
+      ranked.select(col("q_id"), col("c_id"),
+        round(col("cosine") * 1e6, 0).cast("long").as("relm")))
     val pv = graft.Checkpoints.cut(
       pool.join(e.toDF("c_id", "v"), "c_id")
         .select(col("q_id"), col("c_id"), col("v")))
@@ -751,7 +799,8 @@ object Similarity {
     * [[PqShortlist]]-deep shortlist touches real vectors. */
   def e05FromIndex(s: SparkSession, e: DataFrame, centroids: DataFrame,
                    index: DataFrame,
-                   shortlist: Int = PqShortlist): DataFrame = {
+                   shortlist: Int = PqShortlist,
+                   depth: Int = K): DataFrame = {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val probed = probedCells(s, q, centroids)
@@ -764,7 +813,8 @@ object Similarity {
       .select(col("q_id"), col("t.id").as("c_id"))
     // Exact re-rank touches only shortlist vectors, as in e04.
     topK(s, short.join(e.toDF("c_id", "cv"), "c_id").join(broadcast(q), "q_id")
-      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")))
+      .select(col("q_id"), col("c_id"), rounded(s, col("qv"), col("cv")).as("cosine")),
+      depth)
   }
 
   /** e07: SEMANTIC CLUSTER STATS — the corpus-map half of cluster-based

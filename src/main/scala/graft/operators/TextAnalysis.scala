@@ -922,8 +922,16 @@ object TextAnalysis {
     val planted = array(BpBlocklist.map(lit): _*)
     // Render: one struct per line — text (token slice + plants), token
     // count. Plant arithmetic matches the oracle literal-for-literal.
+    // Descending-sequence guard (Text.shingles' hazard): sequence(0,-1)
+    // yields [0,-1] — two bogus lines — for an empty token array, where
+    // the oracle's range(0,0) is empty. The gate corpus never hits it
+    // (split() yields at least [""], n >= 1), but this is a public spec
+    // entry over arbitrary (doc_id, text) frames.
+    val lineIdx = when(col("n") >= 1L,
+      sequence(lit(0L), expr("(n + len - 1) DIV len - 1")))
+      .otherwise(array().cast("array<bigint>"))
     val lines = transform(
-      sequence(lit(0L), expr("(n + len - 1) DIV len - 1")),
+      lineIdx,
       i => {
         val pol = pmod(col("doc_id") + i, lit(BpPolicyMod.toLong)) === 0L
         val term = pmod(col("doc_id") + i, lit(BpTermMod.toLong)) =!= 0L

@@ -16,6 +16,17 @@ class BoilerplateFilterSpec extends SparkSpecBase {
 
   private def toks(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
 
+  test("null text renders zero lines, not a bogus descending pair") {
+    // The spec entry is public over arbitrary frames: a null text gives
+    // a null token array (n = null), where an unguarded
+    // sequence(0, -1) would render [0,-1] — two phantom lines.
+    val r = run(3L -> null.asInstanceOf[String])(3L)
+    assert(r.getAs[Long]("n_lines") == 0L)
+    assert(r.getAs[Long]("n_kept") == 0L)
+    assert(!r.getAs[Boolean]("keep"))
+    assert(r.getAs[String]("cleaned_text") == "")
+  }
+
   test("doc 0 (len 4): policy line counted once, tails short, no keeps") {
     // i=0: (0+0)%7=0 policy (and %3=0 unterminated — precedence: policy);
     // i=1,2: terminated but 4 tokens < 5 → short; i=3: %3=0 unterminated.

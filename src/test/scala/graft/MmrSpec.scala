@@ -49,6 +49,26 @@ class MmrSpec extends SparkSpecBase {
     assert(ex.getMessage != null)
   }
 
+  test("e13 gated key: picks ⊂ the ANN pool, first pick = pool rank-1") {
+    import org.apache.spark.sql.functions.col
+    val e13 = Queries.production("e13_mmr_ann")(spark, sf001).collect()
+    // The pool e13 reranks: e05's ladder at MmrPool depth (same plan).
+    val ranked = Similarity.e13MmrAnnPool(spark, sf001).collect()
+    val pool = ranked.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val top1 = ranked.filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id")).toMap
+    assert(e13.nonEmpty)
+    for (r <- e13) {
+      val q = r.getAs[Long]("q_id")
+      assert(pool((q, r.getAs[Long]("c_id"))))
+      if (r.getAs[Long]("rnk") == 1L) {
+        assert(r.getAs[Long]("c_id") == top1(q))
+        assert(r.getAs[Long]("mmr_micros") == r.getAs[Long]("rel_micros"))
+      }
+    }
+  }
+
   test("gated key: first pick is the relevance argmax, picks ⊂ pool") {
     val e12 = Queries.production("e12_mmr_rerank")(spark, sf001).collect()
     val e01 = Queries.production("e01_knn_brute")(spark, sf001)

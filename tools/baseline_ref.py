@@ -393,6 +393,79 @@ def main(sf):
             "q_id", "c_id", "rel_micros", "mmr_micros", "rnk"])
     maybe("e12_mmr_rerank", e12)
 
+    def e13():
+        # MMR over the IVF×PQ ANN pool — e12's rerank at its scaled pool:
+        # coarse k-means cells (e07's trainer) + per-subspace PQ recon
+        # (e04's), probe top-3 cells, ADC only inside them, exact re-rank
+        # at the engine's shared depth rule max(30, n/20), pool = top-30,
+        # then the same greedy MMR loop as e12
+        e = pd.read_parquet(P("embeddings"))
+        V = np.stack(e.embedding.to_numpy()).astype(np.float64)
+        ids = e.vec_id.to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+
+        def cosm(A, B):
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            return An @ Bn.T
+        hv = np.array([int(hashlib.md5(f"23:{i}".encode()).hexdigest()[:15], 16) % 1000
+                       for i in ids])
+        train_mask = hv < 250
+        # coarse quantizer (16 cells, 2 Lloyd rounds on the sample)
+        C = V[ids < 16].copy()
+        T = V[train_mask]
+        for _ in range(2):
+            a = cosm(T, C).argmax(1)
+            C = np.stack([np.floor(T[a == c] * 1e6).sum(axis=0)
+                          / (np.sum(a == c) * 1e6) if (a == c).any() else C[c]
+                          for c in range(len(C))])
+        cells = cosm(V, C).argmax(1)
+        # per-subspace PQ reconstruction
+        M, SD, KC, ITERS = 4, 16, 16, 2
+        recon = np.empty_like(V)
+        for m in range(M):
+            S = V[:, m*SD:(m+1)*SD]
+            cent = S[ids < KC].copy()
+            Tm = S[train_mask]
+            for _ in range(ITERS):
+                a = cosm(Tm, cent).argmax(1)
+                cent = np.stack([Tm[a == c].mean(0) if (a == c).any() else cent[c]
+                                 for c in range(len(cent))])
+            recon[:, m*SD:(m+1)*SD] = cent[cosm(S, cent).argmax(1)]
+        qmask = ids % 100 == 0
+        Q = V[qmask]; qids = ids[qmask]
+        depth = max(30, len(ids) // 20)
+        probes = np.argsort(-cosm(Q, C), axis=1)[:, :3]
+        rows = []
+        for qi in range(len(qids)):
+            cand = np.where(np.isin(cells, probes[qi]) & (ids != qids[qi]))[0]
+            adc = cosm(Q[qi:qi+1], recon[cand])[0]
+            if len(cand) > depth:
+                cand = cand[np.argpartition(-adc, depth)[:depth]]
+            cos6 = np.round(cosm(Q[qi:qi+1], V[cand])[0], 6)
+            order = cand[np.lexsort((ids[cand], -cos6))[:30]]
+            cos6 = np.round(cosm(Q[qi:qi+1], V[order])[0], 6)
+            rel = np.round(cos6 * 1e6).astype(np.int64)
+            pids = ids[order]
+            PV, pn = V[order], norms[order]
+            S2 = np.round(np.round((PV @ PV.T) / np.outer(pn, pn), 6)
+                          * 1e6).astype(np.int64)
+            taken, rem = [], list(range(len(order)))
+            for step in range(min(10, len(order))):
+                best, bs = None, None
+                for c in rem:
+                    score = rel[c] if not taken else \
+                        rel[c] - max(S2[c][t] for t in taken)
+                    if best is None or score > bs or \
+                       (score == bs and pids[c] < pids[best]):
+                        best, bs = c, score
+                taken.append(best); rem.remove(best)
+                rows.append((int(qids[qi]), int(pids[best]), int(rel[best]),
+                             int(bs), len(taken)))
+        return pd.DataFrame(rows, columns=[
+            "q_id", "c_id", "rel_micros", "mmr_micros", "rnk"])
+    maybe("e13_mmr_ann", e13)
+
     def e04():
         # product-quantization ANN, numpy/BLAS form: per-subspace
         # 16-centroid spherical k-means (2 Lloyd rounds on the same 25%
@@ -877,6 +950,114 @@ def main(sf):
         np.argsort(-np.round(sims, 6), axis=1)[:, :11]
     maybe("e08_filtered_ann", e08)
 
+    def m07():
+        # perceptual near-dup, single-node form: synthesize each doc's
+        # grayscale PNG (zlib, real CRCs), decode it back (zlib +
+        # unfilter), aHash over the 8x8 integer block grid, 4x16-bit
+        # band buckets, pairs at hamming <= 3 — the same byte-real
+        # encode/decode work the Spark plan distributes
+        import zlib, struct
+        d = pd.read_parquet(P("documents"), columns=["doc_id"])
+        h60 = lambda seed, s: int(
+            hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+        def pixels(doc):
+            b = doc - 1 if doc > 0 and (doc % 17 == 0 or doc % 31 == 0) else doc
+            edited = doc > 0 and doc % 17 != 0 and doc % 31 == 0
+            w, h = 8 + b % 9, 8 + (b * 7) % 9
+            px = []
+            for y in range(h):
+                r = h60(47, f"{b}:{y}")
+                row = [(r >> (8 * (x % 7))) & 255 for x in range(w)]
+                if edited:
+                    row = [min(p + 3, 255) for p in row]
+                px.append(row)
+            return w, h, px
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data +
+                    struct.pack(">I", zlib.crc32(typ + data)))
+
+        def encode(doc):
+            w, h, px = pixels(doc)
+            ft = 1 if doc > 0 and doc % 17 == 0 else 0
+            raw = bytearray()
+            prev = [0] * w
+            for y in range(h):
+                raw.append(ft)
+                cur = px[y]
+                for x in range(w):
+                    pred = (cur[x - 1] if x > 0 else 0) if ft == 1 else 0
+                    raw.append((cur[x] - pred) & 0xff)
+                prev = cur
+            ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+                    chunk(b"tEXt", f"m07 doc {doc}".encode()) +
+                    chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+        def decode(b):
+            assert b[:8] == b"\x89PNG\r\n\x1a\n"
+            i, w, h, idat = 8, 0, 0, b""
+            while i + 12 <= len(b):
+                ln = struct.unpack(">I", b[i:i+4])[0]
+                typ = b[i+4:i+8]
+                assert zlib.crc32(b[i+4:i+8+ln]) == struct.unpack(
+                    ">I", b[i+8+ln:i+12+ln])[0]
+                if typ == b"IHDR":
+                    w, h = struct.unpack(">II", b[i+8:i+16])
+                elif typ == b"IDAT":
+                    idat += b[i+8:i+8+ln]
+                i += 12 + ln
+            raw = zlib.decompress(idat)
+            px = [[0] * w for _ in range(h)]
+            for y in range(h):
+                ft = raw[y * (w + 1)]
+                for x in range(w):
+                    f = raw[y * (w + 1) + 1 + x]
+                    a = px[y][x-1] if x > 0 else 0
+                    up = px[y-1][x] if y > 0 else 0
+                    c = px[y-1][x-1] if x > 0 and y > 0 else 0
+                    if ft == 0: pred = 0
+                    elif ft == 1: pred = a
+                    elif ft == 2: pred = up
+                    elif ft == 3: pred = (a + up) // 2
+                    else:
+                        p = a + up - c
+                        pa, pb, pc = abs(p-a), abs(p-up), abs(p-c)
+                        pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                    px[y][x] = (f + pred) & 0xff
+            return w, h, px
+
+        def ahash(w, h, px):
+            bs = [0]*64; nb = [0]*64; total = 0
+            for y in range(h):
+                for x in range(w):
+                    bi = (y*8//h)*8 + x*8//w
+                    bs[bi] += px[y][x]; nb[bi] += 1; total += px[y][x]
+            n = w * h
+            v = sum(1 << i for i in range(64) if bs[i]*n > total*nb[i])
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        fps = {}
+        for doc in d.doc_id.astype("int64"):
+            fps[int(doc)] = ahash(*decode(encode(int(doc))))
+        buckets = {}
+        for doc, fp in fps.items():
+            for band in range(4):
+                buckets.setdefault((band, (fp >> (16*band)) & 0xffff),
+                                   []).append(doc)
+        rows = set()
+        for ids in buckets.values():
+            ids.sort()
+            for i in range(len(ids)):
+                for j in range(i+1, len(ids)):
+                    a, b = ids[i], ids[j]
+                    hd = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+                    if hd <= 3:
+                        rows.add((a, b, hd))
+        return pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "hamming"])
+    maybe("m07_perceptual_dedup", m07)
+
     def t09():
         # HTML extraction: build the page per row, strip with the same
         # regex/replace rules (per-row Python re, the pandas idiom)
@@ -1034,6 +1215,37 @@ def main(sf):
         pd.DataFrame(rows, columns=["doc_id", "n_grams", "n_bloom_hits",
                                     "flagged"])
     maybe("d14_bloom_decontaminate", d14)
+
+    def d15():
+        # link-graph domain centrality, single-node form: same integer
+        # PageRank recurrence (contribution (r*w)//wsum, update
+        # 150000 + 85*S//100, 8 iterations) over the same md5 edge
+        # grammar, in numpy index arithmetic
+        d = pd.read_parquet(P("documents"), columns=["doc_id"])
+        ids = d.doc_id.to_numpy().astype(np.int64)
+        ndom = max(16, len(ids) // 50)
+        src = ids % ndom
+        h60 = lambda s: int(hashlib.md5(f"53:{s}".encode()).hexdigest()[:15], 16)
+        hs = np.array([[h60(f"{i}:{j}") for j in (0, 1)] for i in ids],
+                      dtype=np.uint64)
+        dst = np.where(hs % 10 == 0, 0, (hs // 10) % np.uint64(ndom)).astype(np.int64)
+        esrc = np.repeat(src, 2)
+        edst = dst.reshape(-1)
+        # (src, dst) -> weight
+        key = esrc * ndom + edst
+        uk, w = np.unique(key, return_counts=True)
+        es, ed = uk // ndom, uk % ndom
+        wsum = np.bincount(es, weights=w, minlength=ndom).astype(np.int64)
+        r = np.full(ndom, 1000000, dtype=np.int64)
+        for _ in range(8):
+            contrib = (r[es] * w.astype(np.int64)) // wsum[es]
+            s = np.bincount(ed, weights=contrib, minlength=ndom).astype(np.int64)
+            r = 150000 + (85 * s) // 100
+        ndocs = np.bincount(src, minlength=ndom).astype(np.int64)
+        return pd.DataFrame({"dom": np.arange(ndom, dtype=np.int64),
+                             "n_docs": ndocs, "w_out": wsum,
+                             "rank_micros": r})
+    maybe("d15_domain_rank", d15)
 
     def x11():
         # per-source exact discrete quantiles of token counts: sort per
