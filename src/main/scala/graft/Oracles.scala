@@ -837,6 +837,56 @@ object Oracles {
        |$rounds""".stripMargin
   }
 
+  /** x17's BATCHED training chain: same v0 vocabulary and per-round
+    * pair-count CTEs as [[bpeTrainCtes]], but each round unrolls
+    * [[graft.operators.Sampling.BpeBatch]] conflict-ladder steps
+    * (e12's selection-ladder pattern): step k takes the (cnt DESC,
+    * lhs, rhs) argmax over pairs sharing NO symbol with an earlier
+    * step's acceptance; the round's vocabulary update applies the
+    * accepted replaces in pick order (disjoint, so order is
+    * immaterial — kept for byte-parity with the Spark fold). Absent
+    * picks coalesce to a CHR(1) sentinel that can never match a
+    * framed symbol, so a thin fixture degrades to a no-op replace
+    * instead of a NULL-poisoned vocabulary. */
+  private def bpeBatchTrainCtes: String = {
+    val R = graft.operators.Sampling.BpeBatchRounds
+    val B = graft.operators.Sampling.BpeBatch
+    def sel(r: Int, k: Int, fld: String): String =
+      s"COALESCE((SELECT $fld FROM g${r}_$k), chr(1))"
+    val rounds = (1 to R).map { r =>
+      val steps = (1 to B).map { k =>
+        val conflicts =
+          if (k == 1) ""
+          else "WHERE " + (1 until k).map(j =>
+            s"NOT EXISTS (SELECT 1 FROM g${r}_$j q " +
+              s"WHERE c.lhs IN (q.lhs, q.rhs) OR c.rhs IN (q.lhs, q.rhs))")
+            .mkString(" AND ")
+        s"""g${r}_$k AS MATERIALIZED (
+           |  SELECT $r AS rnd, $k AS pick, lhs, rhs, lhs||rhs AS merged, cnt
+           |  FROM c$r c $conflicts
+           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val applied = (1 to B).foldLeft("w") { (acc, k) =>
+        s"replace($acc, '('||${sel(r, k, "lhs")}||')('||${sel(r, k, "rhs")}||')'," +
+          s" '('||${sel(r, k, "merged")}||')')"
+      }
+      s"""p$r AS (SELECT freq, ss, unnest(range(1, len(ss))) AS i FROM
+         |  (SELECT string_split(w[2:-2], ')(') AS ss, freq FROM v${r - 1})),
+         |c$r AS (SELECT ss[i] AS lhs, ss[i+1] AS rhs,
+         |          CAST(SUM(freq) AS BIGINT) AS cnt
+         |        FROM p$r GROUP BY 1, 2),
+         |$steps,
+         |v$r AS MATERIALIZED (SELECT $applied AS w, freq FROM v${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS MATERIALIZED (
+       |  SELECT regexp_replace(tok, '(.)', '(\\1)', 'g') AS w,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
+       |  WHERE regexp_matches(tok, '^[a-z0-9]+$$')
+       |  GROUP BY tok),
+       |$rounds""".stripMargin
+  }
+
   /** x10's chunking CTE chain (tokenize → chunk-index explode → md5 of
     * the token slice), generated once from the shared geometry
     * constants and reused by every chunk-consuming oracle (x10, x12) so
@@ -2246,6 +2296,20 @@ object Oracles {
          |SELECT CAST(rnd AS BIGINT) AS rnd, lhs, rhs, merged, cnt AS freq
          |FROM (${(1 to R).map(r => s"SELECT * FROM g$r").mkString(" UNION ALL ")})
          |ORDER BY rnd""".stripMargin
+    },
+
+    // x17: BATCHED BPE training — per round, BpeBatch unrolled
+    // conflict-ladder steps (argmax over pairs sharing no symbol with
+    // an earlier acceptance) and one replace-chain vocabulary update.
+    "x17_bpe_merges_batched" -> {
+      import graft.operators.Sampling.{BpeBatch, BpeBatchRounds}
+      val all = (for (r <- 1 to BpeBatchRounds; k <- 1 to BpeBatch)
+        yield s"SELECT * FROM g${r}_$k").mkString(" UNION ALL ")
+      s"""WITH $bpeBatchTrainCtes
+         |SELECT CAST(rnd AS BIGINT) AS rnd, CAST(pick AS BIGINT) AS pick,
+         |  lhs, rhs, merged, cnt AS freq
+         |FROM ($all)
+         |ORDER BY rnd, pick""".stripMargin
     },
 
     // x16: BPE encode with the TRAINED merges — x13's training chain

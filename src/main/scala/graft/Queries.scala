@@ -206,6 +206,10 @@ object Queries {
     // x13: BPE merge-table training on the (token, freq) vocabulary —
     // per-round argmax driver-folded, merges as literal replaces.
     "x13_bpe_merges"       -> (Sampling.x13BpeMerges _),
+    // x17: x13's trainer at vocabulary-scale shape — top-B
+    // non-conflicting merges per pair-count pass (1 driver job per B
+    // merges instead of per merge); unrolled conflict-ladder oracle.
+    "x17_bpe_merges_batched" -> (Sampling.x17BpeMergesBatched _),
     // x14: deterministic KMV-sample quantile sketch for continuous
     // columns (x11's sibling where distinct values ≈ corpus rows).
     "x14_quantile_sketch"  -> (Sampling.x14QuantileSketch _),
@@ -321,6 +325,7 @@ object Queries {
     "x11_quantile_profile" -> Seq("source"),
     "x12_chunk_dedup"      -> Seq("chunk_md5"),
     "x13_bpe_merges"       -> Seq("rnd"),
+    "x17_bpe_merges_batched" -> Seq("rnd", "pick"),
     "x14_quantile_sketch"  -> Seq("source"),
     "x15_temperature_mix"  -> Seq("doc_id", "epoch"),
     "x16_bpe_encode"       -> Seq("doc_id")

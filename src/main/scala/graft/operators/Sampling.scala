@@ -613,32 +613,38 @@ object Sampling {
     bpeMergeList(s, docs, rounds).toDF("rnd", "lhs", "rhs", "merged", "freq")
   }
 
-  /** The trained merge table as a driver-side list (plan-time literals
-    * for the consumers that APPLY the vocabulary — x16). Same
-    * per-round collect discipline as the Lloyd centroids. */
-  def bpeMergeList(s: SparkSession, docs: DataFrame,
-                   rounds: Int): Seq[(Long, String, String, String, Long)] = {
-    val vocab0 = docs
+  /** The lineage-cut framed (w, freq) vocabulary frame both trainers
+    * start from — ONE corpus pass, shared by x13/x16/x17. */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    graft.Checkpoints.cut(docs
       .select(explode(Text.tokens(col("text"))).as("tok"))
       .filter(col("tok").rlike("^[a-z0-9]+$"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       // (c) -> (c)(h)(a)(r) framing: injective over the alphanumeric
       // pre-tokenized forms, and a merged pair is ONE literal replace.
-      .select(regexp_replace(col("tok"), "(.)", "($1)").as("w"), col("freq"))
-    val vocab = graft.Checkpoints.cut(vocab0)
-    var w = vocab
+      .select(regexp_replace(col("tok"), "(.)", "($1)").as("w"), col("freq")))
+
+  /** Adjacent-pair corpus frequencies of a framed vocabulary frame —
+    * the per-round aggregate both trainers share. */
+  private def bpePairCounts(w: DataFrame): DataFrame = w
+    .select(col("freq"),
+      split(expr("substring(w, 2, length(w) - 2)"), "\\)\\(").as("ss"))
+    .select(col("freq"),
+      expr("slice(ss, 1, size(ss) - 1)").as("la"),
+      expr("slice(ss, 2, size(ss) - 1)").as("ra"))
+    .select(col("freq"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+    .groupBy(col("p.la").as("lhs"), col("p.ra").as("rhs"))
+    .agg(sum("freq").as("cnt"))
+
+  /** The trained merge table as a driver-side list (plan-time literals
+    * for the consumers that APPLY the vocabulary — x16). Same
+    * per-round collect discipline as the Lloyd centroids. */
+  def bpeMergeList(s: SparkSession, docs: DataFrame,
+                   rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    var w = bpeVocab(docs)
     val picks = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     for (r <- 1 to rounds) {
-      val pairs = w
-        .select(col("freq"),
-          split(expr("substring(w, 2, length(w) - 2)"), "\\)\\(").as("ss"))
-        .select(col("freq"),
-          expr("slice(ss, 1, size(ss) - 1)").as("la"),
-          expr("slice(ss, 2, size(ss) - 1)").as("ra"))
-        .select(col("freq"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
-        .groupBy(col("p.la").as("lhs"), col("p.ra").as("rhs"))
-        .agg(sum("freq").as("cnt"))
-      val top = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      val top = bpePairCounts(w).orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
       require(top.nonEmpty, s"x13: no adjacent pairs left at merge round $r")
       val l = top.head.getAs[String]("lhs")
@@ -646,6 +652,83 @@ object Sampling {
       picks += ((r.toLong, l, rr, l + rr, top.head.getAs[Long]("cnt")))
       w = w.select(expr(s"replace(w, '($l)($rr)', '(${l + rr})')").as("w"),
         col("freq"))
+    }
+    picks.toSeq
+  }
+
+  /** x17 batch geometry: [[BpeBatch]] merges per pair-count pass over
+    * [[BpeBatchRounds]] rounds — 16 merges for x13's-8 worth of driver
+    * round-trips halved per merge (1 job per [[BpeBatch]] merges
+    * instead of 1 per merge). At a real 32k-merge vocabulary the batch
+    * factor IS the feasibility knob: x13's one-pick-per-pass form pays
+    * ~2 Spark jobs per merge (~64k sequential jobs); B=256 cuts that
+    * 256×. */
+  val BpeBatch = 4
+  val BpeBatchRounds = 4
+
+  /** x17: BATCHED BPE vocabulary construction — x13's trainer at the
+    * shape a vocabulary-scale (32k-merge) run needs: each pair-count
+    * pass accepts the top-[[BpeBatch]] NON-CONFLICTING pairs (repeated
+    * argmax over pairs sharing NO symbol with an earlier acceptance —
+    * disjointness makes the batch's merges commute and none can create
+    * or destroy occurrences of another, so applying them together
+    * equals applying them in pick order). Within a batch the counts
+    * are the PASS's counts — batched == one-at-a-time sequential
+    * exactly when no merge's newly-created pairs would have outranked
+    * a later pick (BpeBatchSpec pins both the equal case and the
+    * engineered divergence); that approximation is the standard
+    * deliberate trade of batched BPE trainers. Deterministic
+    * end-to-end (fully tie-broken argmax ladder, driver-folded picks
+    * re-entering as literals), so the key is hash-gated via an
+    * unrolled conflict-ladder oracle (e12's selection-ladder pattern
+    * per round). */
+  def x17BpeMergesBatched(s: SparkSession, d: String): DataFrame =
+    bpeMergesBatched(s, Tables.documents(s, d).select(col("text")),
+      BpeBatchRounds, BpeBatch)
+
+  /** [[x17BpeMergesBatched]] over any (text) frame (spec entry). */
+  def bpeMergesBatched(s: SparkSession, docs: DataFrame, rounds: Int,
+                       batch: Int): DataFrame = {
+    import s.implicits._
+    bpeMergeListBatched(s, docs, rounds, batch)
+      .toDF("rnd", "pick", "lhs", "rhs", "merged", "freq")
+  }
+
+  /** The batched merge table as a driver list: per round ONE collect of
+    * the top pair slice (conflict headroom ×16), then the repeated
+    * non-conflicting argmax runs driver-side over that slice — the
+    * greedy scan in (cnt DESC, lhs, rhs) order IS iterated argmax, so
+    * it matches the oracle's unrolled ladder pick for pick. Fails
+    * loudly if the slice exhausts before the batch fills while more
+    * pairs exist beyond it (a pick would then be unproven). */
+  def bpeMergeListBatched(s: SparkSession, docs: DataFrame, rounds: Int,
+                          batch: Int): Seq[(Long, Long, String, String, String, Long)] = {
+    var w = bpeVocab(docs)
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val slice = batch * 16
+      val top = bpePairCounts(w)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(slice).collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      val it = top.iterator
+      while (accepted.size < batch && it.hasNext) {
+        val row = it.next()
+        val l = row.getAs[String]("lhs"); val rr = row.getAs[String]("rhs")
+        if (!used(l) && !used(rr)) {
+          accepted += ((l, rr, row.getAs[Long]("cnt")))
+          used += l; used += rr
+        }
+      }
+      require(accepted.size == batch || top.length < slice,
+        s"x17: conflict headroom exhausted at round $r — " +
+          s"${accepted.size} of $batch accepts in the top-$slice slice")
+      for (((l, rr, cnt), k) <- accepted.zipWithIndex) {
+        picks += ((r.toLong, (k + 1).toLong, l, rr, l + rr, cnt))
+        w = w.select(expr(s"replace(w, '($l)($rr)', '(${l + rr})')").as("w"),
+          col("freq"))
+      }
     }
     picks.toSeq
   }

@@ -1645,6 +1645,47 @@ def main(sf):
         return pd.DataFrame(out, columns=["rnd", "lhs", "rhs", "merged", "freq"])
     maybe("x13_bpe_merges", x13)
 
+    def x17():
+        # batched BPE: one pair-count pass accepts the top-4
+        # non-conflicting (symbol-disjoint) pairs, 4 rounds
+        from collections import Counter
+        d = pd.read_parquet(P("documents"), columns=["text"])
+        vocab = Counter()
+        word = re.compile(r"^[a-z0-9]+$")
+        for text in d.text:
+            vocab.update(t for t in re.split(r"\s+", text) if word.match(t))
+        sym = {t: tuple(t) for t in vocab}
+        out = []
+        for r in range(1, 5):
+            pairs = Counter()
+            for t, ss in sym.items():
+                f = vocab[t]
+                for i in range(len(ss) - 1):
+                    pairs[(ss[i], ss[i + 1])] += f
+            used, accepted = set(), []
+            for (l, rr), cnt in sorted(pairs.items(),
+                                       key=lambda kv: (-kv[1], kv[0])):
+                if len(accepted) == 4:
+                    break
+                if l not in used and rr not in used:
+                    accepted.append((l, rr, cnt))
+                    used.add(l); used.add(rr)
+            for k, (l, rr, cnt) in enumerate(accepted, 1):
+                out.append((r, k, l, rr, l + rr, cnt))
+                for t, ss in sym.items():
+                    if len(ss) < 2:
+                        continue
+                    ns, i = [], 0
+                    while i < len(ss):
+                        if i + 1 < len(ss) and ss[i] == l and ss[i + 1] == rr:
+                            ns.append(l + rr); i += 2
+                        else:
+                            ns.append(ss[i]); i += 1
+                    sym[t] = tuple(ns)
+        return pd.DataFrame(out, columns=["rnd", "pick", "lhs", "rhs",
+                                          "merged", "freq"])
+    maybe("x17_bpe_merges_batched", x17)
+
     def x16():
         from collections import Counter
         d = pd.read_parquet(P("documents"), columns=["doc_id", "text"])
