@@ -374,6 +374,13 @@ object Similarity {
       shortlist, depth = MmrPool)
   }
 
+  /** The MMR tail over an externally-supplied ranked pool — the
+    * deployment entry for reranking a PERSISTED index's results
+    * (IndexPersistSpec pins frame-equality with the cataloged
+    * in-query e13). */
+  def mmrOverPool(s: SparkSession, e: DataFrame, pool: DataFrame): DataFrame =
+    mmrTail(s, e, pool)
+
   /** The pool-bounded greedy-MMR tail shared by e12 (brute pool) and e13
     * (ANN pool): `ranked` is any (q_id, c_id, cosine[6dp], …) frame of at
     * most [[MmrPool]] candidates per query. Relevance lifts injectively

@@ -42,4 +42,28 @@ class IndexPersistSpec extends SparkSpecBase {
     assert(scan.metadata("PartitionFilters").contains("cell"),
       s"cell filter not pushed to partitions: ${scan.metadata("PartitionFilters")}")
   }
+
+  test("e13's production posture: MMR over a PERSISTED index equals the " +
+    "cataloged in-query plan") {
+    // The cataloged e13 rebuilds the e05 index in-query (gated-rebuild
+    // convention); a deployment persists the index once and pays only
+    // probe + ADC + the MMR tail per query batch. Both must agree
+    // row-for-row — the index is deterministic given the quantizers.
+    val dir = java.nio.file.Files.createTempDirectory("graft-e13-index").toString
+    val e = Tables.embeddings(spark, sf001).select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.corpusCentroids(spark, sf001)
+    Similarity.e05IndexFrom(spark, e, centroids,
+        Similarity.corpusCodebooks(spark, sf001))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+      .select(col("cell"), col("c_id"), col("recon"))
+    val pool = Similarity.e05FromIndex(spark, e, centroids, persisted,
+      depth = Similarity.MmrPool)
+    val viaDisk = Similarity.mmrOverPool(spark, e, pool)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val inQuery = Queries.production("e13_mmr_ann")(spark, sf001)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(viaDisk == inQuery)
+    assert(viaDisk.nonEmpty)
+  }
 }
