@@ -887,6 +887,49 @@ object Oracles {
        |$rounds""".stripMargin
   }
 
+  /** m07's pixel-grammar → aHash → band-candidate CTE chain, shared by
+    * m07 (pair emission) and m08 (component resolution over the same
+    * pair graph). Ends at `cand` (id_a, id_b, fa, fb). Bit 63 cannot
+    * be built as 1<<63 (DuckDB refuses the signed overflow) — its
+    * addend is the Long.MinValue literal, the same two's-complement
+    * value Spark's 1L<<63 wraps to; the BIGINT sum runs in HUGEINT
+    * and casts back exactly. */
+  private def m07PairCtes: String = {
+    import graft.operators.Multimodal.{M07Seed, M07Bands}
+    s"""msrc AS (SELECT doc_id,
+       |    CASE WHEN doc_id > 0 AND (doc_id % 17 = 0 OR doc_id % 31 = 0)
+       |         THEN doc_id - 1 ELSE doc_id END AS b,
+       |    (doc_id > 0 AND doc_id % 17 <> 0 AND doc_id % 31 = 0) AS edited
+       |  FROM documents),
+       |dims AS (SELECT doc_id, b, edited,
+       |    8 + (b % 9) AS w, 8 + ((b * 7) % 9) AS h FROM msrc),
+       |rh AS (SELECT doc_id, w, h, edited, y.y AS y,
+       |    ${h60(M07Seed, "b || ':' || y.y")} AS r
+       |  FROM dims, range(0, 16) y(y) WHERE y.y < h),
+       |pix AS MATERIALIZED (SELECT doc_id,
+       |    ((y * 8) // h) * 8 + ((x.x * 8) // w) AS bidx,
+       |    CASE WHEN edited THEN LEAST(((r >> (8 * (x.x % 7))) & 255) + 3, 255)
+       |         ELSE (r >> (8 * (x.x % 7))) & 255 END AS p
+       |  FROM rh, range(0, 16) x(x) WHERE x.x < w),
+       |tot AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) AS total,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM pix GROUP BY 1),
+       |blk AS (SELECT doc_id, bidx, CAST(SUM(p) AS BIGINT) AS bs,
+       |    CAST(COUNT(*) AS BIGINT) AS nb FROM pix GROUP BY 1, 2),
+       |fp AS MATERIALIZED (SELECT t.doc_id,
+       |    CAST(SUM(CASE WHEN bs * n > total * nb THEN
+       |      CASE WHEN bidx = 63 THEN -9223372036854775808
+       |           ELSE (CAST(1 AS BIGINT) << CAST(bidx AS INT)) END
+       |      ELSE 0 END) AS BIGINT) AS fp
+       |  FROM blk b JOIN tot t ON b.doc_id = t.doc_id GROUP BY 1),
+       |bands AS (SELECT doc_id, fp, t.band,
+       |    (fp >> (16 * CAST(band AS INT))) & 65535 AS key
+       |  FROM fp, range(0, $M07Bands) t(band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.fp AS fa, b.fp AS fb
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** x10's chunking CTE chain (tokenize → chunk-index explode → md5 of
     * the token slice), generated once from the shared geometry
     * constants and reused by every chunk-consuming oracle (x10, x12) so
@@ -2019,48 +2062,35 @@ object Oracles {
     // decode → unfilter → aHash round-trips the grammar exactly):
     // per-row md5 pixel stream, exact integer 8×8 block-mean hash
     // (strict cross-multiply, no division), 4×16-bit band buckets,
-    // hamming via bit_count(xor). Bit 63 cannot be built as 1<<63
-    // (DuckDB refuses the signed overflow) — its addend is the
-    // Long.MinValue literal, the same two's-complement value Spark's
-    // 1L<<63 wraps to; the BIGINT sum runs in HUGEINT and casts back
-    // exactly.
+    // hamming via bit_count(xor). The CTE chain lives in
+    // [[m07PairCtes]], shared with m08's component resolution.
     "m07_perceptual_dedup" -> {
-      import graft.operators.Multimodal.{M07Seed, M07MaxHamming, M07Bands}
-      s"""WITH src AS (SELECT doc_id,
-         |    CASE WHEN doc_id > 0 AND (doc_id % 17 = 0 OR doc_id % 31 = 0)
-         |         THEN doc_id - 1 ELSE doc_id END AS b,
-         |    (doc_id > 0 AND doc_id % 17 <> 0 AND doc_id % 31 = 0) AS edited
-         |  FROM documents),
-         |dims AS (SELECT doc_id, b, edited,
-         |    8 + (b % 9) AS w, 8 + ((b * 7) % 9) AS h FROM src),
-         |rh AS (SELECT doc_id, w, h, edited, y.y AS y,
-         |    ${h60(M07Seed, "b || ':' || y.y")} AS r
-         |  FROM dims, range(0, 16) y(y) WHERE y.y < h),
-         |pix AS MATERIALIZED (SELECT doc_id,
-         |    ((y * 8) // h) * 8 + ((x.x * 8) // w) AS bidx,
-         |    CASE WHEN edited THEN LEAST(((r >> (8 * (x.x % 7))) & 255) + 3, 255)
-         |         ELSE (r >> (8 * (x.x % 7))) & 255 END AS p
-         |  FROM rh, range(0, 16) x(x) WHERE x.x < w),
-         |tot AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) AS total,
-         |    CAST(COUNT(*) AS BIGINT) AS n FROM pix GROUP BY 1),
-         |blk AS (SELECT doc_id, bidx, CAST(SUM(p) AS BIGINT) AS bs,
-         |    CAST(COUNT(*) AS BIGINT) AS nb FROM pix GROUP BY 1, 2),
-         |fp AS MATERIALIZED (SELECT t.doc_id,
-         |    CAST(SUM(CASE WHEN bs * n > total * nb THEN
-         |      CASE WHEN bidx = 63 THEN -9223372036854775808
-         |           ELSE (CAST(1 AS BIGINT) << CAST(bidx AS INT)) END
-         |      ELSE 0 END) AS BIGINT) AS fp
-         |  FROM blk b JOIN tot t ON b.doc_id = t.doc_id GROUP BY 1),
-         |bands AS (SELECT doc_id, fp, t.band,
-         |    (fp >> (16 * CAST(band AS INT))) & 65535 AS key
-         |  FROM fp, range(0, $M07Bands) t(band)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    a.fp AS fa, b.fp AS fb
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      import graft.operators.Multimodal.M07MaxHamming
+      s"""WITH $m07PairCtes
          |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(fa, fb)) <= $M07MaxHamming
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // m08: perceptual duplicate GROUPS — d06's recursive-CTE component
+    // fixpoint over m07's pair graph (the shared m07PairCtes), min-id
+    // canonical keeper, group sizes.
+    "m08_media_groups" -> {
+      import graft.operators.Multimodal.M07MaxHamming
+      s"""WITH RECURSIVE $m07PairCtes,
+         |mpairs AS MATERIALIZED (SELECT id_a, id_b FROM cand
+         |  WHERE bit_count(xor(fa, fb)) <= $M07MaxHamming),
+         |edges AS (SELECT id_a AS ea, id_b AS eb FROM mpairs
+         |          UNION ALL SELECT id_b, id_a FROM mpairs),
+         |reach(rid, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON r.rid = e.ea),
+         |lab AS MATERIALIZED (SELECT rid AS doc_id, MIN(lbl) AS canonical_id
+         |  FROM reach GROUP BY rid),
+         |gs AS (SELECT canonical_id AS cid, COUNT(*) AS group_size FROM lab GROUP BY 1)
+         |SELECT doc_id, canonical_id, group_size, doc_id = canonical_id AS is_keeper
+         |FROM lab JOIN gs ON canonical_id = cid ORDER BY doc_id""".stripMargin
     },
 
     "s03_stream_dedup" -> {

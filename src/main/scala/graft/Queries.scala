@@ -166,6 +166,9 @@ object Queries {
     // inflate + unfilter + aHash) — catches re-encoded images m05's
     // digest and m06's metadata index both miss; d04's band machinery.
     "m07_perceptual_dedup" -> (Multimodal.m07PerceptualDedup _),
+    // m08: perceptual duplicate groups — connected components over
+    // m07's pair graph (d06's machinery), min-id keeper, group sizes.
+    "m08_media_groups"     -> (Multimodal.m08MediaGroups _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
@@ -303,6 +306,7 @@ object Queries {
     "m05_media_dedup"      -> Seq("keep_id"),
     "m06_media_neardup"    -> Seq("id_a", "id_b"),
     "m07_perceptual_dedup" -> Seq("id_a", "id_b"),
+    "m08_media_groups"     -> Seq("doc_id"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),

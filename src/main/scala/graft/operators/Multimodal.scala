@@ -1024,6 +1024,30 @@ object Multimodal {
   def m07PerceptualDedup(s: SparkSession, d: String): DataFrame =
     perceptualDedup(s, m07Payloads(s, d))
 
+  /** m08: perceptual duplicate GROUP resolution — the act-on-it half
+    * of m07 (d06's posture for images): connected components over the
+    * perceptual pair graph ([[Dedup.connectedComponents]], the shared
+    * min-label-propagation machinery), min-id canonical keeper, group
+    * size — "which images to keep" where m05 answers it only for
+    * byte-identical copies. A re-encode chain (original → Sub-filter
+    * re-encode → brightness edit) collapses into ONE group even when
+    * no two members share bytes.
+    *
+    * Scale shape inherits its parts': decode is one mapPartitions
+    * pass, only (id, hash) rows shuffle, CC iterates only
+    * edge-incident vertices (plant-bounded here), singletons reattach
+    * with one left join after convergence. */
+  def m08MediaGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = m07PerceptualDedup(s, d).select(col("id_a"), col("id_b"))
+    val verts = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val labels = Dedup.connectedComponents(verts, pairs)
+    val sizes = labels.groupBy(col("lbl").as("cid"))
+      .agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, col("lbl") === col("cid"))
+      .select(col("id").as("doc_id"), col("lbl").as("canonical_id"),
+        col("group_size"), (col("id") === col("lbl")).as("is_keeper"))
+  }
+
   /** [[m07PerceptualDedup]] over any (doc_id, payload) frame of
     * grayscale-8 PNGs (spec entry — fixtures plant hand-encoded
     * images). */

@@ -91,6 +91,28 @@ class PerceptualDedupSpec extends SparkSpecBase {
       assert(isPlant(a) || isPlant(b), s"unplanted pair ($a, $b)")
   }
 
+  test("m08 gated key: plant pairs share a group, keeper is the min id") {
+    val groups = Queries.production("m08_media_groups")(spark, sf001)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("group_size"),
+          r.getAs[Boolean]("is_keeper"))).toMap
+    val pairs = Queries.production("m07_perceptual_dedup")(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs)
+      assert(groups(a)._1 == groups(b)._1, s"pair ($a,$b) split across groups")
+    for ((id, (canon, size, keeper)) <- groups) {
+      assert(canon <= id)
+      assert(keeper == (id == canon))
+      if (pairs.exists(p => p._1 == id || p._2 == id)) assert(size >= 2L)
+    }
+    // Singletons (no perceptual neighbour) are their own keeper.
+    val linked = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    for ((id, (canon, size, _)) <- groups if !linked(id))
+      assert(canon == id && size == 1L)
+  }
+
   test("spec entry: hand-planted near-dup found, distinct image not") {
     val base = gradient(12, 10)
     val near = base.map(p => math.min(p + 3, 255))

@@ -1058,6 +1058,36 @@ def main(sf):
         return pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "hamming"])
     maybe("m07_perceptual_dedup", m07)
 
+    def m08():
+        # perceptual groups: m07's full pipeline + union-find with the
+        # min-id canonical convention
+        pairs_df = m07()
+        d = pd.read_parquet(P("documents"), columns=["doc_id"])
+        parent = {}
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+        for a, b in zip(pairs_df.id_a, pairs_df.id_b):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = []
+        ids = [int(x) for x in d.doc_id]
+        canon = {i: find(i) for i in ids}
+        from collections import Counter
+        sizes = Counter(canon.values())
+        for i in ids:
+            c = canon[i]
+            rows.append((i, c, sizes[c], i == c))
+        return pd.DataFrame(rows, columns=["doc_id", "canonical_id",
+                                           "group_size", "is_keeper"])
+    maybe("m08_media_groups", m08)
+
     def t09():
         # HTML extraction: build the page per row, strip with the same
         # regex/replace rules (per-row Python re, the pandas idiom)
