@@ -881,7 +881,7 @@ object Multimodal {
       val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
         Array[Byte](8, 0, 0, 0, 0) // depth 8, grayscale, std compression
       Sig ++ chunk("IHDR", ihdr) ++
-        chunk("tEXt", meta.getBytes("US-ASCII")) ++
+        chunk("tEXt", ("Comment\u0000" + meta).getBytes("US-ASCII")) ++
         chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty)
     }
 
@@ -907,6 +907,8 @@ object Multimodal {
             w = rd32(b, i + 8).toInt; h = rd32(b, i + 12).toInt
             require(b(i + 16) == 8 && b(i + 17) == 0,
               "decoder handles grayscale-8 only")
+            require(b(i + 18) == 0 && b(i + 19) == 0 && b(i + 20) == 0,
+              "decoder handles non-interlaced std compression/filter only")
           case "IDAT" => idat.write(b, i + 8, len)
           case _ => ()
         }

@@ -707,9 +707,16 @@ object Sampling {
     val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, String, Long)]()
     for (r <- 1 to rounds) {
       val slice = batch * 16
-      val top = bpePairCounts(w)
+      // Collect ONE row past the slice: topAll.length <= slice proves the
+      // scan saw EVERY distinct pair, so accepted < batch is then sound
+      // degradation (corpus ran out of non-conflicting pairs), not an
+      // unproven pick. Only the first `slice` rows feed the scan — the
+      // oracle's unrolled ladder sees exactly that window.
+      val topAll = bpePairCounts(w)
         .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-        .limit(slice).collect()
+        .limit(slice + 1).collect()
+      val sawEverything = topAll.length <= slice
+      val top = topAll.take(slice)
       val used = scala.collection.mutable.Set.empty[String]
       val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
       val it = top.iterator
@@ -721,7 +728,7 @@ object Sampling {
           used += l; used += rr
         }
       }
-      require(accepted.size == batch || top.length < slice,
+      require(accepted.size == batch || sawEverything,
         s"x17: conflict headroom exhausted at round $r — " +
           s"${accepted.size} of $batch accepts in the top-$slice slice")
       for (((l, rr, cnt), k) <- accepted.zipWithIndex) {

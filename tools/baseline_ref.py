@@ -992,7 +992,7 @@ def main(sf):
                 prev = cur
             ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
             return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
-                    chunk(b"tEXt", f"m07 doc {doc}".encode()) +
+                    chunk(b"tEXt", b"Comment\x00" + f"m07 doc {doc}".encode()) +
                     chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
         def decode(b):
@@ -1265,11 +1265,15 @@ def main(sf):
         key = esrc * ndom + edst
         uk, w = np.unique(key, return_counts=True)
         es, ed = uk // ndom, uk % ndom
-        wsum = np.bincount(es, weights=w, minlength=ndom).astype(np.int64)
+        # np.add.at into int64: bincount's float64 weight path is exact
+        # only below 2^53 per domain — a silent precision cliff at scale
+        wsum = np.zeros(ndom, dtype=np.int64)
+        np.add.at(wsum, es, w.astype(np.int64))
         r = np.full(ndom, 1000000, dtype=np.int64)
         for _ in range(8):
             contrib = (r[es] * w.astype(np.int64)) // wsum[es]
-            s = np.bincount(ed, weights=contrib, minlength=ndom).astype(np.int64)
+            s = np.zeros(ndom, dtype=np.int64)
+            np.add.at(s, ed, contrib)
             r = 150000 + (85 * s) // 100
         ndocs = np.bincount(src, minlength=ndom).astype(np.int64)
         return pd.DataFrame({"dom": np.arange(ndom, dtype=np.int64),
