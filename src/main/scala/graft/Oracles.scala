@@ -66,26 +66,41 @@ object Oracles {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
 
     "q07_parse_dollars" ->
-      """WITH built AS (
-        |  SELECT o_orderkey,
+      """WITH built0 AS (
+        |  SELECT o_orderkey, m,
         |    CASE
         |      WHEN o_orderkey % 4 = 0 THEN
         |        '$' || CAST(FLOOR(m/100) AS BIGINT) || '.' || lpad(CAST(m%100 AS VARCHAR), 2, '0') || ' million'
         |      WHEN o_orderkey % 4 = 1 THEN
         |        '$' || CAST(FLOOR(m/1000) AS BIGINT) || '.' || lpad(CAST(m%1000 AS VARCHAR), 3, '0') || ' billion'
         |      WHEN o_orderkey % 4 = 2 THEN '$' || format('{:,}', m)
-        |      ELSE 'N/A' END AS raw
-        |  FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS m FROM orders))
+        |      ELSE 'N/A' END AS raw0
+        |  FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS m FROM orders)),
+        |built AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 AND raw0 <> 'N/A'
+        |      THEN '$' || CAST(m % 97 AS VARCHAR) ||
+        |        (CASE WHEN o_orderkey % 3 = 0 THEN '-'
+        |              WHEN o_orderkey % 3 = 1 THEN '–' ELSE '—' END) ||
+        |        substring(raw0, 2)
+        |      ELSE raw0 END ||
+        |    CASE WHEN o_orderkey % 11 = 0 AND raw0 <> 'N/A'
+        |      THEN '-ish' ELSE '' END AS raw
+        |  FROM built0),
+        |coll AS (
+        |  SELECT o_orderkey, raw,
+        |    regexp_replace(raw, '\$.*[-—–]([^a-z]|$)', '$\1', 'g') AS craw
+        |  FROM built)
         |SELECT o_orderkey, raw,
         |  CASE
-        |    WHEN regexp_matches(raw, '(?i)^\$\s*(\d+\.?\d*)\s*milli?on')
-        |      THEN CAST(regexp_extract(raw, '(?i)^\$\s*(\d+\.?\d*)\s*milli?on', 1) AS DOUBLE) * 1000000.0
-        |    WHEN regexp_matches(raw, '(?i)^\$\s*(\d+\.?\d*)\s*billi?on')
-        |      THEN CAST(regexp_extract(raw, '(?i)^\$\s*(\d+\.?\d*)\s*billi?on', 1) AS DOUBLE) * 1000000000.0
-        |    WHEN regexp_matches(raw, '^\$\s*(\d{1,3}([,\.]\d{3})+)')
-        |      THEN CAST(regexp_replace(regexp_extract(raw, '^\$\s*(\d{1,3}([,\.]\d{3})+)', 1), '[,\.]', '', 'g') AS DOUBLE)
+        |    WHEN regexp_matches(craw, '(?i)^\$\s*(\d+\.?\d*)\s*milli?on')
+        |      THEN CAST(regexp_extract(craw, '(?i)^\$\s*(\d+\.?\d*)\s*milli?on', 1) AS DOUBLE) * 1000000.0
+        |    WHEN regexp_matches(craw, '(?i)^\$\s*(\d+\.?\d*)\s*billi?on')
+        |      THEN CAST(regexp_extract(craw, '(?i)^\$\s*(\d+\.?\d*)\s*billi?on', 1) AS DOUBLE) * 1000000000.0
+        |    WHEN regexp_matches(craw, '^\$\s*(\d{1,3}([,\.]\d{3})+)')
+        |      THEN CAST(regexp_replace(regexp_extract(craw, '^\$\s*(\d{1,3}([,\.]\d{3})+)', 1), '[,\.]', '', 'g') AS DOUBLE)
         |    END AS dollars
-        |FROM built ORDER BY o_orderkey""".stripMargin,
+        |FROM coll ORDER BY o_orderkey""".stripMargin,
 
     "q08_multi_date" ->
       """WITH built AS (

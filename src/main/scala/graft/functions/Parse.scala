@@ -16,10 +16,29 @@ object Parse {
     * guard with rlike, so any non-empty value is cast-valid. */
   private def numCast(c: Column, t: String): Column = nullif(c, lit("")).cast(t)
 
+  /** The reference's dollar-range collapse prepass (challenge.py:132,137):
+    * `"$1.2–1.4 million"` → `"$1.4 million"` — everything from the first
+    * `$` through the LAST dash not followed by a lowercase letter is
+    * replaced by `$`, so a range keeps only its upper bound while suffix
+    * forms like "million-ish" or "$3-day" survive untouched. The
+    * reference's negative lookahead `(?![a-z])` is re-expressed RE2-safe
+    * (DuckDB mirrors it verbatim) as `([^a-z]|$)` with the consumed
+    * character re-emitted via the capture group — greedy `.*` picks the
+    * same last-qualifying-dash in both engines. */
+  def collapseDollarRange(c: Column): Column =
+    regexp_replace(c, "\\$.*[-—–]([^a-z]|$)", "\\$$1")
+
+  /** The reference's list-cell flatten (challenge.py:131: `' '.join(x) if
+    * type(x) == list`): pandas object columns mix str and list cells; the
+    * typed-engine equivalent surface is an array<string> column joined on
+    * a space before parsing. */
+  def flattenCell(c: Column): Column = array_join(c, " ")
+
   /** Money strings → double dollars (challenge.py:118-134 parse_dollars).
     * Handles "$12.3 million", "$1.2 billion", "$1,234,567". CASE order
     * replaces the reference's negative lookahead (RE2-safe for oracles).
-    */
+    * Callers on messy input apply [[collapseDollarRange]] first, as the
+    * reference does before every extract. */
   def parseDollars(c: Column): Column = {
     val million = "(?i)^\\$\\s*(\\d+\\.?\\d*)\\s*milli?on"
     val billion = "(?i)^\\$\\s*(\\d+\\.?\\d*)\\s*billi?on"

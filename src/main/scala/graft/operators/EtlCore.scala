@@ -107,13 +107,35 @@ object EtlCore {
     .otherwise(lit("N/A"))
 
   /** q07: money-string parsing (challenge.py:118-134). Strings are built
-    * deterministically from order totals, then parsed back with
-    * [[Parse.parseDollars]]. */
-  def q07ParseDollars(s: SparkSession, d: String): DataFrame =
+    * deterministically from order totals — including the reference's two
+    * messy shapes: dash-RANGE cells ("$42–1234.56 million", en/em/hyphen
+    * by key) that challenge.py:132's collapse prepass reduces to the upper
+    * bound, lowercase-suffix cells ("…million-ish") the collapse must NOT
+    * touch, and list cells (exercised as split → [[Parse.flattenCell]],
+    * the typed equivalent of :131's `' '.join`) — then parsed back with
+    * collapse → [[Parse.parseDollars]]. */
+  def q07ParseDollars(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val dash = when(k % 3 === 0, lit("-"))
+      .when(k % 3 === 1, lit("–")).otherwise(lit("—"))
+    val ranged = when(k % 5 === 0 && col("raw0") =!= "N/A",
+      concat(lit("$"), (col("m") % 97).cast("string"), dash,
+        col("raw0").substr(lit(2), length(col("raw0")))))
+      .otherwise(col("raw0"))
     Tables.orders(s, d)
       .withColumn("m", floor(col("o_totalprice")).cast("bigint"))
-      .withColumn("raw", moneyString(col("m"), col("o_orderkey")))
-      .select(col("o_orderkey"), col("raw"), Parse.parseDollars(col("raw")).as("dollars"))
+      .withColumn("raw0", moneyString(col("m"), k))
+      .withColumn("raw",
+        concat(ranged, when(k % 11 === 0 && col("raw0") =!= "N/A",
+          lit("-ish")).otherwise(lit(""))))
+      // list-cell round trip: the raw cell as an array of fragments,
+      // flattened back before the collapse+parse chain (challenge.py:131)
+      .withColumn("cell", split(col("raw"), " "))
+      .select(col("o_orderkey"), col("raw"),
+        Parse.parseDollars(
+          Parse.collapseDollarRange(Parse.flattenCell(col("cell"))))
+          .as("dollars"))
+  }
 
   /** q08: multi-format date parsing with fallback chain
     * (challenge.py:139-143). */

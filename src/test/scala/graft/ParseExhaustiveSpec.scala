@@ -34,6 +34,37 @@ class ParseExhaustiveSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("collapseDollarRange: range cells keep the upper bound, lowercase suffixes survive") {
+    // (input, expected parse after collapse; null = must NOT parse)
+    val cases: Seq[(String, java.lang.Double)] = Seq(
+      ("$1.2–1.4 million", 1.4e6),           // en dash (challenge.py:132)
+      ("$1.2—1.4 million", 1.4e6),           // em dash
+      ("$1.2-1.4 million", 1.4e6),           // hyphen
+      ("$104.5-117 million", 1.17e8),        // upper bound wins, not lower
+      ("$1-2-3 million", 3.0e6),             // greedy: LAST qualifying dash
+      ("$42–1,234,567", 1234567.0),          // range over a grouped plain
+      ("$5–", null),                         // dash at end-of-string collapses
+      ("$2.5 million-ish", 2.5e6),           // dash before lowercase untouched
+      ("$42–2.5 million-ish", 2.5e6),        // range + suffix together
+      ("$3-day rental", null)                // no collapse, and no money form
+    )
+    val got = cases.map(_._1).toDF("raw")
+      .select(col("raw"),
+        Parse.parseDollars(Parse.collapseDollarRange(col("raw"))).as("got"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+    for ((raw, want) <- cases) assert(got(raw) == want, s"case: $raw")
+  }
+
+  test("flattenCell: list cells join on a space before the parse chain (challenge.py:131)") {
+    val parsed = Seq(Seq("$1.2–1.4", "million"), Seq("$1,234,567"))
+      .toDF("cell")
+      .select(Parse.parseDollars(
+        Parse.collapseDollarRange(Parse.flattenCell(col("cell")))).as("got"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(parsed == Seq(1.4e6, 1234567.0))
+  }
+
   test("parseMultiDate: every day of a year through the full-date format") {
     val days = (0 until 365).map { off =>
       java.time.LocalDate.of(2001, 1, 1).plusDays(off)
