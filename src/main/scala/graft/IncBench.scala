@@ -49,6 +49,7 @@ object IncBench {
     def noop(df: => org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     if (adversarial) { runAdversarial(spark, sfDir, stateDir, mod); spark.stop(); return }
+    if (args.contains("--deletes")) { runDeletes(spark, sfDir, stateDir); spark.stop(); return }
     val tGroup = timed(Incremental.writeGroupState(spark, sfDir, s"$stateDir/groups", mod))
     val tIndex = timed(Incremental.writeIndexState(spark, sfDir, s"$stateDir/ann", mod))
     def marginal(df: => org.apache.spark.sql.DataFrame): Double = {
@@ -91,6 +92,53 @@ object IncBench {
       s""""x08_delta_marginal":$x08d,"x08_delta_rows":$x08DeltaRows,""" +
       s""""x08_full_rows":$x08FullRows}""")
     spark.stop()
+  }
+
+  /** Prices the DELETE lifecycle the way production pays it: full-corpus
+    * state persisted once, then the marginal cost of propagating the
+    * deterministic 10% takedown slice (d16/e14/e15's rule) through each
+    * structure — dup groups (touched-component re-CC), postings
+    * (anti-join + stat decrement + re-score), and the dense index
+    * (touched-cell partition rewrite, timed as the one-shot state
+    * surgery it is, plus the post-delete query pass). */
+  private def runDeletes(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String, stateDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Incremental, Retrieval}
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: => org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def marginal(df: => org.apache.spark.sql.DataFrame): Double = {
+      noop(df)
+      math.min(timed(noop(df)), timed(noop(df)))
+    }
+    def deletedPred(c: org.apache.spark.sql.Column) =
+      c % Incremental.DeleteMod === Incremental.DeleteRes
+    val tGroup = timed(Incremental.writeDeleteGroupState(spark, sfDir, s"$stateDir/delgroups"))
+    val delDocs = Tables.documents(spark, sfDir)
+      .filter(deletedPred(col("doc_id"))).select(col("doc_id"))
+    val d16m = marginal(Incremental.deleteGroupsFromState(
+      spark, s"$stateDir/delgroups", delDocs.toDF("id")))
+    val tPost = timed(Retrieval.writeDeletePostingsState(spark, sfDir, s"$stateDir/delpost"))
+    val e14m = marginal(Retrieval.deletePostingsFromState(
+      spark, s"$stateDir/delpost", delDocs))
+    val tIdx = timed(Incremental.writeFullIndexState(spark, sfDir, s"$stateDir/delann"))
+    val delVecs = Tables.embeddings(spark, sfDir)
+      .filter(deletedPred(col("vec_id"))).select(col("vec_id"))
+    // The index delete is a one-shot state mutation (no noop protocol —
+    // running it twice would delete from an already-deleted index).
+    val e15cut = timed(Incremental.deleteFromIndexState(spark, s"$stateDir/delann", delVecs))
+    val e15q = marginal(Incremental.queryDeletedIndexState(
+      spark, sfDir, s"$stateDir/delann", c => !deletedPred(c),
+      graft.operators.Similarity.calibratedPqShortlist(spark, sfDir)))
+    println(s"""{"metric":"takedown_marginal","unit":"sec","sf":"$sfDir",""" +
+      s""""mod":${Incremental.DeleteMod},"res":${Incremental.DeleteRes},""" +
+      s""""build_delete_group_state":$tGroup,"d16_marginal":$d16m,""" +
+      s""""build_delete_postings_state":$tPost,"e14_marginal":$e14m,""" +
+      s""""build_full_index_state":$tIdx,"e15_cell_rewrite":$e15cut,""" +
+      s""""e15_query_marginal":$e15q}""")
   }
 
   /** The worst-case ingest: every batch doc is a near-dup of a corpus

@@ -991,13 +991,15 @@ object Oracles {
     * GraftShingles at any k): range upper bound len(toks)-(k-2) makes
     * exactly n-k+1 windows, and the len >= k guard mirrors the Spark
     * side's empty-set-for-short-docs rule. */
-  private def shingleCteK(name: String, k: Int): String = {
+  private def shingleCteK(name: String, k: Int,
+                          docPred: String = "TRUE"): String = {
     val terms = (0 until k)
       .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString("||' '||")
     s"""$name AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-${k - 2}),
        |    i -> $terms)) AS sh
-       |  FROM (SELECT doc_id, string_split_regex(text,'\\s+') AS toks FROM documents)
+       |  FROM (SELECT doc_id, string_split_regex(text,'\\s+') AS toks FROM documents
+       |        WHERE $docPred)
        |  WHERE len(toks) >= $k)""".stripMargin
   }
 
@@ -1012,12 +1014,12 @@ object Oracles {
     * "vertex lbl reaches vertex rid"; UNION (set semantics) bounds the
     * recursion, and MIN(lbl) per rid is exactly the component-min
     * labelling the Spark loop converges to. */
-  private def d06Sql(d03Ctes: String): String =
+  private def d06Sql(d03Ctes: String, docPred: String = "TRUE"): String =
     s"""WITH RECURSIVE $d03Ctes,
        |edges AS (SELECT id_a AS ea, id_b AS eb FROM d03pairs
        |          UNION ALL SELECT id_b, id_a FROM d03pairs),
        |reach(rid, lbl) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM documents WHERE $docPred
        |  UNION
        |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON r.rid = e.ea),
        |lab AS MATERIALIZED (SELECT rid AS doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY rid),
@@ -1038,9 +1040,13 @@ object Oracles {
         |    / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))))""".stripMargin
     // d03's candidate + verified-pair CTE chain, shared by d03 itself and
-    // d06's component resolution over the same pair graph.
-    val d03Ctes =
-      s"""$shingleCte,
+    // d06's component resolution over the same pair graph. The shingle
+    // CTE is a parameter so d16 can run the whole chain on
+    // corpus-minus-deleted (banding and verification are per-doc /
+    // per-pair, so the filtered chain's pairs are exactly the full
+    // chain's pairs with both endpoints live).
+    def d03CtesWith(shCteStr: String): String =
+      s"""$shCteStr,
          |hbt AS (SELECT doc_id, sh, list_transform(sh, s -> ${h60(0, "s")} % $M) AS hb FROM sh),
          |sig AS (SELECT doc_id, sh, [$minhashes] AS sig FROM hbt),
          |bands AS (SELECT doc_id, b, sig[b*4+1:b*4+4] AS bsig FROM sig, range(0,4) t(b)),
@@ -1052,6 +1058,11 @@ object Oracles {
          |          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) AS jaccard
          |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
          |WHERE jaccard >= 0.5)""".stripMargin
+    val d03Ctes = d03CtesWith(shingleCte)
+    val deletePred = {
+      import graft.operators.Incremental.{DeleteMod, DeleteRes}
+      s"doc_id % $DeleteMod <> $DeleteRes"
+    }
     Map(
       "d01_dedup_exact" ->
         """WITH doubled AS (
@@ -1206,6 +1217,15 @@ object Oracles {
       // nothing — hash equality on every gate run is the
       // incremental == from-scratch proof, not a one-off spec claim.
       "d09_incremental_groups" -> d06Sql(d03Ctes),
+
+      // d16's oracle is d06's from-scratch SQL on corpus-MINUS-deleted
+      // (the d09 convention inverted): the Spark side propagates the
+      // takedown through persisted labels + the labeled pair graph
+      // (touched-component re-CC, keeper re-election, splits); the
+      // oracle re-resolves components of the remaining corpus from
+      // nothing — hash equality IS the delete-propagation proof.
+      "d16_delete_groups" ->
+        d06Sql(d03CtesWith(shingleCteK("sh", 3, deletePred)), deletePred),
 
       "d04_simhash" ->
         s"""WITH $shingleCte,
@@ -1508,7 +1528,12 @@ object Oracles {
     // e05's full WITH-body as a reusable CTE chain (ends at r2: the
     // ranked dense results) — the standalone e05 entry selects from it,
     // and e10 composes it with the BM25 chain below for rank fusion.
-    val e05Body =
+    // `live` injects a liveness predicate on a vec_id expression into
+    // the INDEX side (the adc scan) and the QUERY side, while training
+    // stays full-corpus — e15's takedown mirror: frozen quantizers,
+    // deleted vectors gone from the index, deleted docs no longer
+    // querying.
+    def e05BodyWith(live: String => String): String =
       s"""trainset AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
          |cent0 AS (
@@ -1521,7 +1546,8 @@ object Oracles {
          |rec AS (SELECT m0.vec_id, ($reconCat) AS recon
          |        FROM p0m${KmeansIters + 1} m0 JOIN p0c$KmeansIters c0 ON c0.cell = m0.cell
          |        $reconJoins),
-         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id % 100 = 0 AND ${live("vec_id")}),
          |probed AS (
          |  SELECT q_id, cell FROM (
          |    SELECT q.q_id, c.cell,
@@ -1532,7 +1558,8 @@ object Oracles {
          |    ROUND(${cosRawN("q.qv", "r.recon", 64)}, 6) AS adc
          |  FROM probed p JOIN q USING (q_id)
          |  JOIN m${KmeansIters + 1} mf ON mf.cell = p.cell
-         |  JOIN rec r ON r.vec_id = mf.vec_id AND r.vec_id <> p.q_id),
+         |  JOIN rec r ON r.vec_id = mf.vec_id AND r.vec_id <> p.q_id
+         |  WHERE ${live("r.vec_id")}),
          |short AS (SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS rr
          |    FROM adc) WHERE rr <= $pqShortlist),
@@ -1540,13 +1567,17 @@ object Oracles {
          |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
          |r2 AS (SELECT q_id, c_id, cosine,
          |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)""".stripMargin
+    val e05Body = e05BodyWith(_ => "TRUE")
     // e09's full WITH-body (ends at lexr: the ranked lexical results).
     // Its query CTE is named lexq, NOT q, so the chain composes with
-    // e05Body (which owns `q`) in e10's fused oracle.
-    val bm25Body = {
+    // e05Body (which owns `q`) in e10's fused oracle. `docPred` filters
+    // the corpus (e14's takedown mirror: from-scratch on
+    // corpus-minus-deleted); every global stat (N, T, df, the cap)
+    // derives downstream of the filter, so cap re-crossing mirrors free.
+    def bm25BodyWith(docPred: String): String = {
       import graft.operators.Retrieval.{MaxDfDiv, QueryEvery}
       s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-         |              FROM documents),
+         |              FROM documents WHERE $docPred),
          |tokr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
          |                 i -> toks[i]||' '||toks[i+1])) AS tok
          |         FROM toks WHERE len(toks) >= ${graft.operators.Retrieval.TermGram}),
@@ -1554,7 +1585,7 @@ object Oracles {
          |                    FROM tokr GROUP BY 1, 2),
          |bdl AS MATERIALIZED (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
          |                    FROM btf GROUP BY 1),
-         |bnt AS (SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM documents) AS n,
+         |bnt AS (SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM documents WHERE $docPred) AS n,
          |              (SELECT CAST(SUM(dl) AS HUGEINT) FROM bdl) AS t),
          |bdf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM btf GROUP BY 1
          |       HAVING COUNT(*) * $MaxDfDiv <= (SELECT n FROM bnt)),
@@ -1573,6 +1604,7 @@ object Oracles {
          |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY micros DESC, doc_id) AS rnk
          |      FROM lexsc)""".stripMargin
     }
+    val bm25Body = bm25BodyWith("TRUE")
     // Greedy-MMR selection ladder shared by e12 (brute pool) and e13
     // (ANN pool): expects a `pool`(q_id, c_id, relm) CTE upstream and
     // unrolls Similarity.K selection steps (e03's bounded-iteration
@@ -1800,6 +1832,30 @@ object Oracles {
            |SELECT q_id, doc_id, ROUND(CAST(micros AS DOUBLE)/1000000, 6) AS score,
            |  CAST(rnk AS BIGINT) AS rnk
            |FROM lexr WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+      },
+
+      // e14: the takedown mirror is e09's chain on corpus-MINUS-deleted
+      // (the d09 convention inverted): from-scratch indexing of the
+      // remaining docs — N/T/df/the df cap all re-derived — must
+      // hash-equal the Spark side's delete-propagated persisted index.
+      "e14_postings_delete" -> {
+        import graft.operators.Retrieval.K
+        import graft.operators.Incremental.{DeleteMod, DeleteRes}
+        s"""WITH ${bm25BodyWith(s"doc_id % $DeleteMod <> $DeleteRes")}
+           |SELECT q_id, doc_id, ROUND(CAST(micros AS DOUBLE)/1000000, 6) AS score,
+           |  CAST(rnk AS BIGINT) AS rnk
+           |FROM lexr WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+      },
+
+      // e15: the dense-index takedown mirror — training CTEs stay
+      // FULL-corpus (frozen quantizers: production never retrains on
+      // delete), while the adc scan's index side and the query set are
+      // restricted to live ids. Hash equality proves delete-from-index
+      // leaves exactly the index of the remaining corpus.
+      "e15_index_delete" -> {
+        import graft.operators.Incremental.{DeleteMod, DeleteRes}
+        s"""WITH ${e05BodyWith(c => s"$c % $DeleteMod <> $DeleteRes")}
+           |SELECT q_id, c_id, cosine, rnk FROM r2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
       },
 
       // e07: per-cell label profile under the SAME trained coarse

@@ -96,6 +96,10 @@ object Queries {
     // batch-append plan, the oracle recomputes from scratch, so the
     // hash gate IS the incremental == from-scratch proof.
     "d09_incremental_groups" -> (Incremental.d09IncrementalGroups _),
+    // d16: the REVERSE lifecycle gate — takedown propagation through
+    // persisted group state (touched-component re-CC, keeper
+    // re-election, splits) vs from-scratch on corpus-minus-deleted.
+    "d16_delete_groups"    -> (Incremental.d16DeleteGroups _),
     "d08_containment"      -> (Dedup.d08Containment _),
     "d10_span_dup"         -> (Dedup.d10SpanDup _),
     "d11_span_mask"        -> (Dedup.d11SpanMask _),
@@ -153,6 +157,16 @@ object Queries {
     // index (exactly additive state); gated against e09's oracle
     // verbatim, the d09/e06/x09 incremental-equivalence convention.
     "e11_postings_append"  -> (Retrieval.e11PostingsAppend _),
+    // e14: postings takedown — e11's additivity reversed (df/N/T
+    // decrement, cap re-cross back UNDER); gated against e09's oracle
+    // on corpus-minus-deleted.
+    "e14_postings_delete"  -> (Retrieval.e14PostingsDelete _),
+    // e15: dense-index takedown — frozen quantizers, deleted vectors
+    // out of the index (touched-cell rewrite in the persisted form),
+    // queries over the remaining corpus; e05's oracle restricted to
+    // live ids with full-corpus training.
+    "e15_index_delete"     -> ((s, d) =>
+      Incremental.e15IndexDelete(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
@@ -282,6 +296,7 @@ object Queries {
     "d06_dup_groups"       -> Seq("doc_id"),
     "d07_decontaminate"    -> Seq("doc_id"),
     "d09_incremental_groups" -> Seq("doc_id"),
+    "d16_delete_groups"    -> Seq("doc_id"),
     "d08_containment"      -> Seq("id_a", "id_b"),
     "d10_span_dup"         -> Seq("doc_id"),
     "d11_span_mask"        -> Seq("doc_id"),
@@ -298,6 +313,8 @@ object Queries {
     "e09_bm25_topk"        -> Seq("q_id", "rnk"),
     "e10_hybrid_rrf"       -> Seq("q_id", "rnk"),
     "e11_postings_append"  -> Seq("q_id", "rnk"),
+    "e14_postings_delete"  -> Seq("q_id", "rnk"),
+    "e15_index_delete"     -> Seq("q_id", "rnk"),
     "e08_filtered_ann"     -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),

@@ -20,7 +20,7 @@ object SparkEntry {
     *
     * BOUND: this no-arg form embeds the CATALOG-DEFAULT RHP band width
     * (Similarity.RhpBits = 4) in d05/e02's mirrors and the default ADC
-    * shortlist (Similarity.PqShortlist) in e04/e05/e06/e13's, while the
+    * shortlist (Similarity.PqShortlist) in e04/e05/e06/e13/e15's, while the
     * cataloged plans calibrate both from the corpus count. They agree
     * exactly while calibration floors at the defaults — i.e. embeddings
     * count n with floor(n / perBucket=50) <= 2^RhpBits = 16, so n <= 849
@@ -31,7 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Oracles.all()
 
   /** SF-aware oracle: d05/e02 size their RHP band width and
-    * e04/e05/e06/e13 their ADC shortlist depth from the corpus count
+    * e04/e05/e06/e13/e15 their ADC shortlist depth from the corpus count
     * (Queries catalog ↔
     * Similarity.calibratedRhpBits / calibratedPqShortlist), so the
     * mirror SQL must embed the hyperplanes and shortlist for the SAME

@@ -335,6 +335,84 @@ object Retrieval {
     scoreAndTop(s, q, post, bigN, bigT)
   }
 
+  /** e14: takedown propagation through the lexical index — e11's
+    * additivity run in REVERSE: postings rows are per-doc, so the
+    * remaining index is exactly the persisted postings minus the
+    * deleted docs' rows, and N/T decrement by the deleted slice's
+    * additive contributions. Every GLOBAL statistic is then recomputed
+    * over the remaining state by the same [[appendTail]] the append
+    * path uses — which is where the one semantic trap lives, REVERSED:
+    * a term over the df cap in the full corpus can drop back UNDER it
+    * after the delete (its df fell faster than N) and must RE-ENTER
+    * every query; carrying the old capped term set forward would
+    * silently keep it dead (TakedownSpec pins the re-cross on
+    * fixtures). Deleted docs also stop querying — the query-term slice
+    * reads the remaining postings, so their rows vanish without a
+    * separate filter.
+    *
+    * Gated against e09's oracle ON THE REMAINING CORPUS (the d09
+    * convention inverted): from-scratch indexing of corpus-minus-
+    * deleted must hash-equal the delete-propagated index, every run. */
+  def e14PostingsDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Incremental.{DeleteMod, DeleteRes}
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    postingsDeleteTopK(s, docs,
+      docs.filter(col("doc_id") % DeleteMod === DeleteRes))
+  }
+
+  /** [[e14PostingsDelete]] over any corpus and deleted slice (spec
+    * entry). The in-query gated form: full postings built, deleted rows
+    * dropped map-side, scalars decremented by the deleted slice's
+    * additive (n, t). */
+  def postingsDeleteTopK(s: SparkSession, all: DataFrame,
+                         deletedDocs: DataFrame): DataFrame = {
+    val (n, t) = ntScalars(all)
+    val (dn, dt) = ntScalars(deletedDocs)
+    val remaining = postings(s, all)
+      .join(deletedDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    appendTail(s, remaining, n - dn, t - dt)
+  }
+
+  /** Persist the delete-capable lexical index: [[writePostingsState]]'s
+    * postings + (N, T) scalars over the FULL corpus, plus the per-doc
+    * length table `doclens` (doc_id, dl) covering EVERY doc — including
+    * dl = 0 docs absent from postings — so a takedown can decrement N
+    * and T exactly from state alone (a deleted no-postings doc still
+    * counted in N). */
+  def writeDeletePostingsState(s: SparkSession, d: String, dir: String): Unit = {
+    val all = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    postings(s, all).write.mode("overwrite").parquet(s"$dir/postings")
+    val (n, t) = ntScalars(all)
+    s.createDataFrame(Seq((n, t))).toDF("n", "t")
+      .write.mode("overwrite").parquet(s"$dir/nt")
+    Tables.spread(all, col("doc_id"))
+      .select(col("doc_id"),
+        greatest(size(Text.tokens(col("text"))).cast("bigint") - 1, lit(0L))
+          .as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+  }
+
+  /** The production takedown: anti-join the PERSISTED postings against
+    * the deleted id list, decrement (N, T) from the persisted doclens
+    * (two driver-folded longs — the scalar rule), recompute the global
+    * stats over the remainder. Pays one postings pass + the
+    * takedown-sized doclens join; no text is ever re-read. Frame-equal
+    * to the in-query e14 when fed the same slice (TakedownSpec). */
+  def deletePostingsFromState(s: SparkSession, dir: String,
+                              deletedIds: DataFrame): DataFrame = {
+    val ntRow = s.read.parquet(s"$dir/nt").head()
+    val delRow = s.read.parquet(s"$dir/doclens")
+      .join(deletedIds.select("doc_id"), "doc_id")
+      .agg(count(lit(1)).as("dn"),
+        coalesce(sum(col("dl")), lit(0L)).as("dt")).head()
+    val remaining = s.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+      .join(deletedIds.select("doc_id"), Seq("doc_id"), "left_anti")
+    appendTail(s, remaining,
+      ntRow.getAs[Long]("n") - delRow.getAs[Long]("dn"),
+      ntRow.getAs[Long]("t") - delRow.getAs[Long]("dt"))
+  }
+
   /** Persist the BASE lexical index (production shape, [[graft.IncBench]]
     * prices the marginal): postings rows as parquet plus the additive
     * (N, T) scalars as a one-row frame — the WHOLE state an exact BM25

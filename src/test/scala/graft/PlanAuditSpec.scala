@@ -78,11 +78,14 @@ class PlanAuditSpec extends SparkSpecBase {
     // d12's keeper affinity reuses that same broadcast centroid table;
     // e08 is e03's probe chain with a pre-scoring candidate semi-join —
     // same <=16-row centroid broadcast, nothing else nested-loops;
-    // e10 contains e05's pipeline verbatim as its dense half).
+    // e10 contains e05's pipeline verbatim as its dense half;
+    // e15 is e05's index+query machinery over the delete-filtered
+    // index — same <=16-row centroid/codebook broadcasts, nothing else
+    // nested-loops).
     val broadcastSmallByDesign =
       Set("e01_knn_brute", "e03_ivf_ann", "e04_pq_ann", "e05_ivfpq",
         "e06_index_append", "e07_cluster_stats", "d12_semantic_groups",
-        "e08_filtered_ann", "e10_hybrid_rrf")
+        "e08_filtered_ann", "e10_hybrid_rrf", "e15_index_delete")
     for ((name, _) <- analyzed if !broadcastSmallByDesign(name)) {
       assert(!operators(name).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         s"$name contains BroadcastNestedLoopJoin")

@@ -466,6 +466,62 @@ def main(sf):
             "q_id", "c_id", "rel_micros", "mmr_micros", "rnk"])
     maybe("e13_mmr_ann", e13)
 
+    def e15():
+        # dense-index takedown: quantizers trained on the FULL corpus
+        # (frozen — production never retrains on delete), the index and
+        # the query set restricted to live ids (vec_id % 10 != 3), then
+        # e05's probe → ADC shortlist (depth calibrated on the
+        # PRE-delete corpus count, as the engine's stored calibration
+        # is) → exact re-rank top-10.
+        e = pd.read_parquet(P("embeddings"))
+        V = np.stack(e.embedding.to_numpy()).astype(np.float64)
+        ids = e.vec_id.to_numpy()
+
+        def cosm(A, B):
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            return An @ Bn.T
+        hv = np.array([int(hashlib.md5(f"23:{i}".encode()).hexdigest()[:15], 16) % 1000
+                       for i in ids])
+        train_mask = hv < 250
+        C = V[ids < 16].copy()
+        T = V[train_mask]
+        for _ in range(2):
+            a = cosm(T, C).argmax(1)
+            C = np.stack([np.floor(T[a == c] * 1e6).sum(axis=0)
+                          / (np.sum(a == c) * 1e6) if (a == c).any() else C[c]
+                          for c in range(len(C))])
+        cells = cosm(V, C).argmax(1)
+        M, SD, KC, ITERS = 4, 16, 16, 2
+        recon = np.empty_like(V)
+        for m in range(M):
+            S = V[:, m*SD:(m+1)*SD]
+            cent = S[ids < KC].copy()
+            Tm = S[train_mask]
+            for _ in range(ITERS):
+                a = cosm(Tm, cent).argmax(1)
+                cent = np.stack([Tm[a == c].mean(0) if (a == c).any() else cent[c]
+                                 for c in range(len(cent))])
+            recon[:, m*SD:(m+1)*SD] = cent[cosm(S, cent).argmax(1)]
+        live = ids % 10 != 3
+        qmask = (ids % 100 == 0) & live
+        Q = V[qmask]; qids = ids[qmask]
+        depth = max(30, len(ids) // 20)
+        probes = np.argsort(-cosm(Q, C), axis=1)[:, :3]
+        rows = []
+        for qi in range(len(qids)):
+            cand = np.where(np.isin(cells, probes[qi]) & live
+                            & (ids != qids[qi]))[0]
+            adc6 = np.round(cosm(Q[qi:qi+1], recon[cand])[0], 6)
+            short = cand[np.lexsort((ids[cand], -adc6))[:depth]]
+            cos6 = np.round(cosm(Q[qi:qi+1], V[short])[0], 6)
+            top = short[np.lexsort((ids[short], -cos6))[:10]]
+            cos6 = np.round(cosm(Q[qi:qi+1], V[top])[0], 6)
+            rows.extend((int(qids[qi]), int(ids[top[r]]), float(cos6[r]), r + 1)
+                        for r in range(len(top)))
+        return pd.DataFrame(rows, columns=["q_id", "c_id", "cosine", "rnk"])
+    maybe("e15_index_delete", e15)
+
     def e04():
         # product-quantization ANN, numpy/BLAS form: per-subspace
         # 16-centroid spherical k-means (2 Lloyd rounds on the same 25%
@@ -762,6 +818,36 @@ def main(sf):
         quality = {x: (stB.get(x) or stN.get(x))[2] for x in labels}
         assemble(stages, labels, quality)
     maybe("x09_curation_merge", x09)
+
+    def d16():
+        # takedown through dup groups, the honest single-process form of
+        # the gated key: build the full labelling + pair graph (state),
+        # then propagate — untouched components pass through, touched
+        # components' survivors re-union-find on their induced subgraph
+        # (keeper re-election and splits fall out of the re-CC).
+        d = pd.read_parquet(P("documents"), columns=["doc_id", "text"])
+        sh_map = {}
+        for did, t in zip(d.doc_id, d.text):
+            toks = re.split(r"\s+", t)
+            sh_map[did] = {" ".join(toks[i:i + 3])
+                           for i in range(len(toks) - 2)} \
+                if len(toks) >= 3 else set()
+        ids = list(d.doc_id)
+        pairs = verified_pairs(band_table(sh_map), sh_map)
+        labels = cc_min(ids, pairs)
+        deleted = {i for i in ids if i % 10 == 3}
+        touched = {labels[i] for i in deleted}
+        surv = [i for i in ids if labels[i] in touched and i not in deleted]
+        sub = [(a, b) for a, b in pairs
+               if labels[a] in touched and a not in deleted and b not in deleted]
+        out = {i: labels[i] for i in ids
+               if labels[i] not in touched}
+        out.update(cc_min(surv, sub))
+        sizes = Counter(out.values())
+        return pd.DataFrame(
+            [(i, l, sizes[l], i == l) for i, l in out.items()],
+            columns=["doc_id", "canonical_id", "group_size", "is_keeper"])
+    maybe("d16_delete_groups", d16)
 
     # ---- round-13 additions: the round-12 keys' faithful single-node
     # forms (s06 shares s02's sessionization baseline; the stream keys'
@@ -1421,6 +1507,26 @@ def main(sf):
         dlb.update(dlc)
         return _bm25_topk(d, pb, dlb, len(d), tb + tc)
     maybe("e11_postings_append", e11)
+
+    def e14():
+        # postings takedown: build the full index, strip the deleted
+        # docs' rows, decrement N/T by their additive contributions,
+        # re-derive the df cap over the remainder, score the surviving
+        # queries — the honest single-process delete-not-rebuild form
+        # (e11's append run in reverse).
+        d, postings, dl, N, T = _doc_bigram_index()
+        deleted = set(d.doc_id[d.doc_id % 10 == 3])
+        dn = len(deleted)
+        dt = sum(dl.get(i, 0) for i in deleted)
+        post2 = {}
+        for g, lst in postings.items():
+            kept = [(c, t) for c, t in lst if c not in deleted]
+            if kept:
+                post2[g] = kept
+        dl2 = {i: v for i, v in dl.items() if i not in deleted}
+        rem = d[~d.doc_id.isin(deleted)]
+        return _bm25_topk(rem, post2, dl2, N - dn, T - dt)
+    maybe("e14_postings_delete", e14)
 
     def t10():
         from collections import Counter
