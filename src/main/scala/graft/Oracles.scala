@@ -945,6 +945,55 @@ object Oracles {
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** m09's sample-grammar mirror: the WAV corpus is deterministic
+    * (real PCM bytes under the md5 sample rule), and PCM decode is
+    * byte-exact by definition, so the oracle recomputes the SAMPLES —
+    * the generation rule, never bytes (m07's convention). Re-encode
+    * plants enter as 256× magnitudes (the decoded 16-bit store), gain
+    * edits as the rail-saturating ±5 shift; the frame-energy hash is
+    * the same strict cross-multiply with the Long.MinValue bit-63
+    * literal, bands/candidates identical to m07's machinery. */
+  private def m09PairCtes: String = {
+    import graft.operators.Multimodal.M09Seed
+    s"""asrc AS (SELECT doc_id,
+       |    CASE WHEN doc_id > 0 AND (doc_id % 19 = 0 OR doc_id % 29 = 0)
+       |         THEN doc_id - 1 ELSE doc_id END AS b,
+       |    (doc_id > 0 AND doc_id % 19 = 0) AS reenc,
+       |    (doc_id > 0 AND doc_id % 19 <> 0 AND doc_id % 29 = 0) AS edited
+       |  FROM documents),
+       |alen AS (SELECT doc_id, b, reenc, edited, 64 + ((b * 5) % 97) AS n
+       |  FROM asrc),
+       |agrp AS (SELECT doc_id, reenc, edited, n, g.g AS g,
+       |    ${h60(M09Seed, "b || ':' || g.g")} AS r
+       |  FROM alen, range(0, 23) g(g) WHERE g.g * 7 < n),
+       |asmp AS MATERIALIZED (SELECT doc_id, n,
+       |    (64 * (g * 7 + k.k)) // n AS f,
+       |    abs(CASE WHEN reenc THEN 256 * (((r >> (8 * k.k)) & 255) - 128)
+       |         WHEN edited THEN
+       |           CASE WHEN ((r >> (8 * k.k)) & 255) - 128 >= 0
+       |                THEN LEAST(((r >> (8 * k.k)) & 255) - 128 + 5, 127)
+       |                ELSE GREATEST(((r >> (8 * k.k)) & 255) - 128 - 5, -128) END
+       |         ELSE ((r >> (8 * k.k)) & 255) - 128 END) AS a
+       |  FROM agrp, range(0, 7) k(k) WHERE g * 7 + k.k < n),
+       |atot AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS total,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM asmp GROUP BY 1),
+       |afrm AS (SELECT doc_id, f, CAST(SUM(a) AS BIGINT) AS fs,
+       |    CAST(COUNT(*) AS BIGINT) AS nf FROM asmp GROUP BY 1, 2),
+       |afp AS MATERIALIZED (SELECT t.doc_id,
+       |    CAST(SUM(CASE WHEN fs * t.n > total * nf THEN
+       |      CASE WHEN f = 63 THEN -9223372036854775808
+       |           ELSE (CAST(1 AS BIGINT) << CAST(f AS INT)) END
+       |      ELSE 0 END) AS BIGINT) AS fp
+       |  FROM afrm m JOIN atot t ON m.doc_id = t.doc_id GROUP BY 1),
+       |abands AS (SELECT doc_id, fp, t.band,
+       |    (fp >> (16 * CAST(band AS INT))) & 65535 AS key
+       |  FROM afp, range(0, ${graft.operators.Multimodal.M07Bands}) t(band)),
+       |acand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.fp AS fa, b.fp AS fb
+       |  FROM abands a JOIN abands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** x10's chunking CTE chain (tokenize → chunk-index explode → md5 of
     * the token slice), generated once from the shared geometry
     * constants and reused by every chunk-consuming oracle (x10, x12) so
@@ -2140,6 +2189,17 @@ object Oracles {
       s"""WITH $m07PairCtes
          |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(fa, fb)) <= $M07MaxHamming
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // m09: perceptual AUDIO near-dup — m07's gate convention for the
+    // time axis ([[m09PairCtes]]: the md5 sample grammar recomputed,
+    // frame-energy cross-multiply hash, the same band machinery).
+    "m09_audio_dedup" -> {
+      import graft.operators.Multimodal.M09MaxHamming
+      s"""WITH $m09PairCtes
+         |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM acand WHERE bit_count(xor(fa, fb)) <= $M09MaxHamming
          |ORDER BY id_a, id_b""".stripMargin
     },
 

@@ -183,6 +183,10 @@ object Queries {
     // m08: perceptual duplicate groups — connected components over
     // m07's pair graph (d06's machinery), min-id keeper, group sizes.
     "m08_media_groups"     -> (Multimodal.m08MediaGroups _),
+    // m09: perceptual AUDIO near-dup over real PCM samples — m07's
+    // grammar for the time axis (frame-energy hash, same band
+    // machinery); catches bit-depth re-encodes m05/m03 cannot see.
+    "m09_audio_dedup"      -> (Multimodal.m09AudioDedup _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
@@ -324,6 +328,7 @@ object Queries {
     "m06_media_neardup"    -> Seq("id_a", "id_b"),
     "m07_perceptual_dedup" -> Seq("id_a", "id_b"),
     "m08_media_groups"     -> Seq("doc_id"),
+    "m09_audio_dedup"      -> Seq("id_a", "id_b"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),

@@ -1061,6 +1061,17 @@ object Multimodal {
         (r.doc_id, aHash64(w, h, px))
       }
     }.toDF("doc_id", "fp")
+    hammingPairs(s, hashes)
+  }
+
+  /** Band-bucketed hamming-radius pair emission over ANY (doc_id, fp)
+    * 64-bit fingerprint frame — the generic half of m07/m09 (d04's
+    * machinery): [[M07Bands]] 16-bit band buckets are pigeonhole-
+    * complete at radius [[M07MaxHamming]]; only (id, 8-byte hash) rows
+    * shuffle, the explicit repartition pins pair-generation parallelism
+    * against AQE input-size coalescing. */
+  def hammingPairs(s: SparkSession, hashes: DataFrame,
+                   maxHamming: Int = M07MaxHamming): DataFrame = {
     val bands = hashes.select(col("doc_id"), col("fp"),
       explode(array((0 until M07Bands).map(bnd => struct(lit(bnd).as("band"),
         shiftright(col("fp"), 16 * bnd).bitwiseAND(lit(65535L)).as("key"))): _*))
@@ -1077,6 +1088,209 @@ object Multimodal {
       .select("id_a", "id_b", "fa", "fb").distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("bigint").as("hamming"))
-      .filter(col("hamming") <= M07MaxHamming.toLong)
+      .filter(col("hamming") <= maxHamming.toLong)
   }
+
+  // -------------------------------------------------------------------
+  // m09: perceptual AUDIO near-dup over real PCM — m07's grammar for
+  // the time axis. The corpus WAVs carry REAL sample bytes in the
+  // `data` chunk (m03's payloads stop at header metadata); the
+  // fingerprint is an exact-integer frame-energy hash (per-frame
+  // magnitude sums vs the global mean, strict cross-multiply — aHash64's
+  // rule over time instead of space); pairs ride [[hammingPairs]].
+  // -------------------------------------------------------------------
+
+  /** m09 grammar constants. Plants: doc % 19 == 0 is a BIT-DEPTH
+    * RE-ENCODE of doc−1 (the same signal stored 16-bit, samples ×256 —
+    * byte-different, energy-profile-identical: uniform scaling cancels
+    * in the cross-multiply, so hamming 0 by algebra); doc % 29 == 0 is
+    * a +[[M09Gain]] GAIN edit of doc−1 (saturating at the 8-bit rails,
+    * so magnitudes shift uniformly except where they clip — near-zero
+    * hamming, the m07-edit pattern). */
+  val M09Seed = 59
+  val M09MaxHamming = 3
+  private val M09ReencodeMod = 19
+  private val M09EditMod = 29
+  private val M09Gain = 5
+
+  private[graft] def m09BaseId(doc: Long): Long =
+    if (doc > 0 && (doc % M09ReencodeMod == 0 || doc % M09EditMod == 0)) doc - 1
+    else doc
+  private[graft] def m09Reenc(doc: Long): Boolean =
+    doc > 0 && doc % M09ReencodeMod == 0
+  private[graft] def m09Edited(doc: Long): Boolean =
+    doc > 0 && doc % M09ReencodeMod != 0 && doc % M09EditMod == 0
+
+  /** Deterministic centered 8-bit sample stream of a document under the
+    * m09 grammar: n = 64 + (b·5) % 97 samples (64..160 — 1-3 per hash
+    * frame, exercising the integer frame boundaries), sample i's byte
+    * drawn from hash60(seed, "b:i/7") cycling every 7 samples (m07's
+    * row grammar along time), centered to [-128, 127]. Returns
+    * (bitsPerSample, samples): re-encode plants report 16 (the codec
+    * stores samples ×256), everything else 8. */
+  private[graft] def m09Samples(doc: Long): (Int, Array[Int]) = {
+    val b = m09BaseId(doc)
+    val n = (64 + (b * 5) % 97).toInt
+    val edited = m09Edited(doc)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](n)
+    var r = 0L
+    var i = 0
+    while (i < n) {
+      if (i % 7 == 0) r = h60Local(md, M09Seed, s"$b:${i / 7}")
+      var sv = (((r >> (8 * (i % 7))) & 255L) - 128L).toInt
+      if (edited)
+        sv = if (sv >= 0) math.min(sv + M09Gain, 127)
+             else math.max(sv - M09Gain, -128)
+      out(i) = sv
+      i += 1
+    }
+    (if (m09Reenc(doc)) 16 else 8, out)
+  }
+
+  /** REAL PCM WAV codec: [[encode]] lands actual sample bytes in the
+    * `data` chunk (8-bit unsigned or 16-bit signed LE, mono — the two
+    * canonical PCM layouts); [[decode]] walks the RIFF chunks with
+    * structural validation and returns the RAW stored sample values
+    * (centered for 8-bit), failing loudly on anything that is not
+    * mono 8/16-bit PCM — a decode stage must never hash garbage.
+    * decode(encode(s, bits)) reproduces the samples exactly (PCM is
+    * codec-free by definition), so determinism is independent of any
+    * compressor and the oracle mirrors SAMPLES (the generation rule),
+    * never bytes — m07's PNG convention. javax.sound.sampled reads the
+    * same files as the cross-check (AudioDedupSpec). */
+  object PcmCodec {
+    val SampleRate = 8000L
+
+    def encode(bits: Int, samples: Array[Int]): Array[Byte] = {
+      require(bits == 8 || bits == 16, s"unsupported depth $bits")
+      val block = bits / 8
+      val data = new Array[Byte](samples.length * block)
+      var i = 0
+      while (i < samples.length) {
+        if (bits == 8) data(i) = (samples(i) + 128).toByte
+        else {
+          val v = samples(i) * 256
+          data(2 * i) = (v & 0xff).toByte
+          data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        }
+        i += 1
+      }
+      val pad = data.length & 1 // RIFF pads odd chunks (not in the size)
+      val bos = new java.io.ByteArrayOutputStream()
+      def w(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+      def le(v: Long, nb: Int): Unit = {
+        var k = 0
+        while (k < nb) { bos.write(((v >> (8 * k)) & 0xff).toInt); k += 1 }
+      }
+      w("RIFF"); le(4L + 24L + 8L + data.length + pad, 4); w("WAVE")
+      w("fmt "); le(16, 4); le(1, 2); le(1, 2); le(SampleRate, 4)
+      le(SampleRate * block, 4); le(block, 2); le(bits, 2)
+      w("data"); le(data.length, 4); bos.write(data)
+      if (pad == 1) bos.write(0)
+      bos.toByteArray
+    }
+
+    /** (bitsPerSample, raw stored samples). */
+    def decode(b: Array[Byte]): (Int, Array[Int]) = {
+      require(b.length >= 12 &&
+        new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+      var fmt = -1L; var ch = -1L; var bits = -1L
+      var dataOff = -1; var dataLen = -1
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = ((b(i + 4) & 0xffL) | ((b(i + 5) & 0xffL) << 8) |
+          ((b(i + 6) & 0xffL) << 16) | ((b(i + 7) & 0xffL) << 24)).toInt
+        require(i + 8 + size <= b.length, s"truncated $id chunk")
+        if (id == "fmt ") {
+          require(size >= 16, "short fmt chunk")
+          fmt = (b(i + 8) & 0xffL) | ((b(i + 9) & 0xffL) << 8)
+          ch = (b(i + 10) & 0xffL) | ((b(i + 11) & 0xffL) << 8)
+          bits = (b(i + 22) & 0xffL) | ((b(i + 23) & 0xffL) << 8)
+        } else if (id == "data") { dataOff = i + 8; dataLen = size }
+        i += 8 + size + (size & 1)
+      }
+      require(fmt == 1 && ch == 1, "decoder handles mono PCM only")
+      require(bits == 8 || bits == 16, s"unsupported depth $bits")
+      require(dataOff >= 0, "missing data chunk")
+      val block = bits.toInt / 8
+      require(dataLen % block == 0, "data size not block-aligned")
+      val out = new Array[Int](dataLen / block)
+      var k = 0
+      while (k < out.length) {
+        out(k) =
+          if (bits == 8) (b(dataOff + k) & 0xff) - 128
+          else ((b(dataOff + 2 * k) & 0xff) |
+            (b(dataOff + 2 * k + 1) << 8)).toShort.toInt
+        k += 1
+      }
+      (bits.toInt, out)
+    }
+  }
+
+  /** 64-bit frame-energy hash with EXACT integer boundaries: sample i
+    * belongs to frame (64·i) div n, and bit f is set iff
+    * frameAbsSum·n > totalAbsSum·n_f (strict cross-multiply — no
+    * division, no float; a uniform ×k re-encode scales both sides by k
+    * and leaves every bit unchanged, which is the re-encode-invariance
+    * the plants exercise). */
+  private[graft] def audioHash64(samples: Array[Int]): Long = {
+    val n = samples.length.toLong
+    require(n > 0, "empty sample stream")
+    val fs = new Array[Long](64)
+    val nf = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < samples.length) {
+      val f = ((64L * i) / n).toInt
+      val a = math.abs(samples(i).toLong)
+      fs(f) += a; nf(f) += 1; total += a
+      i += 1
+    }
+    var hash = 0L
+    var f = 0
+    while (f < 64) {
+      if (fs(f) * n > total * nf(f)) hash |= (1L << f)
+      f += 1
+    }
+    hash
+  }
+
+  /** The m09 gate corpus: every document's PCM WAV under the sample
+    * grammar — real audio bytes, unlike m03's header-only walk. */
+  def m09Payloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (bits, smp) = m09Samples(id)
+          MediaRow(id, PcmCodec.encode(bits, smp))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** [[m09AudioDedup]] over any (doc_id, payload) frame of mono PCM
+    * WAVs (spec entry). Scale shape = m07's: decode is one
+    * mapPartitions pass, only (id, 8-byte hash) rows shuffle, pairs via
+    * the shared [[hammingPairs]] band machinery. */
+  def audioDedup(s: SparkSession, payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    val hashes = payloads.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val (_, smp) = PcmCodec.decode(r.payload)
+        (r.doc_id, audioHash64(smp))
+      }
+    }.toDF("doc_id", "fp")
+    hammingPairs(s, hashes, M09MaxHamming)
+  }
+
+  /** m09: perceptual audio near-duplicate detection over DECODED PCM
+    * samples — the re-encoded-audio signal m05's byte digest cannot see
+    * (a bit-depth-shifted copy shares no bytes) and m03's header walk
+    * never reaches. Closes the audio half of the decode boundary m07
+    * closed for images, with zero new dependencies. */
+  def m09AudioDedup(s: SparkSession, d: String): DataFrame =
+    audioDedup(s, m09Payloads(s, d))
 }

@@ -1174,6 +1174,83 @@ def main(sf):
                                            "group_size", "is_keeper"])
     maybe("m08_media_groups", m08)
 
+    def m09():
+        # perceptual audio near-dup, single-node form: synthesize each
+        # doc's REAL PCM WAV (the m09 sample grammar; re-encode plants
+        # stored 16-bit = samples x256, gain edits rail-saturated +/-5),
+        # read it back through the stdlib `wave` codec (an independent
+        # parser — the javax.sound cross-check's python sibling),
+        # frame-energy hash over 64 time frames (strict integer
+        # cross-multiply), 4x16-bit band buckets, pairs at hamming <= 3.
+        import wave, io, struct
+        d = pd.read_parquet(P("documents"), columns=["doc_id"])
+        h60 = lambda seed, s: int(
+            hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+        def samples(doc):
+            b = doc - 1 if doc > 0 and (doc % 19 == 0 or doc % 29 == 0) else doc
+            edited = doc > 0 and doc % 19 != 0 and doc % 29 == 0
+            n = 64 + (b * 5) % 97
+            out = []
+            for i in range(n):
+                if i % 7 == 0:
+                    r = h60(59, f"{b}:{i // 7}")
+                s = ((r >> (8 * (i % 7))) & 255) - 128
+                if edited:
+                    s = min(s + 5, 127) if s >= 0 else max(s - 5, -128)
+                out.append(s)
+            return out
+
+        def encode(doc):
+            s = samples(doc)
+            bits = 16 if doc > 0 and doc % 19 == 0 else 8
+            buf = io.BytesIO()
+            w = wave.open(buf, "wb")
+            w.setnchannels(1); w.setsampwidth(bits // 8); w.setframerate(8000)
+            if bits == 8:
+                w.writeframes(bytes(v + 128 for v in s))
+            else:
+                w.writeframes(b"".join(struct.pack("<h", v * 256) for v in s))
+            w.close()
+            return buf.getvalue()
+
+        def decode(b):
+            w = wave.open(io.BytesIO(b), "rb")
+            assert w.getnchannels() == 1
+            raw = w.readframes(w.getnframes())
+            if w.getsampwidth() == 1:
+                return [v - 128 for v in raw]
+            return list(np.frombuffer(raw, dtype="<i2").astype(int))
+
+        def fhash(s):
+            n = len(s)
+            fs = [0] * 64; nf = [0] * 64; total = 0
+            for i, v in enumerate(s):
+                f = 64 * i // n
+                a = abs(v)
+                fs[f] += a; nf[f] += 1; total += a
+            v = sum(1 << f for f in range(64) if fs[f] * n > total * nf[f])
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        fps = {int(doc): fhash(decode(encode(int(doc))))
+               for doc in d.doc_id.astype("int64")}
+        buckets = {}
+        for doc, fp in fps.items():
+            for band in range(4):
+                buckets.setdefault((band, (fp >> (16 * band)) & 0xffff),
+                                   []).append(doc)
+        rows = set()
+        for ids in buckets.values():
+            ids.sort()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = ids[i], ids[j]
+                    hd = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+                    if hd <= 3:
+                        rows.add((a, b, hd))
+        return pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "hamming"])
+    maybe("m09_audio_dedup", m09)
+
     def t09():
         # HTML extraction: build the page per row, strip with the same
         # regex/replace rules (per-row Python re, the pandas idiom)
