@@ -21,23 +21,41 @@ package graft
   */
 object Bench {
 
-  private def artifactPath(): String =
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
-      val cwd = new java.io.File(".")
-      val rounds = Option(cwd.list()).toSeq.flatten
-        .flatMap { n =>
-          val m = "CORRECTNESS_r(\\d+)\\.json".r.findFirstMatchIn(n)
-          m.map(_.group(1).toInt)
-        }
-      val r = if (rounds.isEmpty) 0 else rounds.max + 1
-      f"BENCH_LOCAL_r$r%02d.json"
-    }
+  /** Highest CORRECTNESS_r{n} present in the cwd (-1 if none). */
+  private def maxCorrectnessRound(): Int = {
+    val cwd = new java.io.File(".")
+    val rounds = Option(cwd.list()).toSeq.flatten
+      .flatMap { n =>
+        val m = "CORRECTNESS_r(\\d+)\\.json".r.findFirstMatchIn(n)
+        m.map(_.group(1).toInt)
+      }
+    if (rounds.isEmpty) -1 else rounds.max
+  }
 
+  private def artifactPath(): String =
+    sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .getOrElse(f"BENCH_LOCAL_r${maxCorrectnessRound() + 1}%02d.json")
+
+  /** The auto slot is a GUESS of the round in progress (1 + the highest
+    * CORRECTNESS_r{n} present) and is wrong by one when the driver
+    * benches AFTER landing the same round's correctness file (the
+    * r15/r16 footnote) — so the artifact now records its own naming
+    * basis: `round_slot` is the number in the filename and
+    * `correctness_seen` the evidence it was derived from. Builder runs
+    * stamp explicitly via SPARK_GRAFT_BENCH_OUT and skip the guess. */
   private def writeArtifact(line: String): Unit = {
     val p = artifactPath()
+    val documented =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") || !line.startsWith("{")) line
+      else {
+        val seen = maxCorrectnessRound()
+        s"""{"round_slot":${seen + 1},"correctness_seen":$seen,""" +
+          s""""round_slot_basis":"1+max(CORRECTNESS_r*); one high if benching after the same round's correctness landed",""" +
+          line.drop(1)
+      }
     try {
       val w = new java.io.PrintWriter(p)
-      try w.println(line) finally w.close()
+      try w.println(documented) finally w.close()
       System.err.println(s"[bench] wrote $p")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $p: ${e.getMessage}")
