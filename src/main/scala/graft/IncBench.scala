@@ -133,12 +133,15 @@ object IncBench {
     val e15q = marginal(Incremental.queryDeletedIndexState(
       spark, sfDir, s"$stateDir/delann", c => !deletedPred(c),
       graft.operators.Similarity.calibratedPqShortlist(spark, sfDir)))
+    val tCur = timed(Curation.writeCurationStateAll(spark, sfDir, s"$stateDir/delcur"))
+    val x18m = marginal(Curation.deleteCurationFromState(spark, sfDir, s"$stateDir/delcur"))
     println(s"""{"metric":"takedown_marginal","unit":"sec","sf":"$sfDir",""" +
       s""""mod":${Incremental.DeleteMod},"res":${Incremental.DeleteRes},""" +
       s""""build_delete_group_state":$tGroup,"d16_marginal":$d16m,""" +
       s""""build_delete_postings_state":$tPost,"e14_marginal":$e14m,""" +
       s""""build_full_index_state":$tIdx,"e15_cell_rewrite":$e15cut,""" +
-      s""""e15_query_marginal":$e15q}""")
+      s""""e15_query_marginal":$e15q,""" +
+      s""""build_full_curation_state":$tCur,"x18_marginal":$x18m}""")
   }
 
   /** The worst-case ingest: every batch doc is a near-dup of a corpus

@@ -1112,6 +1112,89 @@ object Oracles {
       import graft.operators.Incremental.{DeleteMod, DeleteRes}
       s"doc_id % $DeleteMod <> $DeleteRes"
     }
+    // x08's full mirror as a predicate-parameterized builder: x08 runs
+    // it at TRUE, x18 on corpus-minus-deleted — same SQL, one source.
+    def x08SqlWith(docPred: String): String = {
+      import graft.operators.TextAnalysis.MinTokens
+      import graft.operators.Dedup.{DecontamN, DecontamSeed, DecontamBenchMod}
+      import graft.operators.Sampling.{SplitSeed, TrainPct, ValPct}
+      s"""WITH RECURSIVE ${d03CtesWith(shingleCteK("sh", 3, docPred))},
+           |${shingleCteK("sh8", DecontamN, docPred)},
+           |qtc AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+           |          SELECT doc_id, unnest(string_split_regex(COALESCE(text,''),'\\s+')) AS g
+           |          FROM documents WHERE $docPred) t GROUP BY 1, 2),
+           |qts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS top,
+           |               COUNT(*) AS dist FROM qtc GROUP BY 1),
+           |qk AS (SELECT doc_id, NOT (n < $MinTokens OR top * 8 > n
+           |                           OR dist * 5 < n * 2) AS q_keep FROM qts),
+           |benchdoc AS (SELECT doc_id,
+           |    ${h60(DecontamSeed, "CAST(doc_id AS VARCHAR)")} % $DecontamBenchMod = 0 AS is_bench
+           |  FROM documents WHERE $docPred),
+           |grams AS (SELECT m.doc_id, b.is_bench, ${h60(DecontamSeed, "g")} AS gh
+           |          FROM (SELECT doc_id, unnest(sh) AS g FROM sh8) m
+           |          JOIN benchdoc b ON m.doc_id = b.doc_id),
+           |benchg AS (SELECT DISTINCT gh FROM grams WHERE is_bench),
+           |contam AS (SELECT DISTINCT doc_id FROM (
+           |            SELECT DISTINCT doc_id, gh FROM grams WHERE NOT is_bench) t
+           |           JOIN benchg USING (gh)),
+           |stage0 AS MATERIALIZED (SELECT d.doc_id,
+           |    CASE WHEN b.is_bench THEN 'benchmark'
+           |         WHEN NOT qk.q_keep THEN 'low_quality'
+           |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+           |         ELSE 'clean' END AS st
+           |  FROM documents d JOIN benchdoc b USING (doc_id)
+           |  JOIN qk USING (doc_id) LEFT JOIN contam c ON d.doc_id = c.doc_id),
+           |clean AS MATERIALIZED (SELECT doc_id FROM stage0 WHERE st = 'clean'),
+           |cpairs AS (SELECT id_a, id_b FROM d03pairs
+           |           JOIN clean a ON id_a = a.doc_id
+           |           JOIN clean b ON id_b = b.doc_id),
+           |cedges AS (SELECT id_a AS ea, id_b AS eb FROM cpairs
+           |           UNION ALL SELECT id_b, id_a FROM cpairs),
+           |reach(rid, lbl) AS (
+           |  SELECT doc_id, doc_id FROM clean
+           |  UNION
+           |  SELECT e.eb, r.lbl FROM reach r JOIN cedges e ON r.rid = e.ea),
+           |lab AS MATERIALIZED (SELECT rid AS doc_id, MIN(lbl) AS lbl FROM reach GROUP BY rid),
+           |tq AS (SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS toks
+           |       FROM documents WHERE $docPred),
+           |tb AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |   CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE) AS n_stop,
+           |   CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct FROM tq),
+           |qual AS (SELECT doc_id,
+           |  ROUND(LEAST(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.5 +
+           |        (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) * 0.3 +
+           |        n_distinct / CAST(n_tokens AS DOUBLE) * 0.2, 6) AS quality
+           |  FROM tb),
+           |gr AS (SELECT lbl, COUNT(*) AS group_size FROM lab GROUP BY 1),
+           |kp AS (SELECT lbl, doc_id AS keeper_id FROM (
+           |        SELECT lab.lbl, lab.doc_id,
+           |          ROW_NUMBER() OVER (PARTITION BY lab.lbl
+           |            ORDER BY quality DESC, lab.doc_id) AS rn
+           |        FROM lab JOIN qual USING (doc_id)) WHERE rn = 1),
+           |sp AS (SELECT doc_id,
+           |    CASE WHEN bucket < $TrainPct THEN 'train'
+           |         WHEN bucket < ${TrainPct + ValPct} THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id,
+           |          ${h60(SplitSeed, "CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+           |        FROM documents WHERE $docPred)),
+           |cleanrows AS (SELECT lab.doc_id,
+           |    CASE WHEN lab.doc_id = kp.keeper_id THEN 'kept'
+           |         ELSE 'duplicate' END AS stage,
+           |    lab.lbl AS group_id, gr.group_size, kp.keeper_id,
+           |    CASE WHEN lab.doc_id = kp.keeper_id THEN sp.split
+           |         ELSE 'none' END AS split,
+           |    lab.doc_id = kp.keeper_id AS keep
+           |  FROM lab JOIN gr USING (lbl) JOIN kp USING (lbl)
+           |  JOIN sp USING (doc_id)),
+           |droprows AS (SELECT doc_id, st AS stage,
+           |    CAST(-1 AS BIGINT) AS group_id, CAST(0 AS BIGINT) AS group_size,
+           |    CAST(-1 AS BIGINT) AS keeper_id, 'none' AS split, FALSE AS keep
+           |  FROM stage0 WHERE st <> 'clean')
+           |SELECT doc_id, stage, group_id, group_size, keeper_id, split, keep
+           |FROM (SELECT * FROM cleanrows UNION ALL SELECT * FROM droprows)
+           |ORDER BY doc_id""".stripMargin
+    }
     Map(
       "d01_dedup_exact" ->
         """WITH doubled AS (
@@ -1385,86 +1468,18 @@ object Oracles {
       // engine-exact), and x05's hash split for survivors. Every
       // fragment is the corresponding gated key's oracle verbatim, so
       // the composition inherits their parity arguments.
-      "x08_curation_decide" -> {
-        import graft.operators.TextAnalysis.MinTokens
-        import graft.operators.Dedup.{DecontamN, DecontamSeed, DecontamBenchMod}
-        import graft.operators.Sampling.{SplitSeed, TrainPct, ValPct}
-        s"""WITH RECURSIVE $d03Ctes,
-           |${shingleCteK("sh8", DecontamN)},
-           |qtc AS (SELECT doc_id, g, COUNT(*) AS c FROM (
-           |          SELECT doc_id, unnest(string_split_regex(COALESCE(text,''),'\\s+')) AS g
-           |          FROM documents) t GROUP BY 1, 2),
-           |qts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS top,
-           |               COUNT(*) AS dist FROM qtc GROUP BY 1),
-           |qk AS (SELECT doc_id, NOT (n < $MinTokens OR top * 8 > n
-           |                           OR dist * 5 < n * 2) AS q_keep FROM qts),
-           |benchdoc AS (SELECT doc_id,
-           |    ${h60(DecontamSeed, "CAST(doc_id AS VARCHAR)")} % $DecontamBenchMod = 0 AS is_bench
-           |  FROM documents),
-           |grams AS (SELECT m.doc_id, b.is_bench, ${h60(DecontamSeed, "g")} AS gh
-           |          FROM (SELECT doc_id, unnest(sh) AS g FROM sh8) m
-           |          JOIN benchdoc b ON m.doc_id = b.doc_id),
-           |benchg AS (SELECT DISTINCT gh FROM grams WHERE is_bench),
-           |contam AS (SELECT DISTINCT doc_id FROM (
-           |            SELECT DISTINCT doc_id, gh FROM grams WHERE NOT is_bench) t
-           |           JOIN benchg USING (gh)),
-           |stage0 AS MATERIALIZED (SELECT d.doc_id,
-           |    CASE WHEN b.is_bench THEN 'benchmark'
-           |         WHEN NOT qk.q_keep THEN 'low_quality'
-           |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
-           |         ELSE 'clean' END AS st
-           |  FROM documents d JOIN benchdoc b USING (doc_id)
-           |  JOIN qk USING (doc_id) LEFT JOIN contam c ON d.doc_id = c.doc_id),
-           |clean AS MATERIALIZED (SELECT doc_id FROM stage0 WHERE st = 'clean'),
-           |cpairs AS (SELECT id_a, id_b FROM d03pairs
-           |           JOIN clean a ON id_a = a.doc_id
-           |           JOIN clean b ON id_b = b.doc_id),
-           |cedges AS (SELECT id_a AS ea, id_b AS eb FROM cpairs
-           |           UNION ALL SELECT id_b, id_a FROM cpairs),
-           |reach(rid, lbl) AS (
-           |  SELECT doc_id, doc_id FROM clean
-           |  UNION
-           |  SELECT e.eb, r.lbl FROM reach r JOIN cedges e ON r.rid = e.ea),
-           |lab AS MATERIALIZED (SELECT rid AS doc_id, MIN(lbl) AS lbl FROM reach GROUP BY rid),
-           |tq AS (SELECT doc_id, n_chars, string_split_regex(text, '\\s+') AS toks
-           |       FROM documents),
-           |tb AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
-           |   CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE) AS n_stop,
-           |   CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct FROM tq),
-           |qual AS (SELECT doc_id,
-           |  ROUND(LEAST(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.5 +
-           |        (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) * 0.3 +
-           |        n_distinct / CAST(n_tokens AS DOUBLE) * 0.2, 6) AS quality
-           |  FROM tb),
-           |gr AS (SELECT lbl, COUNT(*) AS group_size FROM lab GROUP BY 1),
-           |kp AS (SELECT lbl, doc_id AS keeper_id FROM (
-           |        SELECT lab.lbl, lab.doc_id,
-           |          ROW_NUMBER() OVER (PARTITION BY lab.lbl
-           |            ORDER BY quality DESC, lab.doc_id) AS rn
-           |        FROM lab JOIN qual USING (doc_id)) WHERE rn = 1),
-           |sp AS (SELECT doc_id,
-           |    CASE WHEN bucket < $TrainPct THEN 'train'
-           |         WHEN bucket < ${TrainPct + ValPct} THEN 'val'
-           |         ELSE 'test' END AS split
-           |  FROM (SELECT doc_id,
-           |          ${h60(SplitSeed, "CAST(doc_id AS VARCHAR)")} % 100 AS bucket
-           |        FROM documents)),
-           |cleanrows AS (SELECT lab.doc_id,
-           |    CASE WHEN lab.doc_id = kp.keeper_id THEN 'kept'
-           |         ELSE 'duplicate' END AS stage,
-           |    lab.lbl AS group_id, gr.group_size, kp.keeper_id,
-           |    CASE WHEN lab.doc_id = kp.keeper_id THEN sp.split
-           |         ELSE 'none' END AS split,
-           |    lab.doc_id = kp.keeper_id AS keep
-           |  FROM lab JOIN gr USING (lbl) JOIN kp USING (lbl)
-           |  JOIN sp USING (doc_id)),
-           |droprows AS (SELECT doc_id, st AS stage,
-           |    CAST(-1 AS BIGINT) AS group_id, CAST(0 AS BIGINT) AS group_size,
-           |    CAST(-1 AS BIGINT) AS keeper_id, 'none' AS split, FALSE AS keep
-           |  FROM stage0 WHERE st <> 'clean')
-           |SELECT doc_id, stage, group_id, group_size, keeper_id, split, keep
-           |FROM (SELECT * FROM cleanrows UNION ALL SELECT * FROM droprows)
-           |ORDER BY doc_id""".stripMargin
+      "x08_curation_decide" -> x08SqlWith("TRUE"),
+
+      // x18's oracle is x08's chain VERBATIM on corpus-minus-deleted
+      // (benchmark rows are takedown-exempt — the registry is
+      // immutable, which is also what keeps contamination monotone
+      // under deletes): quality-keeper re-election, component splits,
+      // and decision-frame reassembly are hash-proved from scratch.
+      "x18_curation_delete" -> {
+        import graft.operators.Dedup.{DecontamSeed, DecontamBenchMod}
+        import graft.operators.Incremental.{DeleteMod, DeleteRes}
+        x08SqlWith(s"NOT (doc_id % $DeleteMod = $DeleteRes AND " +
+          s"${h60(DecontamSeed, "CAST(doc_id AS VARCHAR)")} % $DecontamBenchMod <> 0)")
       },
 
       // bands feeds BOTH sides of the candidate self-join; DuckDB 1.0
@@ -2201,6 +2216,26 @@ object Oracles {
          |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
          |FROM acand WHERE bit_count(xor(fa, fb)) <= $M09MaxHamming
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // m10: perceptual audio GROUPS — the same component fixpoint over
+    // m09's pair graph (the shared m09PairCtes).
+    "m10_audio_groups" -> {
+      import graft.operators.Multimodal.M09MaxHamming
+      s"""WITH RECURSIVE $m09PairCtes,
+         |apairs AS MATERIALIZED (SELECT id_a, id_b FROM acand
+         |  WHERE bit_count(xor(fa, fb)) <= $M09MaxHamming),
+         |edges AS (SELECT id_a AS ea, id_b AS eb FROM apairs
+         |          UNION ALL SELECT id_b, id_a FROM apairs),
+         |reach(rid, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON r.rid = e.ea),
+         |lab AS MATERIALIZED (SELECT rid AS doc_id, MIN(lbl) AS canonical_id
+         |  FROM reach GROUP BY rid),
+         |gs AS (SELECT canonical_id AS cid, COUNT(*) AS group_size FROM lab GROUP BY 1)
+         |SELECT doc_id, canonical_id, group_size, doc_id = canonical_id AS is_keeper
+         |FROM lab JOIN gs ON canonical_id = cid ORDER BY doc_id""".stripMargin
     },
 
     // m08: perceptual duplicate GROUPS — d06's recursive-CTE component

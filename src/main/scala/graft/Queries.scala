@@ -187,6 +187,9 @@ object Queries {
     // grammar for the time axis (frame-energy hash, same band
     // machinery); catches bit-depth re-encodes m05/m03 cannot see.
     "m09_audio_dedup"      -> (Multimodal.m09AudioDedup _),
+    // m10: audio duplicate groups — m08's act-on-it posture over m09's
+    // pair graph (shared CC machinery, min-id keeper).
+    "m10_audio_groups"     -> (Multimodal.m10AudioGroups _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
@@ -219,6 +222,11 @@ object Queries {
     "x07_datasheet"        -> (Sampling.x07Datasheet _),
     "x08_curation_decide"  -> (Curation.x08CurationDecide _),
     "x09_curation_merge"   -> (Curation.x09CurationMerge _),
+    // x18: curation takedown — the delete sibling of x09: per-doc
+    // verdicts stand (immutable benchmark registry), touched clean
+    // components re-CC with QUALITY-keeper re-election, decision frame
+    // reassembles; oracle = x08's mirror on corpus-minus-deleted.
+    "x18_curation_delete"  -> (Curation.x18CurationDelete _),
     "x10_seq_chunk"        -> (Sampling.x10SeqChunk _),
     "x11_quantile_profile" -> (Sampling.x11QuantileProfile _),
     // x12 consumes x10's chunk fingerprints: chunk-level exact dedup
@@ -329,6 +337,7 @@ object Queries {
     "m07_perceptual_dedup" -> Seq("id_a", "id_b"),
     "m08_media_groups"     -> Seq("doc_id"),
     "m09_audio_dedup"      -> Seq("id_a", "id_b"),
+    "m10_audio_groups"     -> Seq("doc_id"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),
@@ -347,6 +356,7 @@ object Queries {
     "x07_datasheet"        -> Seq("lvl", "lang", "source"),
     "x08_curation_decide"  -> Seq("doc_id"),
     "x09_curation_merge"   -> Seq("doc_id"),
+    "x18_curation_delete"  -> Seq("doc_id"),
     "x10_seq_chunk"        -> Seq("doc_id", "chunk_no"),
     "x11_quantile_profile" -> Seq("source"),
     "x12_chunk_dedup"      -> Seq("chunk_md5"),

@@ -516,6 +516,95 @@ object Curation {
   private def batchOf(s: SparkSession, d: String, mod: Int): DataFrame =
     Tables.documents(s, d).filter(pmod(col("doc_id"), lit(mod)) === 0)
 
+  // -------------------------------------------------------------------
+  // Takedown through the curation decision frame — the delete sibling
+  // of mergeCuration (d16's machinery lifted to the decision schema).
+  // -------------------------------------------------------------------
+
+  /** The takedown-eligible slice: doc_id ≡ DeleteRes (mod DeleteMod)
+    * AND not a benchmark row. Benchmark rows are exempt BY SEMANTICS,
+    * not convenience: a takedown targets the TRAINING corpus, while
+    * the benchmark gram registry is a separate immutable artifact —
+    * and the exemption is what keeps contamination MONOTONE under
+    * deletes (removing benchmark grams could flip old docs back to
+    * clean and MERGE components, destroying the touched-component
+    * bound; a registry that never shrinks cannot). */
+  private[graft] def deleteSlice(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % Incremental.DeleteMod === Incremental.DeleteRes
+        && !isBenchCol)
+      .select("doc_id")
+
+  /** Propagate a takedown list through persisted curation state:
+    * per-doc verdicts of survivors are UNCHANGED (quality and bench
+    * membership are per-doc; contamination compares against the
+    * immutable registry), so the only moving structure is the clean
+    * component graph — [[Incremental.deleteFromGroups]] re-resolves
+    * exactly the touched components (keeper death here re-elects by
+    * QUALITY, x08's max_by policy, because [[assembleDecisions]] owns
+    * the keeper rule) — and the decision frame reassembles from the
+    * new labels + persisted quality/splits. Work = one map-side
+    * anti-join over the corpus-sized frames + takedown-fan-out re-CC.
+    * The x18 gate hash-proves this equals from-scratch x08 on
+    * corpus-minus-deleted. */
+  def deleteCuration(s: SparkSession, decisions: DataFrame, pairs: DataFrame,
+                     quality: DataFrame, splits: DataFrame,
+                     deleted: DataFrame): DataFrame = {
+    val delIds = deleted.select("doc_id")
+    val oldClean = decisions.filter(col("stage").isin("kept", "duplicate"))
+      .select(col("doc_id").as("id"), col("group_id").as("lbl"))
+    val labels = Incremental.deleteFromGroups(s, oldClean,
+        pairs, delIds.toDF("id"))
+      .toDF("doc_id", "lbl")
+    val nonClean = decisions.filter(!col("stage").isin("kept", "duplicate"))
+      .join(delIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("stage").as("stage0"))
+    assembleDecisions(labels, quality, splits, nonClean)
+  }
+
+  /** x18: curation takedown as a gated key — builds full-corpus state
+    * in-query (x09's checkpoint discipline) and propagates the
+    * deterministic slice; the oracle is x08's mirror VERBATIM on
+    * corpus-minus-deleted, so quality-keeper re-election, component
+    * splits, and decision-frame reassembly are hash-proved every run.
+    * Production marginal: [[deleteCurationFromState]], priced by
+    * [[graft.IncBench]] --deletes. */
+  def x18CurationDelete(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val decisionsM = curationDecideDocs(s, docs).transform(graft.Checkpoints.cut)
+    val st0 = curationStateFrom(s, docs, decisionsM)
+    deleteCuration(s, decisionsM,
+      st0.pairs.transform(graft.Checkpoints.cut),
+      st0.quality.transform(graft.Checkpoints.cut),
+      st0.splits.transform(graft.Checkpoints.cut),
+      deleteSlice(docs))
+  }
+
+  /** Persist FULL-corpus curation state (the artifact a takedown runs
+    * against — [[writeCurationState]] holds out a batch for the merge
+    * gate; deletes start from the complete current state). */
+  def writeCurationStateAll(s: SparkSession, d: String, dir: String): Unit = {
+    val all = Tables.documents(s, d)
+    val st = curationState(s, all)
+    st.decisions.write.mode("overwrite").parquet(s"$dir/decisions")
+    st.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    st.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    st.pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    st.quality.write.mode("overwrite").parquet(s"$dir/quality")
+    st.splits.write.mode("overwrite").parquet(s"$dir/splits")
+    st.benchGrams.write.mode("overwrite").parquet(s"$dir/benchgrams")
+    st.cleanGrams.write.mode("overwrite").parquet(s"$dir/cleangrams")
+  }
+
+  /** The production curation takedown from PERSISTED state: reads only
+    * decisions + pairs + quality + splits (the delete never touches
+    * bands/shingles/grams — no new edges, immutable registry). */
+  def deleteCurationFromState(s: SparkSession, d: String, dir: String): DataFrame =
+    deleteCuration(s,
+      s.read.parquet(s"$dir/decisions"),
+      s.read.parquet(s"$dir/pairs"),
+      s.read.parquet(s"$dir/quality"), s.read.parquet(s"$dir/splits"),
+      deleteSlice(Tables.documents(s, d)))
+
   /** The production merge: full combined decisions from PERSISTED state. */
   def mergeCurationFromState(s: SparkSession, d: String, dir: String,
                              mod: Int = Incremental.IngestMod): DataFrame =

@@ -1293,4 +1293,21 @@ object Multimodal {
     * closed for images, with zero new dependencies. */
   def m09AudioDedup(s: SparkSession, d: String): DataFrame =
     audioDedup(s, m09Payloads(s, d))
+
+  /** m10: perceptual audio duplicate GROUPS — m08's act-on-it posture
+    * for the audio axis: connected components over m09's pair graph
+    * (the shared min-label machinery), min-id canonical keeper, group
+    * size. A re-encode + gain-edit chain collapses into ONE keep/drop
+    * group even when no two members share a byte. Inherits its parts'
+    * scale shapes verbatim. */
+  def m10AudioGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = m09AudioDedup(s, d).select(col("id_a"), col("id_b"))
+    val verts = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val labels = Dedup.connectedComponents(verts, pairs)
+    val sizes = labels.groupBy(col("lbl").as("cid"))
+      .agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, col("lbl") === col("cid"))
+      .select(col("id").as("doc_id"), col("lbl").as("canonical_id"),
+        col("group_size"), (col("id") === col("lbl")).as("is_keeper"))
+  }
 }

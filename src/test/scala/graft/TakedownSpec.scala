@@ -109,6 +109,59 @@ class TakedownSpec extends SparkSpecBase {
       == rows(Retrieval.e14PostingsDelete(spark, d)))
   }
 
+  test("curation delete: quality keeper re-election on a fixture (not min-id)") {
+    import graft.operators.Curation
+    // One 3-member clean component; the QUALITY-best member (id 30,
+    // quality 0.9) is deleted — the new keeper must be id 20 (quality
+    // 0.8), NOT the min id 10 (quality 0.1): the policy under test is
+    // assembleDecisions' max_by, surviving the takedown path.
+    val decisions = Seq(
+      (10L, "kept", 10L, 3L, 10L, "train", true),
+      (20L, "duplicate", 10L, 3L, 10L, "none", false),
+      (30L, "duplicate", 10L, 3L, 10L, "none", false),
+      (99L, "low_quality", -1L, 0L, -1L, "none", false)
+    ).toDF("doc_id", "stage", "group_id", "group_size", "keeper_id", "split", "keep")
+    // Hand-set qualities make 30 the standing... the persisted frame
+    // above says keeper 10 only because this fixture starts mid-life;
+    // what matters is the RE-ELECTION after 30 joins the takedown.
+    val pairs = Seq((10L, 20L, 10L), (20L, 30L, 10L), (10L, 30L, 10L))
+      .toDF("id_a", "id_b", "lbl")
+    val quality = Seq((10L, 0.1), (20L, 0.8), (30L, 0.9)).toDF("doc_id", "quality")
+    val splits = Seq((10L, "train"), (20L, "val"), (30L, "test")).toDF("doc_id", "split")
+    val got = Curation.deleteCuration(spark, decisions, pairs, quality, splits,
+        Seq(30L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(4), r.getString(5))).toMap
+    assert(got(20L) == (("kept", 20L, "val")), s"got $got")
+    assert(got(10L) == (("duplicate", 20L, "none")))
+    assert(got(99L)._1 == "low_quality")
+    assert(!got.contains(30L))
+  }
+
+  test("deleteCurationFromState (persisted path) == in-query x18 (real data)") {
+    import graft.operators.Curation
+    val d = sf001
+    val dir = java.nio.file.Files.createTempDirectory("graft-del-cur").toString
+    Curation.writeCurationStateAll(spark, d, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getBoolean(6))).toSet
+    assert(rows(Curation.deleteCurationFromState(spark, d, dir))
+      == rows(Curation.x18CurationDelete(spark, d)))
+  }
+
+  test("takedown slice never contains a benchmark row (the registry-immutability exemption)") {
+    import graft.operators.{Curation, Dedup}
+    import graft.functions.Text
+    val marked = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        (pmod(Text.hash60(col("doc_id").cast("string"), Dedup.DecontamSeed),
+          lit(Dedup.DecontamBenchMod)) === 0).as("is_bench"))
+    val slice = Curation.deleteSlice(Tables.documents(spark, sf001))
+    assert(slice.join(marked.filter(col("is_bench")), "doc_id").count() == 0)
+    assert(slice.count() > 0)
+  }
+
   test("index delete: touched-cell-only rewrite, remaining-corpus equality, query parity") {
     val d = sf001
     val dir = java.nio.file.Files.createTempDirectory("graft-del-idx").toString

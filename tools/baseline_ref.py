@@ -819,6 +819,36 @@ def main(sf):
         assemble(stages, labels, quality)
     maybe("x09_curation_merge", x09)
 
+    def x18():
+        # curation takedown, the honest single-process form of the gated
+        # key: build the full decision state (x08's passes), then
+        # propagate — per-doc verdicts stand (immutable benchmark
+        # registry; bench rows are takedown-exempt), touched clean
+        # components re-union-find, keeper re-elects by QUALITY in the
+        # shared assemble.
+        df = pd.read_parquet(P("documents"))
+        st = doc_pass(df)
+        bench_grams = set().union(
+            *(g for isb, _, _, g, _ in st.values() if isb), set())
+        stages = stages_of(st, bench_grams)
+        sh_clean = {d_: st[d_][4] for d_, s_ in stages.items() if s_ == "clean"}
+        pairs = verified_pairs(band_table(sh_clean), sh_clean)
+        labels = cc_min(list(sh_clean), pairs)
+        deleted = {d_ for d_ in stages
+                   if d_ % 10 == 3 and not st[d_][0]}
+        touched = {labels[d_] for d_ in deleted if d_ in labels}
+        surv = [d_ for d_ in labels
+                if labels[d_] in touched and d_ not in deleted]
+        sub = [(a, b) for a, b in pairs
+               if labels[a] in touched and a not in deleted and b not in deleted]
+        out_labels = {d_: l for d_, l in labels.items()
+                      if l not in touched}
+        out_labels.update(cc_min(surv, sub))
+        quality = {d_: st[d_][2] for d_ in out_labels}
+        stages2 = {d_: s_ for d_, s_ in stages.items() if d_ not in deleted}
+        return assemble(stages2, out_labels, quality)
+    maybe("x18_curation_delete", x18)
+
     def d16():
         # takedown through dup groups, the honest single-process form of
         # the gated key: build the full labelling + pair graph (state),
@@ -1250,6 +1280,36 @@ def main(sf):
                         rows.add((a, b, hd))
         return pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "hamming"])
     maybe("m09_audio_dedup", m09)
+
+    def _m09_pairs():
+        return m09()
+
+    def m10():
+        # audio groups: m09's full pipeline + min-id union-find (m08's
+        # tail over the audio pair graph)
+        pairs_df = _m09_pairs()
+        d = pd.read_parquet(P("documents"), columns=["doc_id"])
+        parent = {}
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+        for a, b in zip(pairs_df.id_a, pairs_df.id_b):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        ids = d.doc_id.astype("int64")
+        lab = {int(i): find(int(i)) for i in ids}
+        from collections import Counter as _C
+        sizes = _C(lab.values())
+        return pd.DataFrame(
+            [(i, l, sizes[l], i == l) for i, l in lab.items()],
+            columns=["doc_id", "canonical_id", "group_size", "is_keeper"])
+    maybe("m10_audio_groups", m10)
+
 
     def t09():
         # HTML extraction: build the page per row, strip with the same
