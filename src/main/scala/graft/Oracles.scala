@@ -994,6 +994,57 @@ object Oracles {
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** m11's frame-grammar mirror: the MP4 corpus is deterministic (real
+    * PNG frames under the md5 pixel rule, addressed by real sample
+    * tables) and PNG decode is pixel-exact, so the oracle recomputes
+    * FRAME PIXELS per (doc, frame, y, x) — the generation rule, never
+    * container bytes (m07's convention, one dimension up). Trim plants
+    * drop frame 0 of the source; re-encode plants differ only in PNG
+    * filter bytes so they vanish at the pixel level. Frame hashes are
+    * aHash64 (the m07 block grammar), the inverted index carries the
+    * d02-style stop-frame df cap, pairs need ≥ MinShared shared
+    * hashes. */
+  private def m11PairCtes: String = {
+    import graft.operators.Multimodal.{M11Seed, M11MaxFrameDf}
+    s"""vsrc AS (SELECT doc_id,
+       |    CASE WHEN doc_id > 0 AND (doc_id % 23 = 0 OR doc_id % 37 = 0)
+       |         THEN doc_id - 1 ELSE doc_id END AS b,
+       |    (doc_id > 0 AND doc_id % 23 <> 0 AND doc_id % 37 = 0) AS trimd
+       |  FROM documents),
+       |vdim AS (SELECT doc_id, b, trimd, 3 + (b % 3) AS nf,
+       |    8 + (b % 9) AS w, 8 + ((b * 5) % 9) AS h FROM vsrc),
+       |vfr AS (SELECT doc_id, b, w, h, f.f AS f
+       |  FROM vdim, range(0, 5) f(f)
+       |  WHERE f.f < nf AND (NOT trimd OR f.f >= 1)),
+       |vrh AS (SELECT doc_id, f, w, h, y.y AS y,
+       |    ${h60(M11Seed, "b || ':' || f || ':' || y.y")} AS r
+       |  FROM vfr, range(0, 16) y(y) WHERE y.y < h),
+       |vpix AS MATERIALIZED (SELECT doc_id, f,
+       |    ((y * 8) // h) * 8 + ((x.x * 8) // w) AS bidx,
+       |    (r >> (8 * (x.x % 7))) & 255 AS p
+       |  FROM vrh, range(0, 16) x(x) WHERE x.x < w),
+       |vtot AS (SELECT doc_id, f, CAST(SUM(p) AS BIGINT) AS total,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM vpix GROUP BY 1, 2),
+       |vblk AS (SELECT doc_id, f, bidx, CAST(SUM(p) AS BIGINT) AS bs,
+       |    CAST(COUNT(*) AS BIGINT) AS nb FROM vpix GROUP BY 1, 2, 3),
+       |vhash AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM (
+       |  SELECT t.doc_id,
+       |    CAST(SUM(CASE WHEN bs * t.n > total * nb THEN
+       |      CASE WHEN bidx = 63 THEN -9223372036854775808
+       |           ELSE (CAST(1 AS BIGINT) << CAST(bidx AS INT)) END
+       |      ELSE 0 END) AS BIGINT) AS fp
+       |  FROM vblk k JOIN vtot t ON k.doc_id = t.doc_id AND k.f = t.f
+       |  GROUP BY t.doc_id, t.f)),
+       |vkept AS (SELECT doc_id, fp FROM vhash
+       |  WHERE fp IN (SELECT fp FROM vhash GROUP BY fp
+       |               HAVING COUNT(*) <= $M11MaxFrameDf)),
+       |vnv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM vhash GROUP BY 1),
+       |vshared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM vkept a JOIN vkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** x10's chunking CTE chain (tokenize → chunk-index explode → md5 of
     * the token slice), generated once from the shared geometry
     * constants and reused by every chunk-consuming oracle (x10, x12) so
@@ -2216,6 +2267,19 @@ object Oracles {
          |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
          |FROM acand WHERE bit_count(xor(fa, fb)) <= $M09MaxHamming
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // m11: perceptual VIDEO near-dup — the frame-grammar mirror
+    // ([[m11PairCtes]]): per-frame aHash over recomputed pixels,
+    // capped frame-hash inverted index, pairs at >= MinShared.
+    "m11_video_neardup" -> {
+      import graft.operators.Multimodal.M11MinShared
+      s"""WITH $m11PairCtes
+         |SELECT s.id_a, s.id_b, s.n_shared, a.nf AS n_a, b.nf AS n_b
+         |FROM vshared s JOIN vnv a ON a.doc_id = s.id_a
+         |JOIN vnv b ON b.doc_id = s.id_b
+         |WHERE s.n_shared >= $M11MinShared
+         |ORDER BY s.id_a, s.id_b""".stripMargin
     },
 
     // m10: perceptual audio GROUPS — the same component fixpoint over

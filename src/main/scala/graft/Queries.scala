@@ -190,6 +190,10 @@ object Queries {
     // m10: audio duplicate groups — m08's act-on-it posture over m09's
     // pair graph (shared CC machinery, min-id keeper).
     "m10_audio_groups"     -> (Multimodal.m10AudioGroups _),
+    // m11: video near-dup — frames out of REAL MP4 sample tables, PNG
+    // decode + aHash per frame, pairs by shared perceptual frames
+    // (capped inverted index; re-encodes and trims both recovered).
+    "m11_video_neardup"    -> (Multimodal.m11VideoNeardup _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
@@ -338,6 +342,7 @@ object Queries {
     "m08_media_groups"     -> Seq("doc_id"),
     "m09_audio_dedup"      -> Seq("id_a", "id_b"),
     "m10_audio_groups"     -> Seq("doc_id"),
+    "m11_video_neardup"    -> Seq("id_a", "id_b"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),

@@ -1294,6 +1294,244 @@ object Multimodal {
   def m09AudioDedup(s: SparkSession, d: String): DataFrame =
     audioDedup(s, m09Payloads(s, d))
 
+  // -------------------------------------------------------------------
+  // m11: perceptual VIDEO near-dup — the container+frames composition
+  // that closes the video half of the decode boundary: a structurally
+  // complete MP4 whose mdat carries REAL encoded frames addressed by
+  // REAL sample tables (stsz/stco/stsc/stts), frame extraction via the
+  // tables (never signature-scanning the mdat), per-frame PNG decode +
+  // aHash, near-dup videos by shared perceptual frame hashes.
+  // -------------------------------------------------------------------
+
+  /** Build/parse the frame-addressing half of ISO-BMFF: [[encode]]
+    * lands N frame payloads in one mdat chunk with exact stsz sizes and
+    * the stco offset; [[sampleRanges]] reads them BACK from the sample
+    * tables (requires the one-chunk contiguous layout it writes —
+    * stsc: one run — and fails loudly on missing tables or ranges
+    * outside the buffer). The moov carries m04's full box grammar
+    * (mvhd/tkhd/mdhd/hdlr/stsd), so [[BmffDecode.decode]] reads these
+    * files too. */
+  object Mp4Frames {
+    private def bos = new java.io.ByteArrayOutputStream()
+    private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val o = bos
+      val size = 8 + payload.length
+      o.write((size >> 24) & 0xff); o.write((size >> 16) & 0xff)
+      o.write((size >> 8) & 0xff); o.write(size & 0xff)
+      o.write(typ.getBytes("US-ASCII")); o.write(payload)
+      o.toByteArray
+    }
+    private def be32a(vs: Long*): Array[Byte] = {
+      val o = bos
+      vs.foreach { v =>
+        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+      }
+      o.toByteArray
+    }
+    private def hex(s: String): Array[Byte] = {
+      val clean = s.replaceAll("\\s", "")
+      Array.tabulate(clean.length / 2)(i =>
+        Integer.parseInt(clean.substring(2 * i, 2 * i + 2), 16).toByte)
+    }
+    private val Matrix =
+      "00010000 00000000 00000000 00000000 00010000 00000000" +
+        "00000000 00000000 40000000"
+
+    def encode(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      require(frames.nonEmpty, "a video needs at least one frame")
+      val ftyp = hex("00000018 66747970 69736F6D 00000200 69736F6D 69736F32")
+      val n = frames.length.toLong
+      val mvhd = box("mvhd", be32a(0, 0, 0, 600, n) ++
+        hex("00010000 01000000 0000000000000000" + Matrix + ("00" * 24) +
+          "00000002"))
+      val tkhd = box("tkhd", be32a(7, 0, 0, 1, 0, n) ++
+        hex("0000000000000000 0000 0000 0000 0000" + Matrix) ++
+        be32a(w.toLong << 16, h.toLong << 16))
+      val mdhd = box("mdhd", be32a(0, 0, 0, 600, n) ++ hex("55C4 0000"))
+      val hdlr = box("hdlr", be32a(0, 0) ++ "vide".getBytes("US-ASCII") ++
+        new Array[Byte](13))
+      val entry = {
+        val o = bos
+        o.write(be32a(86)); o.write("png ".getBytes("US-ASCII"))
+        o.write(hex("000000000000 0001 0000 0000 000000000000000000000000"))
+        o.write((w >> 8) & 0xff); o.write(w & 0xff)
+        o.write((h >> 8) & 0xff); o.write(h & 0xff)
+        o.write(hex("00480000 00480000 00000000 0001" + ("00" * 32) +
+          "0018 FFFF"))
+        o.toByteArray
+      }
+      val stsd = box("stsd", be32a(0, 1) ++ entry)
+      val stts = box("stts", be32a(0, 1, n, 1))
+      val stsc = box("stsc", be32a(0, 1, 1, n, 1))
+      val stsz = box("stsz", be32a(0L +: 0L +: n +: frames.map(_.length.toLong): _*))
+      // stco needs the absolute mdat payload offset: compute the moov
+      // size with a placeholder, then rebuild with the real value (the
+      // offset does not change the box sizes).
+      def assemble(chunkOff: Long): Array[Byte] = {
+        val stco = box("stco", be32a(0, 1, chunkOff))
+        val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+        val minf = box("minf", stbl)
+        val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+        val trak = box("trak", tkhd ++ mdia)
+        val moov = box("moov", mvhd ++ trak)
+        val mdat = box("mdat", frames.reduce(_ ++ _))
+        ftyp ++ moov ++ mdat
+      }
+      val probe = assemble(0)
+      // mdat payload sits at EOF minus the frame bytes; the offset does
+      // not change any box size, so one probe pass fixes it.
+      assemble((probe.length - frames.map(_.length).sum).toLong)
+    }
+
+    /** Frame (offset, size) ranges from the real sample tables. */
+    def sampleRanges(b: Array[Byte]): Seq[(Int, Int)] = {
+      def be32(i: Int): Long =
+        ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+          ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      var sizes: Array[Int] = null
+      var chunkOff = -1L
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      def walk(from: Int, to: Int): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val size = be32(i)
+          val typ = new String(b, i + 4, 4, "US-ASCII")
+          require(size >= 8 && i + size <= to, s"bad $typ box")
+          val p = i + 8
+          if (containers(typ)) walk(p, (i + size).toInt)
+          else if (typ == "stsz") {
+            require(be32(p + 4) == 0L, "uniform stsz unsupported")
+            val n = be32(p + 8).toInt
+            sizes = Array.tabulate(n)(k => be32(p + 12 + 4 * k).toInt)
+          } else if (typ == "stco") {
+            require(be32(p + 4) == 1L, "multi-chunk stco unsupported")
+            chunkOff = be32(p + 8)
+          }
+          i += size.toInt
+        }
+      }
+      require(b.length >= 12 &&
+        new String(b, 4, 4, "US-ASCII") == "ftyp", "not an MP4")
+      walk(0, b.length)
+      require(sizes != null && chunkOff >= 0, "missing stsz/stco tables")
+      var off = chunkOff.toInt
+      sizes.toSeq.map { s =>
+        val r = (off, s)
+        require(off + s <= b.length, "sample range outside buffer")
+        off += s
+        r
+      }
+    }
+  }
+
+  /** m11 grammar constants. Plants: doc % 23 == 0 is a per-frame PNG
+    * RE-ENCODE of doc−1's video (Sub filter — every frame
+    * byte-different, pixel-identical); doc % 37 == 0 is a TRIM of
+    * doc−1 (first frame dropped — the clipped-repost case). */
+  val M11Seed = 67
+  val M11MinShared = 2
+  val M11MaxFrameDf = 64 // stop-frame cap, d02's discipline
+  private val M11ReencodeMod = 23
+  private val M11TrimMod = 37
+
+  private[graft] def m11BaseId(doc: Long): Long =
+    if (doc > 0 && (doc % M11ReencodeMod == 0 || doc % M11TrimMod == 0)) doc - 1
+    else doc
+  private[graft] def m11Reenc(doc: Long): Boolean =
+    doc > 0 && doc % M11ReencodeMod == 0
+  private[graft] def m11Trim(doc: Long): Boolean =
+    doc > 0 && doc % M11ReencodeMod != 0 && doc % M11TrimMod == 0
+  private[graft] def m11FrameCount(b: Long): Int = (3 + b % 3).toInt
+  private[graft] def m11FramePixels(b: Long, f: Int): (Int, Int, Array[Int]) = {
+    val w = (8 + b % 9).toInt
+    val h = (8 + (b * 5) % 9).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val r = h60Local(md, M11Seed, s"$b:$f:$y")
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = ((r >> (8 * (x % 7))) & 255L).toInt
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** The m11 gate corpus: every document's MP4 under the frame
+    * grammar — real PNG frames in the mdat, real sample tables. */
+  def m11Payloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val b = m11BaseId(id)
+          val ft = if (m11Reenc(id)) 1 else 0
+          val range = if (m11Trim(id)) 1 until m11FrameCount(b)
+                      else 0 until m11FrameCount(b)
+          val frames = range.map { f =>
+            val (w, h, px) = m11FramePixels(b, f)
+            PngCodec.encode(w, h, px, ft, s"m11 doc $id f$f")
+          }
+          val (w0, h0, _) = m11FramePixels(b, range.head)
+          MediaRow(id, Mp4Frames.encode(frames, w0, h0))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** [[m11VideoNeardup]] over any (doc_id, payload) frame of MP4s with
+    * PNG frames (spec entry). Scale shape: ONE container+frame decode
+    * pass per video (mapPartitions; frames addressed via the sample
+    * tables, never signature-scanned), only (id, 8-byte frame hash)
+    * rows shuffle; the frame-hash inverted index carries the d02
+    * stop-frame df cap so a boilerplate frame (intros, slates) cannot
+    * join the corpus at scale; pair volume is shared-frame-bounded. */
+  def videoNeardup(s: SparkSession, payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    val vf = payloads.as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        Mp4Frames.sampleRanges(r.payload).map { case (off, len) =>
+          val (w, h, px) = PngCodec.decode(
+            java.util.Arrays.copyOfRange(r.payload, off, off + len))
+          (r.doc_id, aHash64(w, h, px))
+        }
+      }
+    }.toDF("doc_id", "fh").distinct()
+      .transform(graft.Checkpoints.cut) // 4 consumers; lineage = the decode pass
+    val kept = vf.join(
+      vf.groupBy("fh").agg(count(lit(1)).as("fdf"))
+        .filter(col("fdf") <= M11MaxFrameDf).select("fh"),
+      Seq("fh"), "leftsemi")
+    val n = s.sessionState.conf.numShufflePartitions
+    val a = kept.select(col("fh"), col("doc_id").as("id_a"))
+      .repartition(n, col("fh"))
+    val b = kept.select(col("fh").as("fh2"), col("doc_id").as("id_b"))
+      .repartition(n, col("fh2"))
+    val shared = a
+      .join(b, col("fh") === col("fh2") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= M11MinShared)
+    val nv = vf.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    shared
+      .join(nv.toDF("id_a", "n_a"), "id_a")
+      .join(nv.toDF("id_b", "n_b"), "id_b")
+      .select("id_a", "id_b", "n_shared", "n_a", "n_b")
+  }
+
+  /** m11: perceptual VIDEO near-duplicate detection — the signal
+    * neither m04's header walk nor m05's byte digest can see: a
+    * per-frame re-encode shares no bytes, a trimmed repost shares no
+    * length, but both share perceptual FRAME content. Frames come out
+    * of the real sample tables; the pair rule is ≥ [[M11MinShared]]
+    * shared distinct frame hashes. Closes the video half of the
+    * decode boundary (m07 images, m09 audio, m11 video) with zero new
+    * dependencies. */
+  def m11VideoNeardup(s: SparkSession, d: String): DataFrame =
+    videoNeardup(s, m11Payloads(s, d))
+
   /** m10: perceptual audio duplicate GROUPS — m08's act-on-it posture
     * for the audio axis: connected components over m09's pair graph
     * (the shared min-label machinery), min-id canonical keeper, group

@@ -1281,6 +1281,139 @@ def main(sf):
         return pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "hamming"])
     maybe("m09_audio_dedup", m09)
 
+    def m11():
+        # perceptual video near-dup, single-node form: build each doc's
+        # MP4 (real PNG frames + stsz/stco sample tables), read the
+        # frames BACK via the tables, aHash per frame, pairs by shared
+        # hashes over a df-capped inverted index.
+        import zlib, struct
+        d = pd.read_parquet(P("documents"), columns=["doc_id"])
+        h60 = lambda seed, s: int(
+            hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+        def fpixels(b, f):
+            w, h = 8 + b % 9, 8 + (b * 5) % 9
+            px = []
+            for y in range(h):
+                r = h60(67, f"{b}:{f}:{y}")
+                px.append([(r >> (8 * (x % 7))) & 255 for x in range(w)])
+            return w, h, px
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data +
+                    struct.pack(">I", zlib.crc32(typ + data)))
+
+        def png(w, h, px, ft, meta):
+            raw = bytearray()
+            for y in range(h):
+                raw.append(ft)
+                cur = px[y]
+                for x in range(w):
+                    pred = (cur[x - 1] if x > 0 else 0) if ft == 1 else 0
+                    raw.append((cur[x] - pred) & 0xff)
+            ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+                    chunk(b"tEXt", b"Comment\x00" + meta.encode()) +
+                    chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+        def box(typ, payload):
+            return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+        def mp4(frames):
+            n = len(frames)
+            stsz = box(b"stsz", struct.pack(">III", 0, 0, n) +
+                       b"".join(struct.pack(">I", len(f)) for f in frames))
+            def assemble(off):
+                stco = box(b"stco", struct.pack(">III", 0, 1, off))
+                stbl = box(b"stbl", stsz + stco)
+                moov = box(b"moov", stbl)
+                mdat = box(b"mdat", b"".join(frames))
+                return b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2" + moov + mdat
+            probe = assemble(0)
+            return assemble(len(probe) - sum(len(f) for f in frames))
+
+        def frames_of(b_):
+            i, sizes, off = 12, None, None
+            # (the python builder writes a minimal but table-correct moov)
+            def walk(i, end):
+                nonlocal sizes, off
+                while i + 8 <= end:
+                    size = struct.unpack(">I", b_[i:i+4])[0]
+                    typ = b_[i+4:i+8]
+                    if typ in (b"moov", b"stbl"):
+                        walk(i + 8, i + size)
+                    elif typ == b"stsz":
+                        n = struct.unpack(">I", b_[i+16:i+20])[0]
+                        sizes = [struct.unpack(">I", b_[i+20+4*k:i+24+4*k])[0]
+                                 for k in range(n)]
+                    elif typ == b"stco":
+                        off = struct.unpack(">I", b_[i+16:i+20])[0]
+                    i += size
+            walk(0, len(b_))
+            out, o = [], off
+            for s_ in sizes:
+                out.append(b_[o:o+s_]); o += s_
+            return out
+
+        def decode(b_):
+            i, w, h, idat = 8, 0, 0, b""
+            while i + 12 <= len(b_):
+                ln = struct.unpack(">I", b_[i:i+4])[0]
+                typ = b_[i+4:i+8]
+                if typ == b"IHDR":
+                    w, h = struct.unpack(">II", b_[i+8:i+16])
+                elif typ == b"IDAT":
+                    idat += b_[i+8:i+8+ln]
+                i += 12 + ln
+            raw = zlib.decompress(idat)
+            px = [[0] * w for _ in range(h)]
+            for y in range(h):
+                ft = raw[y * (w + 1)]
+                for x in range(w):
+                    fv = raw[y * (w + 1) + 1 + x]
+                    a = px[y][x-1] if x > 0 else 0
+                    px[y][x] = (fv + (a if ft == 1 else 0)) & 0xff
+            return w, h, px
+
+        def ahash(w, h, px):
+            bs = [0]*64; nb = [0]*64; total = 0
+            for y in range(h):
+                for x in range(w):
+                    bi = (y*8//h)*8 + x*8//w
+                    bs[bi] += px[y][x]; nb[bi] += 1; total += px[y][x]
+            n = w * h
+            v = sum(1 << i for i in range(64) if bs[i]*n > total*nb[i])
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        vf = {}
+        for doc in d.doc_id.astype("int64"):
+            doc = int(doc)
+            b = doc - 1 if doc > 0 and (doc % 23 == 0 or doc % 37 == 0) else doc
+            ft = 1 if doc > 0 and doc % 23 == 0 else 0
+            trim = doc > 0 and doc % 23 != 0 and doc % 37 == 0
+            nf = 3 + b % 3
+            fr = [png(*fpixels(b, f), ft, f"m11 doc {doc} f{f}")
+                  for f in range(1 if trim else 0, nf)]
+            vf[doc] = {ahash(*decode(f)) for f in frames_of(mp4(fr))}
+        from collections import Counter as _C
+        dfc = _C(h for hs in vf.values() for h in hs)
+        inv = {}
+        for doc, hs in vf.items():
+            for h_ in hs:
+                if dfc[h_] <= 64:
+                    inv.setdefault(h_, []).append(doc)
+        shared = _C()
+        for ids in inv.values():
+            ids.sort()
+            for i in range(len(ids)):
+                for j in range(i+1, len(ids)):
+                    shared[(ids[i], ids[j])] += 1
+        rows = [(a, b, n, len(vf[a]), len(vf[b]))
+                for (a, b), n in shared.items() if n >= 2]
+        return pd.DataFrame(sorted(rows),
+                            columns=["id_a", "id_b", "n_shared", "n_a", "n_b"])
+    maybe("m11_video_neardup", m11)
+
     def _m09_pairs():
         return m09()
 
