@@ -32,23 +32,25 @@ object Bench {
     if (rounds.isEmpty) -1 else rounds.max
   }
 
-  private def artifactPath(): String =
-    sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .getOrElse(f"BENCH_LOCAL_r${maxCorrectnessRound() + 1}%02d.json")
-
   /** The auto slot is a GUESS of the round in progress (1 + the highest
     * CORRECTNESS_r{n} present) and is wrong by one when the driver
     * benches AFTER landing the same round's correctness file (the
     * r15/r16 footnote) — so the artifact now records its own naming
     * basis: `round_slot` is the number in the filename and
-    * `correctness_seen` the evidence it was derived from. Builder runs
-    * stamp explicitly via SPARK_GRAFT_BENCH_OUT and skip the guess. */
+    * `correctness_seen` the evidence it was derived from. The round is
+    * computed ONCE and shared by the filename and the payload (a
+    * CORRECTNESS_r* file landing between two scans could otherwise make
+    * them disagree), and the splice only fires when the line carries at
+    * least one key (an empty '{}' would gain a trailing comma). Builder
+    * runs stamp explicitly via SPARK_GRAFT_BENCH_OUT and skip the guess. */
   private def writeArtifact(line: String): Unit = {
-    val p = artifactPath()
+    val seen = maxCorrectnessRound()
+    val p = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .getOrElse(f"BENCH_LOCAL_r${seen + 1}%02d.json")
     val documented =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") || !line.startsWith("{")) line
+      if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") ||
+          !line.startsWith("{") || line.stripPrefix("{").trim.startsWith("}")) line
       else {
-        val seen = maxCorrectnessRound()
         s"""{"round_slot":${seen + 1},"correctness_seen":$seen,""" +
           s""""round_slot_basis":"1+max(CORRECTNESS_r*); one high if benching after the same round's correctness landed",""" +
           line.drop(1)

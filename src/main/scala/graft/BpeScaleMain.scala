@@ -32,7 +32,11 @@ object BpeScaleMain {
     val docs =
       if (synthetic)
         spark.range(args(1).toLong).select(
-          lower(conv(abs(hash(col("id"))).cast("string"), 10, 36)).as("text"))
+          // pmod, not abs: abs(Int.MinValue) is still negative and its
+          // conv() would carry a '-' that bpeVocab's ^[a-z0-9]+$ filter
+          // silently drops (a tiny skew in the synthetic vocabulary).
+          lower(conv(pmod(hash(col("id")), lit(Int.MaxValue)).cast("string"),
+            10, 36)).as("text"))
       else Tables.documents(spark, sfDir).select(col("text"))
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)

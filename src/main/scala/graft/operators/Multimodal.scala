@@ -1106,7 +1106,15 @@ object Multimodal {
     * in the cross-multiply, so hamming 0 by algebra); doc % 29 == 0 is
     * a +[[M09Gain]] GAIN edit of doc−1 (saturating at the 8-bit rails,
     * so magnitudes shift uniformly except where they clip — near-zero
-    * hamming, the m07-edit pattern). */
+    * hamming, the m07-edit pattern).
+    *
+    * CHAINING CAVEAT: when doc % 19 == 0 AND (doc−1) % 29 == 0, the
+    * re-encode derives from doc−1's UNEDITED base grammar
+    * ([[m09Samples]] reads b = doc−1 and applies no edit), while doc−1
+    * itself carries the gain edit — so that pair is hamming-0 with
+    * doc−1's BASE signal, not with doc−1 as stored. Oracle and baseline
+    * apply the identical rule (parity unaffected); only the nominal
+    * "re-encode of doc−1" reading is off for those ids. */
   val M09Seed = 59
   val M09MaxHamming = 3
   private val M09ReencodeMod = 19
@@ -1384,7 +1392,15 @@ object Multimodal {
       assemble((probe.length - frames.map(_.length).sum).toLong)
     }
 
-    /** Frame (offset, size) ranges from the real sample tables. */
+    /** Frame (offset, size) ranges from the real sample tables.
+      *
+      * SCOPE: the box walk handles the 32-bit compact size form only —
+      * ISO-BMFF's 64-bit extended size (size == 1, largesize follows)
+      * and size == 0 (box extends to EOF) both fail the
+      * `require(size >= 8)` LOUDLY. Fine for the self-generated corpus
+      * (the writer never emits either); an externally produced MP4
+      * using those legal encodings would need the largesize/to-EOF
+      * branches added here. */
     def sampleRanges(b: Array[Byte]): Seq[(Int, Int)] = {
       def be32(i: Int): Long =
         ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
