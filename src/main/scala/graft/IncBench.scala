@@ -50,6 +50,7 @@ object IncBench {
       df.write.format("noop").mode("overwrite").save()
     if (adversarial) { runAdversarial(spark, sfDir, stateDir, mod); spark.stop(); return }
     if (args.contains("--deletes")) { runDeletes(spark, sfDir, stateDir); spark.stop(); return }
+    if (args.contains("--composed")) { runComposed(spark, sfDir, stateDir); spark.stop(); return }
     val tGroup = timed(Incremental.writeGroupState(spark, sfDir, s"$stateDir/groups", mod))
     val tIndex = timed(Incremental.writeIndexState(spark, sfDir, s"$stateDir/ann", mod))
     def marginal(df: => org.apache.spark.sql.DataFrame): Double = {
@@ -142,6 +143,39 @@ object IncBench {
       s""""build_full_index_state":$tIdx,"e15_cell_rewrite":$e15cut,""" +
       s""""e15_query_marginal":$e15q,""" +
       s""""build_full_curation_state":$tCur,"x18_marginal":$x18m}""")
+  }
+
+  /** Prices the COMPOSED lifecycle (d17) step by step through PERSISTED
+    * state: base build (the once-per-corpus cost), then the marginal of
+    * each production operation — append(batch₁), delete(takedown
+    * slice), append(batch₂ with re-ingested ids) — each a
+    * read-state → operate → publish-new-version cycle, timed as
+    * production pays it (write included: publishing IS the operation's
+    * output). The gated d17 key prices the whole chain rebuilt
+    * in-query; these are the numbers a daily pipeline sees. */
+  private def runComposed(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String, stateDir: String): Unit = {
+    import graft.operators.Incremental
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val (base, (ids1, sh1), delIds, (ids2, sh2)) =
+      Incremental.composedSliceInputs(spark, sfDir)
+    val root = s"$stateDir/composed"
+    def rd(k: Int) = Incremental.readGroupLifecycle(spark, s"$root/v$k")
+    val tBase = timed(Incremental.writeGroupLifecycle(
+      Incremental.groupLifecycleOf(spark, base), s"$root/v0"))
+    val tApp1 = timed(Incremental.writeGroupLifecycle(
+      Incremental.appendGroupLifecycle(spark, rd(0), ids1, sh1), s"$root/v1"))
+    val tDel = timed(Incremental.writeGroupLifecycle(
+      Incremental.deleteGroupLifecycle(spark, rd(1), delIds), s"$root/v2"))
+    val tApp2 = timed(Incremental.writeGroupLifecycle(
+      Incremental.appendGroupLifecycle(spark, rd(2), ids2, sh2), s"$root/v3"))
+    val finalRows = spark.read.parquet(s"$root/v3/labels").count()
+    println(s"""{"metric":"composed_lifecycle_marginal","unit":"sec","sf":"$sfDir",""" +
+      s""""build_base_state":$tBase,"append1_marginal":$tApp1,""" +
+      s""""delete_marginal":$tDel,"append2_marginal":$tApp2,""" +
+      s""""final_label_rows":$finalRows}""")
   }
 
   /** The worst-case ingest: every batch doc is a near-dup of a corpus

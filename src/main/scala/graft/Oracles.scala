@@ -1163,6 +1163,12 @@ object Oracles {
       import graft.operators.Incremental.{DeleteMod, DeleteRes}
       s"doc_id % $DeleteMod <> $DeleteRes"
     }
+    // d17's composed survivor set: deleted ∧ not-re-ingested is the
+    // only slice absent at the end of append→delete→append.
+    val composedPred = {
+      import graft.operators.Incremental.{DeleteMod, DeleteRes, ComposedReingestMod}
+      s"NOT (doc_id % $DeleteMod = $DeleteRes AND doc_id % $ComposedReingestMod <> 0)"
+    }
     // x08's full mirror as a predicate-parameterized builder: x08 runs
     // it at TRUE, x18 on corpus-minus-deleted — same SQL, one source.
     def x08SqlWith(docPred: String): String = {
@@ -1409,6 +1415,17 @@ object Oracles {
       // nothing — hash equality IS the delete-propagation proof.
       "d16_delete_groups" ->
         d06Sql(d03CtesWith(shingleCteK("sh", 3, deletePred)), deletePred),
+
+      // d17's oracle is d06's from-scratch SQL on the COMPOSED survivor
+      // set ((base ∪ batch₁) − deleted) ∪ batch₂ = everything except
+      // the deleted-and-not-re-ingested slice. The Spark side chains
+      // THREE production state operations (append, delete, append with
+      // re-ingestion) through one carried state; equality with the
+      // from-scratch mirror on the survivors is what "the lifecycle
+      // composes" means — stale bands, a resurrected pair, or a
+      // relabel bug in either append would each diverge.
+      "d17_lifecycle_groups" ->
+        d06Sql(d03CtesWith(shingleCteK("sh", 3, composedPred)), composedPred),
 
       "d04_simhash" ->
         s"""WITH $shingleCte,

@@ -100,6 +100,10 @@ object Queries {
     // persisted group state (touched-component re-CC, keeper
     // re-election, splits) vs from-scratch on corpus-minus-deleted.
     "d16_delete_groups"    -> (Incremental.d16DeleteGroups _),
+    // d17: the COMPOSED lifecycle gate — append(batch₁) → delete(slice)
+    // → append(batch₂ re-ingesting a third of the deleted ids) through
+    // one carried state, vs from-scratch on the composed survivor set.
+    "d17_lifecycle_groups" -> (Incremental.d17LifecycleGroups _),
     "d08_containment"      -> (Dedup.d08Containment _),
     "d10_span_dup"         -> (Dedup.d10SpanDup _),
     "d11_span_mask"        -> (Dedup.d11SpanMask _),
@@ -313,6 +317,7 @@ object Queries {
     "d07_decontaminate"    -> Seq("doc_id"),
     "d09_incremental_groups" -> Seq("doc_id"),
     "d16_delete_groups"    -> Seq("doc_id"),
+    "d17_lifecycle_groups" -> Seq("doc_id"),
     "d08_containment"      -> Seq("id_a", "id_b"),
     "d10_span_dup"         -> Seq("doc_id"),
     "d11_span_mask"        -> Seq("doc_id"),

@@ -65,18 +65,23 @@ object Incremental {
   def ingestDupGroups(s: SparkSession, oldLabels: DataFrame,
                       oldBands: DataFrame, oldSh: DataFrame,
                       newIds: DataFrame, newSh: DataFrame,
-                      threshold: Double = 0.5): DataFrame = {
-    val merged = mergeGraph(s, oldLabels, oldBands, oldSh, newIds, newSh, threshold)
-    // Relabel: old components adopt their merged label (old labels are
-    // component minima, so a bridge through a new doc correctly pulls
-    // both sides down to the global min); untouched components and
-    // isolated new docs keep their own. The relabel maps are bounded by
-    // the batch's edge FAN-OUT (mergeGraph's vertex set is
-    // edge-incident only) and broadcast so the corpus-sized label table
-    // maps in place instead of shuffling — SIZE-GUARDED
-    // ([[Skew.boundedBroadcast]]): a ~100%-near-dup batch (the crawl
-    // case) makes fan-out ≈ batch, and the guard lets the relabel
-    // degrade to a shuffle join instead of a forced driver collect.
+                      threshold: Double = 0.5): DataFrame =
+    relabeled(oldLabels, newIds,
+      mergeGraph(s, oldLabels, oldBands, oldSh, newIds, newSh, threshold))
+
+  /** Apply a merged touched-graph labelling to the full label table:
+    * old components adopt their merged label (old labels are component
+    * minima, so a bridge through a new doc correctly pulls both sides
+    * down to the global min); untouched components and isolated new
+    * docs keep their own. The relabel maps are bounded by the batch's
+    * edge FAN-OUT ([[mergeGraph]]'s vertex set is edge-incident only)
+    * and broadcast so the corpus-sized label table maps in place
+    * instead of shuffling — SIZE-GUARDED ([[Skew.boundedBroadcast]]):
+    * a ~100%-near-dup batch (the crawl case) makes fan-out ≈ batch,
+    * and the guard lets the relabel degrade to a shuffle join instead
+    * of a forced driver collect. */
+  private def relabeled(oldLabels: DataFrame, newIds: DataFrame,
+                        merged: DataFrame): DataFrame = {
     val relabelOld = Skew.boundedBroadcast(merged.toDF("lbl", "nl"))
     val oldFinal = oldLabels.join(relabelOld, Seq("lbl"), "left")
       .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
@@ -122,6 +127,15 @@ object Incremental {
   private[graft] def mergeGraph(s: SparkSession, oldLabels: DataFrame,
                                 oldBands: DataFrame, oldSh: DataFrame,
                                 newIds: DataFrame, newSh: DataFrame,
+                                threshold: Double = 0.5): DataFrame =
+    mergeLabels(s, oldLabels, batchPairs(s, oldBands, oldSh, newSh, threshold))
+
+  /** Candidate generation + exact verification of the pairs a batch
+    * introduces (new-vs-corpus AND new-vs-new) — the pair half of
+    * [[mergeGraph]], factored so the composed lifecycle can ALSO feed
+    * the verified pairs forward into its persisted pair graph. */
+  private[graft] def batchPairs(s: SparkSession, oldBands: DataFrame,
+                                oldSh: DataFrame, newSh: DataFrame,
                                 threshold: Double = 0.5): DataFrame = {
     val n = s.sessionState.conf.numShufflePartitions
     val newBands = Dedup.minhashBands(newSh)
@@ -151,14 +165,21 @@ object Incremental {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    val pairs = Dedup.verifyJaccard(cand, oldSh.unionByName(newSh), threshold)
+    Dedup.verifyJaccard(cand, oldSh.unionByName(newSh), threshold)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** The label-space merge CC over a batch's verified pairs — the
+    * labelling half of [[mergeGraph]]. `newPairs` is consumed once
+    * (the edge lift, itself cut immediately); a caller that ALSO
+    * carries the pairs forward (composed lifecycle state) must cut
+    * them first or the verify pipeline re-runs per consumer. */
+  private[graft] def mergeLabels(s: SparkSession, oldLabels: DataFrame,
+                                 newPairs: DataFrame): DataFrame = {
     // Lift pair endpoints into LABEL space: an old endpoint stands for
     // its whole (already-connected) component, so the merge graph is
-    // labels + new ids, with one edge per verified pair. Checkpointed:
-    // verts reads it twice and CC once, and its lineage is the whole
-    // candidate-generation + verify pipeline.
-    val edges = pairs
+    // labels + new ids, with one edge per verified pair.
+    val edges = newPairs
       .join(oldLabels.toDF("id_a", "la"), Seq("id_a"), "left")
       .join(oldLabels.toDF("id_b", "lb"), Seq("id_b"), "left")
       .select(coalesce(col("la"), col("id_a")).as("id_a"),
@@ -565,4 +586,188 @@ object Incremental {
     val index = appendToIndex(s, baseIndex, centroids, codebooks, batch)
     Similarity.e05FromIndex(s, e, centroids, index, shortlist)
   }
+
+  // ---------------------------------------------------------------
+  // Composed lifecycle — append → delete → append through ONE state
+  // (d17). The per-direction gates (d09 append, d16 delete) each prove
+  // one operation against a from-scratch mirror; real state is never
+  // one operation old, and the danger class is the INTERACTION: a
+  // deleted doc re-ingested by a later batch, a component split by a
+  // delete then re-bridged by an append, a keeper killed by a delete
+  // whose replacement a later batch changes again. The composed gate
+  // runs the SAME per-step operators production runs, and its oracle
+  // is the from-scratch mirror on the composed survivor set — so the
+  // hash gate proves the steps COMPOSE, not just that each works.
+  // ---------------------------------------------------------------
+
+  /** The dup-group state a lifecycle-capable pipeline PERSISTS between
+    * operations: the labelling (id, lbl), the verified pair graph
+    * (id_a, id_b), and the band/shingle stores appends probe. A
+    * delete-only pipeline needs just labels + pairs (d16 — deletes
+    * never create edges); carrying bands + shingles is what makes the
+    * NEXT append possible without re-banding the corpus. */
+  final case class GroupLifecycleState(labels: DataFrame, pairs: DataFrame,
+                                       bands: DataFrame, shingles: DataFrame)
+
+  /** Build lifecycle state from scratch over any (doc_id, text) corpus
+    * frame — the once-per-corpus bootstrap (and the spec fixtures'
+    * entry). */
+  def groupLifecycleOf(s: SparkSession, docs: DataFrame): GroupLifecycleState = {
+    val sh = Dedup.shingledDocs(s, docs)
+    val pairs = Dedup.minhashLshPairs(s, sh).select(col("id_a"), col("id_b"))
+      .transform(graft.Checkpoints.cut)
+    val verts = docs.select(col("doc_id").as("id"))
+    GroupLifecycleState(
+      Dedup.connectedComponents(verts, pairs).transform(graft.Checkpoints.cut),
+      pairs, Dedup.minhashBands(sh), sh)
+  }
+
+  /** Append a batch to lifecycle state: [[ingestDupGroups]]'s merge for
+    * the labelling, plus the state-forward halves a one-shot ingest
+    * doesn't need — the new verified pairs join the persisted pair
+    * graph, the batch's bands/shingles join the stores. Work is the
+    * d09 ingest's (band-probe bounded) plus an APPEND of
+    * batch-fan-out-sized pair rows and batch-sized band/shingle rows.
+    * Re-ingesting a previously DELETED id is legal — it is absent from
+    * every state frame, so the id-disjointness precondition holds and
+    * its NEW text alone determines its new edges (the old rows left
+    * state at delete time); re-ingesting a LIVE id remains the
+    * upstream bug [[ingestDupGroups]] documents. */
+  def appendGroupLifecycle(s: SparkSession, st: GroupLifecycleState,
+                           newIds: DataFrame, newSh: DataFrame,
+                           threshold: Double = 0.5): GroupLifecycleState = {
+    // Cut: consumed twice (the merge-CC's edge lift AND the pair graph
+    // carried forward) — without it the candidate+verify pipeline
+    // re-runs per consumer.
+    val newPairs = batchPairs(s, st.bands, st.shingles, newSh, threshold)
+      .transform(graft.Checkpoints.cut)
+    val merged = mergeLabels(s, st.labels, newPairs)
+    GroupLifecycleState(
+      relabeled(st.labels, newIds, merged),
+      st.pairs.unionByName(newPairs),
+      st.bands.unionByName(Dedup.minhashBands(newSh)),
+      st.shingles.unionByName(newSh))
+  }
+
+  /** Delete a takedown list from lifecycle state: [[deleteFromGroups]]
+    * for the labelling (touched-component re-CC only); pairs, bands
+    * and shingles drop the deleted ids' per-doc rows by anti-join —
+    * removing vertices never creates an edge, and a deleted doc must
+    * stop band-matching FUTURE batches too (the half d16's
+    * labels-and-pairs-only state never needed). */
+  def deleteGroupLifecycle(s: SparkSession, st: GroupLifecycleState,
+                           deleted: DataFrame): GroupLifecycleState = {
+    val del = deleted.select("id")
+    val labeledPairs = st.pairs.join(st.labels.toDF("id_a", "lbl"), "id_a")
+    GroupLifecycleState(
+      deleteFromGroups(s, st.labels, labeledPairs, del),
+      st.pairs.join(del.toDF("id_a"), Seq("id_a"), "left_anti")
+        .join(del.toDF("id_b"), Seq("id_b"), "left_anti"),
+      st.bands.join(del.toDF("doc_id"), Seq("doc_id"), "left_anti"),
+      st.shingles.join(del.toDF("doc_id"), Seq("doc_id"), "left_anti"))
+  }
+
+  /** Composed-lifecycle slice grammar (d17/e16): batch₁ is the d09
+    * residue (id % [[IngestMod]] == 0), batch₂'s NEW docs are
+    * id % [[IngestMod]] == [[ComposedBatch2Res]] (held out of the base
+    * corpus), the takedown is the d16 slice (id % [[DeleteMod]] ==
+    * [[DeleteRes]] — entirely inside the base corpus, since
+    * 3 mod 5 ∉ {0, 1}), and batch₂ additionally RE-INGESTS the deleted
+    * ids with id % [[ComposedReingestMod]] == 0. The composed survivor
+    * set is therefore everything except the deleted-and-not-re-ingested
+    * slice: NOT (id % 10 == 3 AND id % 3 != 0) — one predicate the
+    * from-scratch oracle mirrors. */
+  val ComposedBatch2Res = 1
+  val ComposedReingestMod = 3
+
+  /** d17: the composed state-lifecycle gate. Base state is built over
+    * the 60% base corpus, then THREE production operations run through
+    * one carried state — append(batch₁), delete(takedown slice),
+    * append(batch₂ where batch₂ re-ingests a third of the deleted
+    * ids) — and the final labelling resolves to d06's group schema.
+    * The oracle is d06's from-scratch recursive CTE on the composed
+    * survivor set, so the gate hash-proves the operations COMPOSE:
+    * stale bands of deleted docs would re-pair them, a stale pair
+    * graph would resurrect deleted edges under re-CC, and a relabel
+    * bug in either append would mislabel the re-bridged components —
+    * each diverges from the mirror.
+    *
+    * State frames are lineage-cut between steps (x09's in-query
+    * rebuild discipline: production state is parquet-opaque, and a
+    * transparent rebuild both re-runs the base pipeline per reference
+    * and leaks foldable literals into join keys). The production
+    * marginal per step from PERSISTED state is priced by
+    * [[graft.IncBench]] `--composed`. */
+  def d17LifecycleGroups(s: SparkSession, d: String): DataFrame =
+    resolveGroups(composedLifecycleLabels(s, d))
+
+  /** The composed append→delete→append labelling over the gate corpus —
+    * shared by the gated key and the persisted-path equality spec. */
+  private[graft] def composedLifecycleLabels(s: SparkSession, d: String): DataFrame = {
+    val (base, (ids1, sh1), delIds, (ids2, sh2)) = composedSliceInputs(s, d)
+    def cutState(st: GroupLifecycleState): GroupLifecycleState =
+      GroupLifecycleState(graft.Checkpoints.cut(st.labels), st.pairs,
+        st.bands, st.shingles)
+    val st0 = groupLifecycleOf(s, base)
+    val st1 = cutState(appendGroupLifecycle(s, st0, ids1, sh1))
+    val st2 = cutState(deleteGroupLifecycle(s, st1, delIds))
+    appendGroupLifecycle(s, st2, ids2, sh2).labels
+  }
+
+  /** The composed gate's step inputs over the real corpus: (base docs,
+    * (batch₁ ids, batch₁ shingles), delete ids, (batch₂ ids, batch₂
+    * shingles)) — one definition shared by the in-query key, the
+    * persisted-path runner, and IncBench. */
+  private[graft] def composedSliceInputs(s: SparkSession, d: String)
+      : (DataFrame, (DataFrame, DataFrame), DataFrame, (DataFrame, DataFrame)) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val batch1 = (c: Column) => pmod(c, lit(IngestMod)) === 0
+    val batch2New = (c: Column) => pmod(c, lit(IngestMod)) === ComposedBatch2Res
+    val deletedP = (c: Column) => c % DeleteMod === DeleteRes
+    val batch2 = (c: Column) =>
+      batch2New(c) || (deletedP(c) && c % ComposedReingestMod === 0)
+    def ids(p: Column => Column) =
+      docs.select(col("doc_id").as("id")).filter(p(col("id")))
+    def shOf(p: Column => Column) =
+      Dedup.shingledDocs(s, docs.filter(p(col("doc_id"))))
+    (docs.filter(!batch1(col("doc_id")) && !batch2New(col("doc_id"))),
+      (ids(batch1), shOf(batch1)), ids(deletedP), (ids(batch2), shOf(batch2)))
+  }
+
+  /** Run the composed gate's three operations through PERSISTED state —
+    * the production shape (each step reads version k from parquet and
+    * publishes version k+1; never an overwrite of a path a lazy plan
+    * still reads). Returns the four version dirs (base, after-append₁,
+    * after-delete, after-append₂); the persisted-path == in-query
+    * equality is spec-asserted (ComposedLifecycleSpec) and the per-step
+    * marginals are priced by [[graft.IncBench]] `--composed`. */
+  def runComposedLifecyclePersisted(s: SparkSession, d: String,
+                                    root: String): Seq[String] = {
+    val (base, (ids1, sh1), delIds, (ids2, sh2)) = composedSliceInputs(s, d)
+    val dirs = (0 to 3).map(k => s"$root/v$k")
+    writeGroupLifecycle(groupLifecycleOf(s, base), dirs(0))
+    writeGroupLifecycle(
+      appendGroupLifecycle(s, readGroupLifecycle(s, dirs(0)), ids1, sh1), dirs(1))
+    writeGroupLifecycle(
+      deleteGroupLifecycle(s, readGroupLifecycle(s, dirs(1)), delIds), dirs(2))
+    writeGroupLifecycle(
+      appendGroupLifecycle(s, readGroupLifecycle(s, dirs(2)), ids2, sh2), dirs(3))
+    dirs
+  }
+
+  /** Persist lifecycle state (the four nightly artifacts). Each
+    * operation writes a NEW version directory — atomic publish, and
+    * never an overwrite of a path a lazy plan is still reading. */
+  def writeGroupLifecycle(st: GroupLifecycleState, dir: String): Unit = {
+    st.labels.write.mode("overwrite").parquet(s"$dir/labels")
+    st.pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    st.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    st.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** Read persisted lifecycle state back. */
+  def readGroupLifecycle(s: SparkSession, dir: String): GroupLifecycleState =
+    GroupLifecycleState(
+      s.read.parquet(s"$dir/labels"), s.read.parquet(s"$dir/pairs"),
+      s.read.parquet(s"$dir/bands"), s.read.parquet(s"$dir/shingles"))
 }
