@@ -172,10 +172,41 @@ object IncBench {
     val tApp2 = timed(Incremental.writeGroupLifecycle(
       Incremental.appendGroupLifecycle(spark, rd(2), ids2, sh2), s"$root/v3"))
     val finalRows = spark.read.parquet(s"$root/v3/labels").count()
+    // The segmented lexical index through the same history: appends
+    // land new segment FILES, the delete lands tombstone rows — the
+    // per-op cost production pays — then compaction folds the debt.
+    import graft.operators.Retrieval
+    val (base2, batch1, delDocIds, batch2) = Incremental.composedDocSlices(spark, sfDir)
+    val pDir = s"$stateDir/postlc"
+    val tPBase = timed(Retrieval.writePostingsLifecycleState(spark,
+      Retrieval.postingsLifecycleOf(spark, base2), pDir))
+    val tPApp1 = timed(Retrieval.appendPostingsLifecycleState(spark, pDir, batch1))
+    val tPDel = timed(Retrieval.deletePostingsLifecycleState(spark, pDir, delDocIds))
+    val tPApp2 = timed(Retrieval.appendPostingsLifecycleState(spark, pDir, batch2))
+    def noop(df: => org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    noop(Retrieval.queryPostingsLifecycleState(spark, pDir))
+    val tPQuery = math.min(
+      timed(noop(Retrieval.queryPostingsLifecycleState(spark, pDir))),
+      timed(noop(Retrieval.queryPostingsLifecycleState(spark, pDir))))
+    val pFilesBefore = Retrieval.partFileCount(spark, s"$pDir/postings")
+    val pRowsBefore = spark.read.parquet(s"$pDir/postings").count()
+    val tPCompact = timed(Retrieval.compactPostingsLifecycle(spark, pDir))
+    val pFilesAfter = Retrieval.partFileCount(spark, s"$pDir/postings")
+    val pRowsAfter = spark.read.parquet(s"$pDir/postings").count()
+    val tPQueryC = math.min(
+      timed(noop(Retrieval.queryPostingsLifecycleState(spark, pDir))),
+      timed(noop(Retrieval.queryPostingsLifecycleState(spark, pDir))))
     println(s"""{"metric":"composed_lifecycle_marginal","unit":"sec","sf":"$sfDir",""" +
       s""""build_base_state":$tBase,"append1_marginal":$tApp1,""" +
       s""""delete_marginal":$tDel,"append2_marginal":$tApp2,""" +
-      s""""final_label_rows":$finalRows}""")
+      s""""final_label_rows":$finalRows,""" +
+      s""""postings_base":$tPBase,"postings_append1":$tPApp1,""" +
+      s""""postings_delete":$tPDel,"postings_append2":$tPApp2,""" +
+      s""""postings_query":$tPQuery,"postings_compact":$tPCompact,""" +
+      s""""postings_query_compacted":$tPQueryC,""" +
+      s""""postings_files_before":$pFilesBefore,"postings_files_after":$pFilesAfter,""" +
+      s""""postings_rows_before":$pRowsBefore,"postings_rows_after":$pRowsAfter}""")
   }
 
   /** The worst-case ingest: every batch doc is a near-dup of a corpus

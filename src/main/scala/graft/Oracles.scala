@@ -1979,6 +1979,23 @@ object Oracles {
            |FROM lexr WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
       },
 
+      // e16: the composed-lifecycle mirror for the lexical index —
+      // e09's chain from scratch on the COMPOSED survivor set (d17's
+      // predicate: everything except deleted-and-not-re-ingested). The
+      // Spark side runs append→delete→append through SEGMENTED state
+      // with tombstone liveness; hash equality proves dead rows stay
+      // dead, re-ingests resurrect nothing stale, and N/T/df/cap are
+      // all live-view-derived after three operations.
+      "e16_postings_lifecycle" -> {
+        import graft.operators.Retrieval.K
+        import graft.operators.Incremental.{DeleteMod, DeleteRes, ComposedReingestMod}
+        s"""WITH ${bm25BodyWith(
+             s"NOT (doc_id % $DeleteMod = $DeleteRes AND doc_id % $ComposedReingestMod <> 0)")}
+           |SELECT q_id, doc_id, ROUND(CAST(micros AS DOUBLE)/1000000, 6) AS score,
+           |  CAST(rnk AS BIGINT) AS rnk
+           |FROM lexr WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+      },
+
       // e15: the dense-index takedown mirror — training CTEs stay
       // FULL-corpus (frozen quantizers: production never retrains on
       // delete), while the adc scan's index side and the query set are

@@ -165,6 +165,11 @@ object Queries {
     // decrement, cap re-cross back UNDER); gated against e09's oracle
     // on corpus-minus-deleted.
     "e14_postings_delete"  -> (Retrieval.e14PostingsDelete _),
+    // e16: the composed lexical-index lifecycle — d17's slice history
+    // (append → delete → append-with-re-ingest) through SEGMENTED
+    // postings + tombstone liveness, vs e09 from scratch on the
+    // composed survivor set.
+    "e16_postings_lifecycle" -> (Retrieval.e16PostingsLifecycle _),
     // e15: dense-index takedown — frozen quantizers, deleted vectors
     // out of the index (touched-cell rewrite in the persisted form),
     // queries over the remaining corpus; e05's oracle restricted to
@@ -335,6 +340,7 @@ object Queries {
     "e10_hybrid_rrf"       -> Seq("q_id", "rnk"),
     "e11_postings_append"  -> Seq("q_id", "rnk"),
     "e14_postings_delete"  -> Seq("q_id", "rnk"),
+    "e16_postings_lifecycle" -> Seq("q_id", "rnk"),
     "e15_index_delete"     -> Seq("q_id", "rnk"),
     "e08_filtered_ann"     -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),

@@ -567,6 +567,49 @@ object Incremental {
     touched
   }
 
+  /** The production PERSISTED index append: encode a vector batch
+    * against the frozen on-disk quantizers and land NEW FILES in the
+    * cell partitions (mode append — existing index files are never
+    * read or rewritten; encoding is a per-vector map). Repeated cycles
+    * of this and [[deleteFromIndexState]] fragment the cell partitions
+    * into small files — the storage debt [[compactIndexState]] pays
+    * down. */
+  def appendToIndexState(s: SparkSession, dir: String,
+                         batch: DataFrame): Unit =
+    Similarity.e05IndexFrom(s, batch,
+        s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/codebooks"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/index")
+
+  /** COMPACTION of a persisted cell-partitioned IVF×PQ index: per
+    * cell, bin-pack the accumulated part files to
+    * ~[[Retrieval.CompactTargetBytes]] (coalesce — no shuffle, and the
+    * cell partitioning is preserved because each cell rewrites in
+    * place). Rows are unchanged (deletes already rewrote their cells;
+    * index compaction is purely a small-file fold), frame equality is
+    * the CompactionSpec gate, and kept rows are lineage-cut before
+    * each overwrite. The per-cell loop is driver-side over ≤
+    * [[Similarity.KmeansCells]] cells — bounded by construction.
+    * Returns cell → (files before, files after). */
+  def compactIndexState(s: SparkSession, dir: String,
+                        targetBytes: Long = Retrieval.CompactTargetBytes)
+      : Map[Int, (Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/index")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val cells = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.stripPrefix("cell=").toInt).sorted
+    cells.map { c =>
+      val cellPath = s"$dir/index/cell=$c"
+      val before = Retrieval.partFileCount(s, cellPath)
+      val rows = graft.Checkpoints.cut(s.read.parquet(cellPath))
+      val n = math.max(1L,
+        (Retrieval.dirBytes(s, cellPath) + targetBytes - 1) / targetBytes).toInt
+      rows.coalesce(n).write.mode("overwrite").parquet(cellPath)
+      c -> (before, Retrieval.partFileCount(s, cellPath))
+    }.toMap
+  }
+
   /** e06: incremental ANN-index append as a gated key. Quantizers are
     * trained on the BASE corpus only (vec_id ≢ 0 mod [[IngestMod]]) and
     * frozen; the base index is built, the 20% batch is appended via
@@ -714,24 +757,36 @@ object Incremental {
     appendGroupLifecycle(s, st2, ids2, sh2).labels
   }
 
-  /** The composed gate's step inputs over the real corpus: (base docs,
-    * (batch₁ ids, batch₁ shingles), delete ids, (batch₂ ids, batch₂
-    * shingles)) — one definition shared by the in-query key, the
-    * persisted-path runner, and IncBench. */
-  private[graft] def composedSliceInputs(s: SparkSession, d: String)
-      : (DataFrame, (DataFrame, DataFrame), DataFrame, (DataFrame, DataFrame)) = {
+  /** The composed grammar's DOCUMENT slices — (base corpus, batch₁,
+    * deleted doc_ids, batch₂) — shared by d17 (groups) and e16
+    * (postings): ONE slice definition, so the two composed gates
+    * exercise the same lifecycle history. */
+  private[graft] def composedDocSlices(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val batch1 = (c: Column) => pmod(c, lit(IngestMod)) === 0
     val batch2New = (c: Column) => pmod(c, lit(IngestMod)) === ComposedBatch2Res
     val deletedP = (c: Column) => c % DeleteMod === DeleteRes
     val batch2 = (c: Column) =>
       batch2New(c) || (deletedP(c) && c % ComposedReingestMod === 0)
-    def ids(p: Column => Column) =
-      docs.select(col("doc_id").as("id")).filter(p(col("id")))
-    def shOf(p: Column => Column) =
-      Dedup.shingledDocs(s, docs.filter(p(col("doc_id"))))
     (docs.filter(!batch1(col("doc_id")) && !batch2New(col("doc_id"))),
-      (ids(batch1), shOf(batch1)), ids(deletedP), (ids(batch2), shOf(batch2)))
+      docs.filter(batch1(col("doc_id"))),
+      docs.filter(deletedP(col("doc_id"))).select("doc_id"),
+      docs.filter(batch2(col("doc_id"))))
+  }
+
+  /** The composed gate's step inputs in GROUP-state form: (base docs,
+    * (batch₁ ids, batch₁ shingles), delete ids, (batch₂ ids, batch₂
+    * shingles)) — one definition shared by the in-query key, the
+    * persisted-path runner, and IncBench. */
+  private[graft] def composedSliceInputs(s: SparkSession, d: String)
+      : (DataFrame, (DataFrame, DataFrame), DataFrame, (DataFrame, DataFrame)) = {
+    val (base, batch1, delIds, batch2) = composedDocSlices(s, d)
+    def ids(docs: DataFrame) = docs.select(col("doc_id").as("id"))
+    (base,
+      (ids(batch1), Dedup.shingledDocs(s, batch1)),
+      ids(delIds),
+      (ids(batch2), Dedup.shingledDocs(s, batch2)))
   }
 
   /** Run the composed gate's three operations through PERSISTED state —

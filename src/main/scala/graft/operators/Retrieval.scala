@@ -385,12 +385,16 @@ object Retrieval {
     val (n, t) = ntScalars(all)
     s.createDataFrame(Seq((n, t))).toDF("n", "t")
       .write.mode("overwrite").parquet(s"$dir/nt")
-    Tables.spread(all, col("doc_id"))
+    doclensOf(all).write.mode("overwrite").parquet(s"$dir/doclens")
+  }
+
+  /** Per-doc term count (doc_id, dl) covering EVERY doc — including
+    * dl = 0 docs absent from postings, so N/T derive from it exactly. */
+  private def doclensOf(docs: DataFrame): DataFrame =
+    Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"),
         greatest(size(Text.tokens(col("text"))).cast("bigint") - 1, lit(0L))
           .as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/doclens")
-  }
 
   /** The production takedown: anti-join the PERSISTED postings against
     * the deleted id list, decrement (N, T) from the persisted doclens
@@ -442,5 +446,211 @@ object Retrieval {
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
       .unionByName(postings(s, batch)),
       ntRow.getAs[Long]("n") + cn, ntRow.getAs[Long]("t") + ct)
+  }
+
+  // ---------------------------------------------------------------
+  // e16: the COMPOSED lexical-index lifecycle (d17's sibling) —
+  // append → delete → append through one carried index state. The
+  // state is SEGMENTED (the LSM shape every production search index
+  // converges on): appends land new segment rows and never touch old
+  // ones, deletes land TOMBSTONES and never rewrite postings, and
+  // liveness is decided at read time — a row from segment s of doc X
+  // is live iff no tombstone (X, k) with k ≥ s exists. Re-ingesting a
+  // deleted doc therefore works with NO tombstone cleanup: its new
+  // rows carry a segment strictly greater than every tombstone that
+  // killed the old ones. Global stats (N, T, df, the cap) are
+  // recomputed over the LIVE view per query — nothing is ever carried
+  // stale, which is where both the append trap (e11: a term crossing
+  // the cap) and the delete trap (e14: crossing back) live. The
+  // storage debt this design accrues (dead rows + segment files) is
+  // exactly what [[compactPostingsLifecycle]] pays down.
+  // ---------------------------------------------------------------
+
+  /** Segmented lexical-index state: postings and doclens rows stamped
+    * with their ingest segment, plus the tombstone set. */
+  final case class PostingsLifecycleState(
+      postings: DataFrame, // (seg, doc_id, dl, tok, tf)
+      doclens: DataFrame,  // (seg, doc_id, dl) — every doc, incl. dl=0
+      tombs: DataFrame,    // (doc_id, killed_at_seg)
+      curSeg: Int)
+
+  private def stamped(seg: Int, df: DataFrame): DataFrame =
+    df.select((lit(seg).as("seg") +: df.columns.toSeq.map(col)): _*)
+
+  private def emptyTombs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Int)].toDF("doc_id", "killed_at_seg")
+  }
+
+  /** Bootstrap segment 0 from a corpus. */
+  def postingsLifecycleOf(s: SparkSession, docs: DataFrame): PostingsLifecycleState =
+    PostingsLifecycleState(stamped(0, postings(s, docs)),
+      stamped(0, doclensOf(docs)), emptyTombs(s), 0)
+
+  /** Append a batch: new segment rows only — O(batch) work, old
+    * segments and tombstones untouched (re-ingested ids outlive their
+    * tombstones by the segment rule). Batch ids must be disjoint from
+    * LIVE ids (the ingest precondition everywhere). */
+  def appendPostingsLifecycle(s: SparkSession, st: PostingsLifecycleState,
+                              batch: DataFrame): PostingsLifecycleState = {
+    val seg = st.curSeg + 1
+    PostingsLifecycleState(
+      st.postings.unionByName(stamped(seg, postings(s, batch))),
+      st.doclens.unionByName(stamped(seg, doclensOf(batch))),
+      st.tombs, seg)
+  }
+
+  /** Delete a takedown list: O(takedown) tombstone rows, zero postings
+    * IO. Stamping the CURRENT segment kills every existing row of the
+    * doc and none of any later re-ingest. */
+  def deletePostingsLifecycle(s: SparkSession, st: PostingsLifecycleState,
+                              deletedIds: DataFrame): PostingsLifecycleState =
+    st.copy(tombs = st.tombs.unionByName(deletedIds
+      .select(col("doc_id"), lit(st.curSeg).as("killed_at_seg"))))
+
+  /** The live view of segmented rows: one max-tombstone per doc
+    * (liveness needs ANY killed_at ≥ seg ⇔ the max is), broadcast
+    * size-guarded — takedown-sized in any sane history, shuffle-join
+    * degrade if hostile. */
+  private def liveRows(rows: DataFrame, tombs: DataFrame): DataFrame = {
+    val t = Skew.boundedBroadcast(
+      tombs.groupBy("doc_id").agg(max("killed_at_seg").as("killed_at")))
+    rows.join(t, Seq("doc_id"), "left")
+      .filter(col("killed_at").isNull || col("seg") > col("killed_at"))
+      .drop("killed_at")
+  }
+
+  /** Query the live index: N/T fold from the live doclens (one narrow
+    * aggregate — so the scalars CANNOT go stale), df/cap/scoring over
+    * the live postings via the same [[appendTail]] every incremental
+    * path uses. */
+  def queryPostingsLifecycle(s: SparkSession,
+                             st: PostingsLifecycleState): DataFrame = {
+    val ntRow = liveRows(st.doclens, st.tombs)
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("t")).head()
+    appendTail(s, liveRows(st.postings, st.tombs).drop("seg"),
+      ntRow.getAs[Long]("n"), ntRow.getAs[Long]("t"))
+  }
+
+  /** e16: the composed lifecycle gate for the lexical index — the SAME
+    * slice history as d17 (base, append batch₁, delete the d16 slice,
+    * append batch₂ re-ingesting a third of it) run through the
+    * segmented state, gated against e09's from-scratch oracle ON THE
+    * COMPOSED SURVIVOR SET. What only the composition can catch: a
+    * re-ingested doc's OLD rows resurrecting (its df/tf would double),
+    * a tombstone outliving the re-ingest (the doc would stay
+    * invisible), and any stat carried stale across three operations —
+    * including a term crossing the df cap in BOTH directions across
+    * the history. */
+  def e16PostingsLifecycle(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Incremental
+    val (base, batch1, delIds, batch2) = Incremental.composedDocSlices(s, d)
+    val st0 = postingsLifecycleOf(s, base)
+    val st1 = appendPostingsLifecycle(s, st0, batch1)
+    val st2 = deletePostingsLifecycle(s, st1, delIds)
+    queryPostingsLifecycle(s, appendPostingsLifecycle(s, st2, batch2))
+  }
+
+  /** Persist segmented lifecycle state. The layout is append-friendly:
+    * [[appendPostingsLifecycleState]] lands NEW FILES under postings/
+    * and doclens/ (mode append — never a rewrite of earlier segments),
+    * [[deletePostingsLifecycleState]] appends tombstone files, and only
+    * the one-row meta (curSeg) is overwritten (read driver-side first —
+    * never lazily). */
+  def writePostingsLifecycleState(s: SparkSession,
+                                  st: PostingsLifecycleState, dir: String): Unit = {
+    st.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    st.doclens.write.mode("overwrite").parquet(s"$dir/doclens")
+    st.tombs.write.mode("overwrite").parquet(s"$dir/tombs")
+    writeMeta(s, dir, st.curSeg)
+  }
+
+  private def writeMeta(s: SparkSession, dir: String, curSeg: Int): Unit = {
+    import s.implicits._
+    Seq(curSeg).toDF("cur_seg").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readPostingsLifecycleState(s: SparkSession, dir: String): PostingsLifecycleState =
+    PostingsLifecycleState(
+      s.read.parquet(s"$dir/postings"), s.read.parquet(s"$dir/doclens"),
+      s.read.parquet(s"$dir/tombs"),
+      s.read.parquet(s"$dir/meta").head().getAs[Int]("cur_seg"))
+
+  /** The production append: O(batch) new segment files, one meta bump. */
+  def appendPostingsLifecycleState(s: SparkSession, dir: String,
+                                   batch: DataFrame): Unit = {
+    val seg = s.read.parquet(s"$dir/meta").head().getAs[Int]("cur_seg") + 1
+    stamped(seg, postings(s, batch)).write.mode("append").parquet(s"$dir/postings")
+    stamped(seg, doclensOf(batch)).write.mode("append").parquet(s"$dir/doclens")
+    writeMeta(s, dir, seg)
+  }
+
+  /** The production delete: O(takedown) tombstone rows appended, zero
+    * postings IO. */
+  def deletePostingsLifecycleState(s: SparkSession, dir: String,
+                                   deletedIds: DataFrame): Unit = {
+    val seg = s.read.parquet(s"$dir/meta").head().getAs[Int]("cur_seg")
+    deletedIds.select(col("doc_id"), lit(seg).as("killed_at_seg"))
+      .write.mode("append").parquet(s"$dir/tombs")
+  }
+
+  /** Query persisted state (the production read path). */
+  def queryPostingsLifecycleState(s: SparkSession, dir: String): DataFrame =
+    queryPostingsLifecycle(s, readPostingsLifecycleState(s, dir))
+
+  /** Compaction bin-pack target (bytes per output file). */
+  val CompactTargetBytes: Long = 128L << 20
+
+  /** COMPACTION — the third lifecycle operation a nightly pipeline
+    * runs: the segment/tombstone design makes appends and deletes O(new
+    * rows), and pays for it in dead rows and small files; compaction
+    * folds the tombstones in (dead rows dropped), bin-packs the
+    * surviving rows to ~[[CompactTargetBytes]] files (coalesce — a
+    * file-count collapse, never a shuffle), and clears the tombstone
+    * set. The LIVE view is frame-equal before and after (the
+    * CompactionSpec gate — compaction has no query semantics of its
+    * own), curSeg is untouched so later appends keep monotone segments,
+    * and the kept rows are lineage-cut BEFORE overwriting the path the
+    * plan is lazily reading (the CLAUDE.md footgun). Sizing uses the
+    * PRE-compaction directory bytes — an overestimate when many rows
+    * are dead, so the packing errs toward a few more files, never
+    * giant ones. */
+  def compactPostingsLifecycle(s: SparkSession, dir: String,
+                               targetBytes: Long = CompactTargetBytes): Unit = {
+    val st = readPostingsLifecycleState(s, dir)
+    val post = graft.Checkpoints.cut(liveRows(st.postings, st.tombs))
+    val lens = graft.Checkpoints.cut(liveRows(st.doclens, st.tombs))
+    def packed(df: DataFrame, sub: String): Unit = {
+      val n = math.max(1L,
+        (dirBytes(s, s"$dir/$sub") + targetBytes - 1) / targetBytes).toInt
+      df.coalesce(n).write.mode("overwrite").parquet(s"$dir/$sub")
+    }
+    packed(post, "postings")
+    packed(lens, "doclens")
+    emptyTombs(s).write.mode("overwrite").parquet(s"$dir/tombs")
+  }
+
+  /** Total bytes under a path (0 if absent). */
+  private[graft] def dirBytes(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Parquet part-file count under a path (the fragmentation metric
+    * compaction reports). */
+  private[graft] def partFileCount(s: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
   }
 }
