@@ -1416,6 +1416,14 @@ object Oracles {
       "d16_delete_groups" ->
         d06Sql(d03CtesWith(shingleCteK("sh", 3, deletePred)), deletePred),
 
+      // s10's oracle is d16's VERBATIM (from-scratch on corpus-minus-
+      // deleted): the Spark side applies the same takedown slice as a
+      // THREE-micro-batch CDC stream against persisted state — hash
+      // equality proves the per-batch deletes COMPOSE to the one-shot
+      // takedown (the e11 = e09 oracle-sharing precedent).
+      "s10_stream_takedown" ->
+        d06Sql(d03CtesWith(shingleCteK("sh", 3, deletePred)), deletePred),
+
       // d17's oracle is d06's from-scratch SQL on the COMPOSED survivor
       // set ((base ∪ batch₁) − deleted) ∪ batch₂ = everything except
       // the deleted-and-not-re-ingested slice. The Spark side chains

@@ -226,6 +226,10 @@ object Queries {
     // EventOps.windowAgg transform) in append mode over 3 time-sliced
     // micro-batches — cross-batch aggregation state, gated by s01's oracle.
     "s09_stream_window"    -> (graft.streaming.StreamOps.s09StreamWindowAgg _),
+    // s10: takedowns arriving ON the stream — a 3-file CDC op-log
+    // drained via foreachBatch into persisted group state (version-dir
+    // flips, idempotent re-apply); final state vs d16's oracle verbatim.
+    "s10_stream_takedown"  -> (graft.streaming.StreamOps.s10StreamTakedown _),
     "x01_hash_sample"      -> (Sampling.x01HashSample _),
     "x04_quota_sample"     -> (Sampling.x04QuotaSample _),
     "x05_strat_split"      -> (Sampling.x05StratSplit _),
@@ -363,6 +367,7 @@ object Queries {
     "s08_stream_multibatch" -> Seq("user_id", "sess_no"),
     "s07_stream_join"      -> Seq("view_id", "purchase_id"),
     "s09_stream_window"    -> Seq("win_start", "event_type"),
+    "s10_stream_takedown"  -> Seq("doc_id"),
     "x01_hash_sample"      -> Seq("doc_id"),
     "x04_quota_sample"     -> Seq("source", "doc_id"),
     "x05_strat_split"      -> Seq("doc_id"),

@@ -424,9 +424,38 @@ object Incremental {
     untouched.unionByName(touchedFinal)
   }
 
+  /** Propagate a takedown through (labels, component-labeled pairs) and
+    * return BOTH updated frames — the state a MULTI-BATCH delete stream
+    * carries forward (d16's one-shot form returns labels only; a second
+    * delete needs the surviving pair graph re-keyed by its new
+    * component labels). The pair-graph update is takedown-bounded:
+    * untouched components' pairs pass through labels-and-all with ONE
+    * anti-join against the broadcast touched-label set; only touched
+    * components' surviving pairs re-label against the new labelling.
+    * Applying the same takedown twice is a NO-OP (already-deleted ids
+    * hit no label row, so `touched` is empty) — the idempotence the
+    * CDC drain's at-least-once restart semantics rest on
+    * (StreamTakedownSpec asserts it). */
+  def deleteGroupStateStep(s: SparkSession, labels: DataFrame,
+                           labeledPairs: DataFrame,
+                           deleted: DataFrame): (DataFrame, DataFrame) = {
+    val del = deleted.select("id")
+    val newLabels = deleteFromGroups(s, labels, labeledPairs, del)
+      .transform(graft.Checkpoints.cut)
+    val touchedB = Skew.boundedBroadcast(
+      labels.join(del, "id").select("lbl").distinct())
+    val untouched = labeledPairs.join(touchedB, Seq("lbl"), "left_anti")
+    val survivors = labeledPairs.join(touchedB, Seq("lbl"), "left_semi")
+      .join(del.toDF("id_a"), Seq("id_a"), "left_anti")
+      .join(del.toDF("id_b"), Seq("id_b"), "left_anti")
+      .drop("lbl")
+      .join(newLabels.toDF("id_a", "lbl"), "id_a")
+    (newLabels, untouched.unionByName(survivors))
+  }
+
   /** Resolve a labelling into d06's group schema (sizes + min-id
     * keeper) — the shared tail of d06/d09/d16. */
-  private def resolveGroups(labels: DataFrame): DataFrame = {
+  private[graft] def resolveGroups(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("lbl").as("cid"))
       .agg(count(lit(1)).as("group_size"))
     labels.join(sizes, col("lbl") === col("cid"))

@@ -633,4 +633,115 @@ object StreamOps {
     try q.processAllAvailable() finally q.stop()
     s.table(name)
   }
+
+  /** Micro-batch count of the most recent [[s10StreamTakedown]] drain. */
+  val lastS10MicroBatches = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Apply a CDC takedown stream to persisted dup-group state: each
+    * micro-batch's delete ops run [[Incremental.deleteGroupStateStep]]
+    * against the CURRENT state version and publish the next one
+    * (version-dir flip — never an overwrite of a path a lazy plan
+    * reads; the current version is re-derived from DISK each batch, so
+    * a restarted drain resumes against whatever the killed run last
+    * published). Exactly-once EFFECT under the file source's
+    * at-least-once foreachBatch replay comes from idempotence: deleting
+    * an already-deleted id touches no label row (spec-pinned), so a
+    * replayed batch publishes a state version identical to its
+    * predecessor. Returns the number of micro-batches that carried ops.
+    *
+    * Scale shape: per batch, work is takedown-fan-out-bounded (d16's
+    * bound) plus one map-side pass over labels/pairs for the version
+    * rewrite — at 100 TB the state rewrite cost amortizes by batching
+    * takedowns (exactly how this drain feeds them), and the op volume
+    * of a takedown stream is tiny against the corpus. */
+  def takedownDrain(s: org.apache.spark.sql.SparkSession, stateRoot: String,
+                    opsDir: String, checkpoint: String): Long = {
+    import graft.operators.Incremental
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType)))
+    def curVersion: Int = {
+      val p = new org.apache.hadoop.fs.Path(stateRoot)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
+    }
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(opsDir)
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val del = batch.filter(col("op") === "delete")
+          .select(col("id")).distinct()
+          .transform(graft.Checkpoints.cut) // read twice (emptiness + step)
+        if (del.take(1).nonEmpty) {
+          val v = curVersion
+          val (nl, np) = Incremental.deleteGroupStateStep(s,
+            s.read.parquet(s"$stateRoot/v$v/labels"),
+            s.read.parquet(s"$stateRoot/v$v/pairs"), del)
+          nl.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}/labels")
+          np.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}/pairs")
+          applied.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    lastS10MicroBatches.set(
+      Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L))
+    applied.get()
+  }
+
+  /** s10 as a GATED catalog key: takedowns arriving ON A STREAM — the
+    * CDC half of the delete lifecycle (d16 proves one batch delete;
+    * production deletes arrive as an op-log and must compose across
+    * micro-batches). The full-corpus group state is persisted (the d16
+    * artifacts), the d16 takedown slice is published as a THREE-file
+    * op-log (split by doc_id % 30 ∈ {3, 13, 23} — deletes COMMUTE, so
+    * file→batch assignment order is irrelevant and the drain needs no
+    * sentinels or watermark: foreachBatch is a stateless apply), the
+    * drain applies each micro-batch to persisted state, and the FINAL
+    * state resolves to d06's schema. Oracle: d16's verbatim
+    * (from-scratch on corpus-minus-deleted) — hash equality proves the
+    * per-batch deletes COMPOSE to the one-shot takedown.
+    * Checkpoint-restart exactly-once is spec-gated
+    * (StreamTakedownSpec, the StreamRestartSpec pattern). */
+  def s10StreamTakedown(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import graft.operators.Incremental
+    val root = java.nio.file.Files.createTempDirectory("graft-s10").toString
+    Incremental.writeDeleteGroupState(s, d, s"$root/v0")
+    publishTakedownOps(s, d, s"$root/ops", Seq(3L, 13L, 23L))
+    takedownDrain(s, root, s"$root/ops", s"$root/ckpt")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vMax = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath.getName).filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
+    Incremental.resolveGroups(s.read.parquet(s"$root/v$vMax/labels"))
+  }
+
+  /** Publish takedown op files (one per residue of doc_id % 30) FLAT
+    * into `opsDir` — the file source does not list through
+    * subdirectories, so each sub-batch writes to a scratch dir and its
+    * part file moves into the ops dir under a stable name. */
+  private[graft] def publishTakedownOps(s: org.apache.spark.sql.SparkSession,
+                                        d: String, opsDir: String,
+                                        residues: Seq[Long]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val ops = new org.apache.hadoop.fs.Path(opsDir)
+    val fs = ops.getFileSystem(conf)
+    fs.mkdirs(ops)
+    residues.zipWithIndex.foreach { case (r, i) =>
+      val scratch = s"$opsDir.tmp$i"
+      graft.Tables.documents(s, d).filter(col("doc_id") % 30 === r)
+        .select(col("doc_id").as("id"), lit("delete").as("op"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(scratch)).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new org.apache.hadoop.fs.Path(ops, f"b$i%02d.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    }
+  }
 }
