@@ -2311,6 +2311,18 @@ object Oracles {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // m12's oracle is m09's VERBATIM: the audio trak carries the SAME
+    // sample grammar, so hash equality proves the MP4 table-addressed
+    // extraction equals the WAV decode — container-independence of the
+    // perceptual hash, gated every run (the e11 = e09 convention).
+    "m12_mp4_audio" -> {
+      import graft.operators.Multimodal.M09MaxHamming
+      s"""WITH $m09PairCtes
+         |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM acand WHERE bit_count(xor(fa, fb)) <= $M09MaxHamming
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     // m11: perceptual VIDEO near-dup — the frame-grammar mirror
     // ([[m11PairCtes]]): per-frame aHash over recomputed pixels,
     // capped frame-hash inverted index, pairs at >= MinShared.

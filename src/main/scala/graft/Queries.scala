@@ -203,6 +203,10 @@ object Queries {
     // decode + aHash per frame, pairs by shared perceptual frames
     // (capped inverted index; re-encodes and trims both recovered).
     "m11_video_neardup"    -> (Multimodal.m11VideoNeardup _),
+    // m12: the MP4 AUDIO trak through real sample tables (uniform stsz,
+    // 'raw '/'sowt' sample entries) feeding m09's frame-energy hash —
+    // same grammar, so m09's oracle verbatim gates container-independence.
+    "m12_mp4_audio"        -> (Multimodal.m12Mp4AudioDedup _),
     "s01_window_agg"       -> (EventOps.s01WindowAgg _),
     "s02_sessionize"       -> (EventOps.s02Sessionize _),
     "s03_stream_dedup"     -> (EventOps.s03StreamDedup _),
@@ -358,6 +362,7 @@ object Queries {
     "m09_audio_dedup"      -> Seq("id_a", "id_b"),
     "m10_audio_groups"     -> Seq("doc_id"),
     "m11_video_neardup"    -> Seq("id_a", "id_b"),
+    "m12_mp4_audio"        -> Seq("id_a", "id_b"),
     "s01_window_agg"       -> Seq("win_start", "event_type"),
     "s02_sessionize"       -> Seq("user_id", "sess_no"),
     "s03_stream_dedup"     -> Seq("user_id", "event_type", "ts_us"),

@@ -1170,7 +1170,11 @@ object Multimodal {
   object PcmCodec {
     val SampleRate = 8000L
 
-    def encode(bits: Int, samples: Array[Int]): Array[Byte] = {
+    /** The raw sample-byte packing shared by the WAV data chunk and the
+      * MP4 audio trak's mdat bytes (m12): 8-bit unsigned offset-binary
+      * or 16-bit signed little-endian — byte-level parity between the
+      * two containers holds BY CONSTRUCTION, not by convention. */
+    private[Multimodal] def pack(bits: Int, samples: Array[Int]): Array[Byte] = {
       require(bits == 8 || bits == 16, s"unsupported depth $bits")
       val block = bits / 8
       val data = new Array[Byte](samples.length * block)
@@ -1184,6 +1188,30 @@ object Multimodal {
         }
         i += 1
       }
+      data
+    }
+
+    /** Inverse of [[pack]] over a byte range (centered for 8-bit). */
+    private[Multimodal] def unpack(bits: Int, b: Array[Byte],
+                                   off: Int, byteLen: Int): Array[Int] = {
+      require(bits == 8 || bits == 16, s"unsupported depth $bits")
+      val block = bits / 8
+      require(byteLen % block == 0, "sample bytes not block-aligned")
+      val out = new Array[Int](byteLen / block)
+      var k = 0
+      while (k < out.length) {
+        out(k) =
+          if (bits == 8) (b(off + k) & 0xff) - 128
+          else ((b(off + 2 * k) & 0xff) |
+            (b(off + 2 * k + 1) << 8)).toShort.toInt
+        k += 1
+      }
+      out
+    }
+
+    def encode(bits: Int, samples: Array[Int]): Array[Byte] = {
+      val block = bits / 8
+      val data = pack(bits, samples)
       val pad = data.length & 1 // RIFF pads odd chunks (not in the size)
       val bos = new java.io.ByteArrayOutputStream()
       def w(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
@@ -1223,18 +1251,7 @@ object Multimodal {
       require(fmt == 1 && ch == 1, "decoder handles mono PCM only")
       require(bits == 8 || bits == 16, s"unsupported depth $bits")
       require(dataOff >= 0, "missing data chunk")
-      val block = bits.toInt / 8
-      require(dataLen % block == 0, "data size not block-aligned")
-      val out = new Array[Int](dataLen / block)
-      var k = 0
-      while (k < out.length) {
-        out(k) =
-          if (bits == 8) (b(dataOff + k) & 0xff) - 128
-          else ((b(dataOff + 2 * k) & 0xff) |
-            (b(dataOff + 2 * k + 1) << 8)).toShort.toInt
-        k += 1
-      }
-      (bits.toInt, out)
+      (bits.toInt, unpack(bits.toInt, b, dataOff, dataLen))
     }
   }
 
@@ -1392,7 +1409,18 @@ object Multimodal {
       assemble((probe.length - frames.map(_.length).sum).toLong)
     }
 
-    /** Frame (offset, size) ranges from the real sample tables.
+    /** One trak's decode-relevant tables: the hdlr handler type, the
+      * stsd first-entry format fourcc, the audio samplesize field (0
+      * for video entries), the stsz table (uniform size + count, or a
+      * per-sample size array), and the single stco chunk offset. */
+    private[Multimodal] final case class TrakInfo(
+        handler: String, format: String, sampleSize: Int,
+        uniformSize: Int, count: Int, sizes: Array[Int], chunkOff: Long)
+
+    /** Per-TRAK table walk (the multi-track generalization of the old
+      * global walk — a file carrying both a video and an audio trak has
+      * two stsz/stco sets, and a global collector would hand one trak's
+      * offsets to the other's decoder).
       *
       * SCOPE: the box walk handles the 32-bit compact size form only —
       * ISO-BMFF's 64-bit extended size (size == 1, largesize follows)
@@ -1401,13 +1429,16 @@ object Multimodal {
       * (the writer never emits either); an externally produced MP4
       * using those legal encodings would need the largesize/to-EOF
       * branches added here. */
-    def sampleRanges(b: Array[Byte]): Seq[(Int, Int)] = {
+    private[Multimodal] def trakInfos(b: Array[Byte]): Seq[TrakInfo] = {
       def be32(i: Int): Long =
         ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
           ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-      var sizes: Array[Int] = null
-      var chunkOff = -1L
+      def be16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
       val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      val out = scala.collection.mutable.ArrayBuffer.empty[TrakInfo]
+      var handler = ""; var format = ""; var sampleSize = 0
+      var uniformSize = 0; var count = 0
+      var sizes: Array[Int] = null; var chunkOff = -1L
       def walk(from: Int, to: Int): Unit = {
         var i = from
         while (i + 8 <= to) {
@@ -1415,11 +1446,28 @@ object Multimodal {
           val typ = new String(b, i + 4, 4, "US-ASCII")
           require(size >= 8 && i + size <= to, s"bad $typ box")
           val p = i + 8
-          if (containers(typ)) walk(p, (i + size).toInt)
-          else if (typ == "stsz") {
-            require(be32(p + 4) == 0L, "uniform stsz unsupported")
-            val n = be32(p + 8).toInt
-            sizes = Array.tabulate(n)(k => be32(p + 12 + 4 * k).toInt)
+          if (typ == "trak") {
+            handler = ""; format = ""; sampleSize = 0
+            uniformSize = 0; count = 0; sizes = null; chunkOff = -1L
+            walk(p, (i + size).toInt)
+            require(handler.nonEmpty && chunkOff >= 0 &&
+              (sizes != null || uniformSize > 0),
+              "trak missing hdlr/stsz/stco tables")
+            out += TrakInfo(handler, format, sampleSize,
+              uniformSize, count, sizes, chunkOff)
+          } else if (containers(typ)) walk(p, (i + size).toInt)
+          else if (typ == "hdlr") handler = new String(b, p + 8, 4, "US-ASCII")
+          else if (typ == "stsd") {
+            format = new String(b, p + 12, 4, "US-ASCII")
+            // SoundSampleEntry's samplesize field (bits per sample);
+            // only meaningful for audio formats — the reader checks the
+            // handler before trusting it.
+            sampleSize = be16(p + 8 + 26)
+          } else if (typ == "stsz") {
+            uniformSize = be32(p + 4).toInt
+            count = be32(p + 8).toInt
+            if (uniformSize == 0)
+              sizes = Array.tabulate(count)(k => be32(p + 12 + 4 * k).toInt)
           } else if (typ == "stco") {
             require(be32(p + 4) == 1L, "multi-chunk stco unsupported")
             chunkOff = be32(p + 8)
@@ -1430,14 +1478,125 @@ object Multimodal {
       require(b.length >= 12 &&
         new String(b, 4, 4, "US-ASCII") == "ftyp", "not an MP4")
       walk(0, b.length)
-      require(sizes != null && chunkOff >= 0, "missing stsz/stco tables")
-      var off = chunkOff.toInt
-      sizes.toSeq.map { s =>
+      require(out.nonEmpty, "no trak found")
+      out.toSeq
+    }
+
+    /** Frame (offset, size) ranges from the VIDEO trak's real sample
+      * tables (multi-track-safe: selects the 'vide' handler). */
+    def sampleRanges(b: Array[Byte]): Seq[(Int, Int)] = {
+      val v = trakInfos(b).find(_.handler == "vide")
+        .getOrElse(sys.error("no video trak"))
+      require(v.sizes != null, "uniform stsz unsupported for video frames")
+      var off = v.chunkOff.toInt
+      v.sizes.toSeq.map { s =>
         val r = (off, s)
         require(off + s <= b.length, "sample range outside buffer")
         off += s
         r
       }
+    }
+
+    /** (bitsPerSample, raw stored samples) from the AUDIO trak — the
+      * m12 read path: bits from the SoundSampleEntry ('raw ' 8-bit
+      * unsigned / 'sowt' 16-bit signed LE, the two uncompressed-PCM
+      * QuickTime forms [[PcmCodec]] writes in WAV), sample bytes
+      * addressed by the uniform stsz + stco, decoded by the SAME
+      * [[PcmCodec.unpack]] the WAV reader uses — container-independent
+      * by construction, hash-gated against the WAV path by m12. */
+    def audioSamples(b: Array[Byte]): (Int, Array[Int]) = {
+      val a = trakInfos(b).find(_.handler == "soun")
+        .getOrElse(sys.error("no audio trak"))
+      val bits = a.format match {
+        case "raw " => 8
+        case "sowt" => 16
+        case f => sys.error(s"unsupported audio sample format '$f'")
+      }
+      require(a.sampleSize == bits, "stsd samplesize disagrees with format")
+      require(a.uniformSize == bits / 8 && a.count > 0,
+        "audio stsz must be uniform at the PCM block size")
+      val byteLen = a.count * a.uniformSize
+      require(a.chunkOff + byteLen <= b.length, "audio range outside buffer")
+      (bits, PcmCodec.unpack(bits, b, a.chunkOff.toInt, byteLen))
+    }
+
+    /** Encode an AUDIO+VIDEO MP4: the video trak exactly as [[encode]]
+      * writes it, plus an audio trak (trak id 2, 'soun' handler, smhd,
+      * SoundSampleEntry 'raw '/'sowt', UNIFORM stsz at the PCM block
+      * size — one table row regardless of length, the layout real
+      * uncompressed-audio muxers emit) whose samples land in the SAME
+      * mdat after the frame bytes. Audio bytes are
+      * [[PcmCodec.pack]]'s — byte-identical to the WAV data chunk. */
+    def encodeAv(frames: Seq[Array[Byte]], w: Int, h: Int,
+                 audioBits: Int, audio: Array[Int]): Array[Byte] = {
+      require(frames.nonEmpty, "a video needs at least one frame")
+      require(audio.nonEmpty, "an audio trak needs samples")
+      val ftyp = hex("00000018 66747970 69736F6D 00000200 69736F6D 69736F32")
+      val n = frames.length.toLong
+      val an = audio.length.toLong
+      val block = audioBits / 8
+      val aBytes = PcmCodec.pack(audioBits, audio)
+      val mvhd = box("mvhd", be32a(0, 0, 0, 600, n) ++
+        hex("00010000 01000000 0000000000000000" + Matrix + ("00" * 24) +
+          "00000003"))
+      val vTkhd = box("tkhd", be32a(7, 0, 0, 1, 0, n) ++
+        hex("0000000000000000 0000 0000 0000 0000" + Matrix) ++
+        be32a(w.toLong << 16, h.toLong << 16))
+      val vMdhd = box("mdhd", be32a(0, 0, 0, 600, n) ++ hex("55C4 0000"))
+      val vHdlr = box("hdlr", be32a(0, 0) ++ "vide".getBytes("US-ASCII") ++
+        new Array[Byte](13))
+      val vEntry = {
+        val o = bos
+        o.write(be32a(86)); o.write("png ".getBytes("US-ASCII"))
+        o.write(hex("000000000000 0001 0000 0000 000000000000000000000000"))
+        o.write((w >> 8) & 0xff); o.write(w & 0xff)
+        o.write((h >> 8) & 0xff); o.write(h & 0xff)
+        o.write(hex("00480000 00480000 00000000 0001" + ("00" * 32) +
+          "0018 FFFF"))
+        o.toByteArray
+      }
+      val vStsd = box("stsd", be32a(0, 1) ++ vEntry)
+      val vStts = box("stts", be32a(0, 1, n, 1))
+      val vStsc = box("stsc", be32a(0, 1, 1, n, 1))
+      val vStsz = box("stsz", be32a(0L +: 0L +: n +: frames.map(_.length.toLong): _*))
+      val aTkhd = box("tkhd", be32a(7, 0, 0, 2, 0, an) ++
+        hex("0000000000000000 0000 0000 0100 0000" + Matrix) ++
+        be32a(0, 0))
+      val aMdhd = box("mdhd",
+        be32a(0, 0, 0, PcmCodec.SampleRate, an) ++ hex("55C4 0000"))
+      val aHdlr = box("hdlr", be32a(0, 0) ++ "soun".getBytes("US-ASCII") ++
+        new Array[Byte](13))
+      val aEntry = {
+        val o = bos
+        o.write(be32a(36))
+        o.write((if (audioBits == 8) "raw " else "sowt").getBytes("US-ASCII"))
+        o.write(hex("000000000000 0001 0000 0000 00000000"))
+        o.write(be32a((1L << 16) | audioBits.toLong)) // channels=1, samplesize
+        o.write(hex("0000 0000"))
+        o.write(be32a(PcmCodec.SampleRate << 16))
+        o.toByteArray
+      }
+      val aStsd = box("stsd", be32a(0, 1) ++ aEntry)
+      val aStts = box("stts", be32a(0, 1, an, 1))
+      val aStsc = box("stsc", be32a(0, 1, 1, an, 1))
+      val aStsz = box("stsz", be32a(0, block.toLong, an))
+      val frameBytes = frames.map(_.length).sum
+      def assemble(chunkOff: Long): Array[Byte] = {
+        val vStco = box("stco", be32a(0, 1, chunkOff))
+        val vStbl = box("stbl", vStsd ++ vStts ++ vStsc ++ vStsz ++ vStco)
+        val vTrak = box("trak", vTkhd ++ box("mdia",
+          vMdhd ++ vHdlr ++ box("minf", vStbl)))
+        val aStco = box("stco", be32a(0, 1, chunkOff + frameBytes))
+        val smhd = box("smhd", be32a(0, 0))
+        val aStbl = box("stbl", aStsd ++ aStts ++ aStsc ++ aStsz ++ aStco)
+        val aTrak = box("trak", aTkhd ++ box("mdia",
+          aMdhd ++ aHdlr ++ box("minf", smhd ++ aStbl)))
+        val moov = box("moov", mvhd ++ vTrak ++ aTrak)
+        val mdat = box("mdat", frames.reduce(_ ++ _) ++ aBytes)
+        ftyp ++ moov ++ mdat
+      }
+      val probe = assemble(0)
+      assemble((probe.length - frameBytes - aBytes.length).toLong)
     }
   }
 
@@ -1547,6 +1706,59 @@ object Multimodal {
     * dependencies. */
   def m11VideoNeardup(s: SparkSession, d: String): DataFrame =
     videoNeardup(s, m11Payloads(s, d))
+
+  // -------------------------------------------------------------------
+  // m12: the MP4 AUDIO TRAK through the sample tables — the container
+  // wall's last stone: m11 reads the video trak, m12 reads the audio
+  // trak of the SAME container grammar (real MP4s carry both), feeding
+  // m09's frame-energy hash. The audio grammar IS m09's (same samples,
+  // same plants), so the oracle is m09's SQL verbatim and the hash gate
+  // proves container-independence: extracting PCM from an MP4 audio
+  // trak equals decoding the WAV — byte-parity of the sample stream by
+  // the shared PcmCodec.pack/unpack, table-addressed, never scanned.
+  // -------------------------------------------------------------------
+
+  /** The m12 gate corpus: every document as an AUDIO+VIDEO MP4 — the
+    * m09 sample grammar (plants included: 16-bit re-encode becomes a
+    * 'sowt' vs 'raw ' sample-entry difference, a genuine container-
+    * level change) in the audio trak, one real PNG frame (the m11
+    * pixel grammar at f=0, no video plants) in the video trak. */
+  def m12Payloads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (bits, smp) = m09Samples(id)
+          val (w, h, px) = m11FramePixels(id, 0)
+          val frame = PngCodec.encode(w, h, px, 0, s"m12 doc $id")
+          MediaRow(id, Mp4Frames.encodeAv(Seq(frame), w, h, bits, smp))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** [[m12Mp4AudioDedup]] over any (doc_id, payload) frame of MP4s with
+    * a PCM audio trak (spec entry). Scale shape = m09's: one
+    * mapPartitions container+decode pass, only (id, 8-byte hash) rows
+    * shuffle, pairs via the shared [[hammingPairs]] band machinery. */
+  def mp4AudioDedup(s: SparkSession, payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    val hashes = payloads.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val (_, smp) = Mp4Frames.audioSamples(r.payload)
+        (r.doc_id, audioHash64(smp))
+      }
+    }.toDF("doc_id", "fp")
+    hammingPairs(s, hashes, M09MaxHamming)
+  }
+
+  /** m12: perceptual audio near-dup over the MP4 AUDIO TRAK — the
+    * multi-track container read m04's walk descends past and m11's
+    * video extraction ignores. Same output as m09 over the same sample
+    * grammar, proved by sharing m09's oracle verbatim (the e11 = e09
+    * convention): the gate pins the audio-trak extraction path to the
+    * WAV decode path, every run. */
+  def m12Mp4AudioDedup(s: SparkSession, d: String): DataFrame =
+    mp4AudioDedup(s, m12Payloads(s, d))
 
   /** m10: perceptual audio duplicate GROUPS — m08's act-on-it posture
     * for the audio axis: connected components over m09's pair graph
