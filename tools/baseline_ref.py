@@ -879,6 +879,91 @@ def main(sf):
             columns=["doc_id", "canonical_id", "group_size", "is_keeper"])
     maybe("d16_delete_groups", d16)
 
+    def d17():
+        # composed lifecycle (append -> delete -> append), the honest
+        # single-process form: base state (bands + verified pairs +
+        # union-find labels over the 60% base corpus), then THREE
+        # incremental operations on carried dicts — batch1 band-probes
+        # the state, the takedown drops vertices/edges with touched-
+        # component re-union-find, batch2 (incl. re-ingested ids)
+        # band-probes the post-delete state. Never a from-scratch
+        # rebuild of the survivor corpus — the same work shape the
+        # Spark side runs.
+        d = pd.read_parquet(P("documents"), columns=["doc_id", "text"])
+        sh_all = {}
+        for did, t in zip(d.doc_id, d.text):
+            toks = re.split(r"\s+", t)
+            sh_all[did] = {" ".join(toks[i:i + 3])
+                           for i in range(len(toks) - 2)} \
+                if len(toks) >= 3 else set()
+        ids = [int(i) for i in d.doc_id]
+        base = [i for i in ids if i % 5 not in (0, 1)]
+        batch1 = [i for i in ids if i % 5 == 0]
+        deleted = {i for i in ids if i % 10 == 3}
+        batch2 = [i for i in ids
+                  if i % 5 == 1 or (i % 10 == 3 and i % 3 == 0)]
+        # Base state.
+        sh = {i: sh_all[i] for i in base if sh_all[i]}
+        pairs = verified_pairs(band_table(sh), sh)
+        labels = cc_min(base, pairs)
+
+        def append(labels, pairs, sh, members, new_ids):
+            new_sh = {i: sh_all[i] for i in new_ids if sh_all[i]}
+            merged_sh = {**sh, **new_sh}
+            bt = band_table(merged_sh)
+            new_set = set(new_ids)
+            # candidates touching the batch only (the band-probe bound)
+            cand = set()
+            for occ in bt.values():
+                occ = sorted(set(occ))
+                for x in range(len(occ)):
+                    for y in range(x + 1, len(occ)):
+                        if occ[x] in new_set or occ[y] in new_set:
+                            cand.add((occ[x], occ[y]))
+            new_pairs = [(a, b) for a, b in cand
+                         if round(len(merged_sh[a] & merged_sh[b])
+                                  / len(merged_sh[a] | merged_sh[b]), 6) >= 0.5]
+            all_members = members + list(new_ids)
+            # label-space merge: old endpoints stand for their component
+            lifted = [(labels.get(a, a), labels.get(b, b))
+                      for a, b in new_pairs]
+            sub = cc_min(list({v for e in lifted for v in e}), lifted)
+            out = {i: sub.get(l, l) for i, l in labels.items()}
+            out.update({i: sub.get(i, i) for i in new_ids})
+            return out, pairs + new_pairs, merged_sh, all_members
+
+        def delete(labels, pairs, sh, members, dele):
+            touched = {labels[i] for i in dele if i in labels}
+            surv = [i for i in members
+                    if labels[i] in touched and i not in dele]
+            sub = [(a, b) for a, b in pairs
+                   if labels[a] in touched and a not in dele and b not in dele]
+            out = {i: l for i, l in labels.items()
+                   if l not in touched and i not in dele}
+            out.update(cc_min(surv, sub))
+            return (out,
+                    [(a, b) for a, b in pairs
+                     if a not in dele and b not in dele],
+                    {i: s_ for i, s_ in sh.items() if i not in dele},
+                    [i for i in members if i not in dele])
+
+        st = (labels, pairs, sh, list(base))
+        st = append(*st, batch1)
+        st = delete(*st, deleted)
+        st = append(*st, batch2)
+        out = st[0]
+        sizes = Counter(out.values())
+        return pd.DataFrame(
+            [(i, l, sizes[l], i == l) for i, l in out.items()],
+            columns=["doc_id", "canonical_id", "group_size", "is_keeper"])
+    maybe("d17_lifecycle_groups", d17)
+
+    # s10 (takedowns on a CDC stream) has no streaming runtime in a
+    # single-process baseline — its honest batch form IS d16's (the
+    # stream-key convention: s06 shares s02's, s01/s09 share one form);
+    # the drained per-batch deletes compose to the same one-shot result.
+    maybe("s10_stream_takedown", d16)
+
     # ---- round-13 additions: the round-12 keys' faithful single-node
     # forms (s06 shares s02's sessionization baseline; the stream keys'
     # baselines are the equivalent BATCH computation, since pandas has no
@@ -1280,6 +1365,136 @@ def main(sf):
                         rows.add((a, b, hd))
         return pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "hamming"])
     maybe("m09_audio_dedup", m09)
+
+    def m12():
+        # audio trak through the sample tables, single-node form: build
+        # each doc's AV MP4 (one PNG frame under the m11 pixel grammar +
+        # the m09 PCM grammar in a 'raw '/'sowt' audio trak with UNIFORM
+        # stsz), walk the boxes PER TRAK (hdlr scopes the tables), pull
+        # the audio bytes via stsz/stco, then m09's hash + band tail.
+        import struct, zlib
+        d = pd.read_parquet(P("documents"), columns=["doc_id"])
+        h60 = lambda seed, s: int(
+            hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+        def samples(doc):
+            b = doc - 1 if doc > 0 and (doc % 19 == 0 or doc % 29 == 0) else doc
+            edited = doc > 0 and doc % 19 != 0 and doc % 29 == 0
+            n = 64 + (b * 5) % 97
+            out = []
+            for i in range(n):
+                if i % 7 == 0:
+                    r = h60(59, f"{b}:{i // 7}")
+                s = ((r >> (8 * (i % 7))) & 255) - 128
+                if edited:
+                    s = min(s + 5, 127) if s >= 0 else max(s - 5, -128)
+                out.append(s)
+            return out
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data +
+                    struct.pack(">I", zlib.crc32(typ + data)))
+
+        def png_frame(doc):
+            w, h = 8 + doc % 9, 8 + (doc * 5) % 9
+            raw = bytearray()
+            for y in range(h):
+                r = h60(67, f"{doc}:0:{y}")
+                raw.append(0)
+                raw.extend((r >> (8 * (x % 7))) & 255 for x in range(w))
+            ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+                    chunk(b"IDAT", zlib.compress(bytes(raw))) +
+                    chunk(b"IEND", b""))
+
+        def box(typ, payload):
+            return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+        def mp4av(frame, bits, smp):
+            ab = bytes(v + 128 for v in smp) if bits == 8 else \
+                b"".join(struct.pack("<h", v * 256) for v in smp)
+            vhdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + bytes(13))
+            vstsz = box(b"stsz", struct.pack(">III", 0, 0, 1) +
+                        struct.pack(">I", len(frame)))
+            ahdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"soun" + bytes(13))
+            astsd = box(b"stsd", struct.pack(">II", 0, 1) +
+                        struct.pack(">I", 36) +
+                        (b"raw " if bits == 8 else b"sowt") + bytes(16) +
+                        struct.pack(">HH", 1, bits) + bytes(4) +
+                        struct.pack(">I", 8000 << 16))
+            astsz = box(b"stsz", struct.pack(">III", 0, bits // 8, len(smp)))
+            def assemble(off):
+                vstco = box(b"stco", struct.pack(">III", 0, 1, off))
+                astco = box(b"stco", struct.pack(">III", 0, 1, off + len(frame)))
+                vtrak = box(b"trak", vhdlr + box(b"stbl", vstsz + vstco))
+                atrak = box(b"trak", ahdlr + box(b"stbl", astsd + astsz + astco))
+                moov = box(b"moov", vtrak + atrak)
+                return (b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2" +
+                        moov + box(b"mdat", frame + ab))
+            probe = assemble(0)
+            return assemble(len(probe) - len(frame) - len(ab))
+
+        def audio_of(b_):
+            traks = []
+            def walk(i, end, cur):
+                while i + 8 <= end:
+                    size = struct.unpack(">I", b_[i:i + 4])[0]
+                    typ = b_[i + 4:i + 8]
+                    if typ == b"trak":
+                        cur = {}
+                        traks.append(cur)
+                        walk(i + 8, i + size, cur)
+                    elif typ in (b"moov", b"stbl"):
+                        walk(i + 8, i + size, cur)
+                    elif typ == b"hdlr" and cur is not None:
+                        cur["h"] = b_[i + 16:i + 20]
+                    elif typ == b"stsd" and cur is not None:
+                        cur["fmt"] = b_[i + 20:i + 24]
+                    elif typ == b"stsz" and cur is not None:
+                        cur["usz"], cur["n"] = struct.unpack(
+                            ">II", b_[i + 12:i + 20])
+                    elif typ == b"stco" and cur is not None:
+                        cur["off"] = struct.unpack(">I", b_[i + 16:i + 20])[0]
+                    i += size
+            walk(0, len(b_), None)
+            a = next(t for t in traks if t.get("h") == b"soun")
+            raw = b_[a["off"]:a["off"] + a["n"] * a["usz"]]
+            if a["fmt"] == b"raw ":
+                return [v - 128 for v in raw]
+            return list(np.frombuffer(raw, dtype="<i2").astype(int))
+
+        def fhash(s):
+            n = len(s)
+            fs = [0] * 64; nf = [0] * 64; total = 0
+            for i, v in enumerate(s):
+                f = 64 * i // n
+                a = abs(v)
+                fs[f] += a; nf[f] += 1; total += a
+            v = sum(1 << f for f in range(64) if fs[f] * n > total * nf[f])
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        fps = {}
+        for doc in d.doc_id.astype("int64"):
+            doc = int(doc)
+            bits = 16 if doc > 0 and doc % 19 == 0 else 8
+            av = mp4av(png_frame(doc), bits, samples(doc))
+            fps[doc] = fhash(audio_of(av))
+        buckets = {}
+        for doc, fp in fps.items():
+            for band in range(4):
+                buckets.setdefault((band, (fp >> (16 * band)) & 0xffff),
+                                   []).append(doc)
+        rows = set()
+        for ids in buckets.values():
+            ids.sort()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = ids[i], ids[j]
+                    hd = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+                    if hd <= 3:
+                        rows.add((a, b, hd))
+        return pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "hamming"])
+    maybe("m12_mp4_audio", m12)
 
     def m11():
         # perceptual video near-dup, single-node form: build each doc's
@@ -1777,6 +1992,54 @@ def main(sf):
         dlb.update(dlc)
         return _bm25_topk(d, pb, dlb, len(d), tb + tc)
     maybe("e11_postings_append", e11)
+
+    def e16():
+        # composed postings lifecycle: per-slice postings dicts composed
+        # append -> delete -> append (the delete drops ALL takedown rows
+        # and decrements N/T additively; batch2 re-ingests a third of
+        # them), global df/cap re-derived over the live union, the same
+        # scorer — the honest single-process segmented-index form.
+        from collections import Counter, defaultdict
+        d = pd.read_parquet(P("documents"), columns=["doc_id", "text"])
+        def build(sub):
+            postings = defaultdict(list); dl = {}; T = 0
+            for did, text in zip(sub.doc_id, sub.text):
+                toks = re.split(r"\s+", text)
+                grams = [toks[i] + " " + toks[i + 1]
+                         for i in range(len(toks) - 1)]
+                T += len(grams)
+                if grams:
+                    dl[did] = len(grams)
+                for g, n in Counter(grams).items():
+                    postings[g].append((did, n))
+            return postings, dl, T
+        base = d[(d.doc_id % 5 != 0) & (d.doc_id % 5 != 1)]
+        batch1 = d[d.doc_id % 5 == 0]
+        batch2 = d[(d.doc_id % 5 == 1) |
+                   ((d.doc_id % 10 == 3) & (d.doc_id % 3 == 0))]
+        post, dl, T = build(base)
+        p1, dl1, t1 = build(batch1)
+        for g, lst in p1.items():
+            post[g].extend(lst)
+        dl.update(dl1)
+        N = len(base) + len(batch1)
+        T += t1
+        deleted = set(int(i) for i in d.doc_id if i % 10 == 3)
+        dn = sum(1 for i in deleted)  # the slice sits wholly in base
+        dt = sum(dl.get(i, 0) for i in deleted)
+        post = {g: [(c, t) for c, t in lst if c not in deleted]
+                for g, lst in post.items()}
+        post = {g: lst for g, lst in post.items() if lst}
+        dl = {i: v for i, v in dl.items() if i not in deleted}
+        N -= dn; T -= dt
+        p2, dl2, t2 = build(batch2)
+        for g, lst in p2.items():
+            post.setdefault(g, []).extend(lst)
+        dl.update(dl2)
+        N += len(batch2); T += t2
+        live = d[~((d.doc_id % 10 == 3) & (d.doc_id % 3 != 0))]
+        return _bm25_topk(live, post, dl, N, T)
+    maybe("e16_postings_lifecycle", e16)
 
     def e14():
         # postings takedown: build the full index, strip the deleted
