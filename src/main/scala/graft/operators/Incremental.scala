@@ -632,8 +632,8 @@ object Incremental {
       val cellPath = s"$dir/index/cell=$c"
       val before = Retrieval.partFileCount(s, cellPath)
       val rows = graft.Checkpoints.cut(s.read.parquet(cellPath))
-      val n = math.max(1L,
-        (Retrieval.dirBytes(s, cellPath) + targetBytes - 1) / targetBytes).toInt
+      val n = Retrieval.packFileCount(s,
+        Retrieval.dirBytes(s, cellPath), targetBytes)
       rows.coalesce(n).write.mode("overwrite").parquet(cellPath)
       c -> (before, Retrieval.partFileCount(s, cellPath))
     }.toMap

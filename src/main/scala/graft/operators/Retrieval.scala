@@ -622,13 +622,29 @@ object Retrieval {
     val post = graft.Checkpoints.cut(liveRows(st.postings, st.tombs))
     val lens = graft.Checkpoints.cut(liveRows(st.doclens, st.tombs))
     def packed(df: DataFrame, sub: String): Unit = {
-      val n = math.max(1L,
-        (dirBytes(s, s"$dir/$sub") + targetBytes - 1) / targetBytes).toInt
+      val n = packFileCount(s, dirBytes(s, s"$dir/$sub"), targetBytes)
       df.coalesce(n).write.mode("overwrite").parquet(s"$dir/$sub")
     }
     packed(post, "postings")
     packed(lens, "doclens")
     emptyTombs(s).write.mode("overwrite").parquet(s"$dir/tombs")
+  }
+
+  /** Compaction output file count: byte-targeted, with a PARALLELISM
+    * floor that matters only at the small end — a sub-targetBytes state
+    * packed to ONE file makes the next scan ONE task (parquet splits at
+    * row-group boundaries and a small file is one split; measured
+    * 2.8 → 12.4 s on the post-compaction query at sf1), so when the
+    * data is big enough to care (≥ 1 MB/file) we keep up to
+    * defaultParallelism files. At scale the byte target dominates and
+    * the floor is irrelevant — exactly the production posture
+    * (parallelism at 100 TB comes from file COUNT at ~128 MB each). */
+  private[graft] def packFileCount(s: SparkSession, bytes: Long,
+                                   targetBytes: Long): Int = {
+    val byTarget = (bytes + targetBytes - 1) / targetBytes
+    val parFloor = math.min(s.sparkContext.defaultParallelism.toLong,
+      bytes / (1L << 20))
+    math.max(1L, math.max(byTarget, parFloor)).toInt
   }
 
   /** Total bytes under a path (0 if absent). */
