@@ -1673,16 +1673,21 @@ object Oracles {
     // stays full-corpus — e15's takedown mirror: frozen quantizers,
     // deleted vectors gone from the index, deleted docs no longer
     // querying.
-    def e05BodyWith(live: String => String): String =
+    // `trainPred` restricts EVERY training CTE (Lloyd sample, coarse
+    // seeds, PQ seeds) — the frozen-quantizer mirror (e06 trains on the
+    // base slice; e17 on the composed base); `live` restricts the index
+    // and query sides (e15's takedown mirror; e17's survivors).
+    def e05BodyTrainLive(trainPred: String, live: String => String): String =
       s"""trainset AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille),
+         |  WHERE ${h60(KmeansSampleSeed, "CAST(vec_id AS VARCHAR)")} % 1000 < $KmeansTrainPermille
+         |    AND $trainPred),
          |cent0 AS (
          |  SELECT CAST(vec_id AS INT) AS cell,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM embeddings WHERE vec_id < $KmeansCells),
+         |  FROM embeddings WHERE vec_id < $KmeansCells AND $trainPred),
          |$lloyd,
          |${assignCte(KmeansIters + 1, s"cent$KmeansIters", "embeddings")},
-         |$pqCtes,
+         |${pqCtesWithSeeds(trainPred)},
          |rec AS (SELECT m0.vec_id, ($reconCat) AS recon
          |        FROM p0m${KmeansIters + 1} m0 JOIN p0c$KmeansIters c0 ON c0.cell = m0.cell
          |        $reconJoins),
@@ -1707,6 +1712,8 @@ object Oracles {
          |  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN embeddings c ON c.vec_id = sh.c_id),
          |r2 AS (SELECT q_id, c_id, cosine,
          |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM scored)""".stripMargin
+    def e05BodyWith(live: String => String): String =
+      e05BodyTrainLive("TRUE", live)
     val e05Body = e05BodyWith(_ => "TRUE")
     // e09's full WITH-body (ends at lexr: the ranked lexical results).
     // Its query CTE is named lexq, NOT q, so the chain composes with
@@ -2012,6 +2019,21 @@ object Oracles {
       "e15_index_delete" -> {
         import graft.operators.Incremental.{DeleteMod, DeleteRes}
         s"""WITH ${e05BodyWith(c => s"$c % $DeleteMod <> $DeleteRes")}
+           |SELECT q_id, c_id, cosine, rnk FROM r2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+      },
+
+      // e17: the composed-lifecycle mirror for the dense index —
+      // training CTEs on the 60% BASE slice (quantizers frozen through
+      // all three operations), index/query CTEs on the composed
+      // survivor set. Encoding is a per-vector map under frozen params,
+      // so append→delete→append(re-ingest) must leave exactly the
+      // survivors' index — hash equality proves it.
+      "e17_index_lifecycle" -> {
+        import graft.operators.Incremental.{IngestMod, ComposedBatch2Res,
+          DeleteMod, DeleteRes, ComposedReingestMod}
+        s"""WITH ${e05BodyTrainLive(
+             s"vec_id % $IngestMod NOT IN (0, $ComposedBatch2Res)",
+             c => s"NOT ($c % $DeleteMod = $DeleteRes AND $c % $ComposedReingestMod <> 0)")}
            |SELECT q_id, c_id, cosine, rnk FROM r2 WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
       },
 

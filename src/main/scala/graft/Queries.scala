@@ -176,6 +176,11 @@ object Queries {
     // live ids with full-corpus training.
     "e15_index_delete"     -> ((s, d) =>
       Incremental.e15IndexDelete(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
+    // e17: the composed dense-index lifecycle — frozen base-trained
+    // quantizers through append → delete → append-with-re-ingest; e05's
+    // oracle with base-slice training CTEs and survivor-set index/query.
+    "e17_index_lifecycle"  -> ((s, d) =>
+      Incremental.e17IndexLifecycle(s, d, shortlist = Similarity.calibratedPqShortlist(s, d))),
     "m01_multimodal_meta"  -> (Multimodal.m01MultimodalMeta _),
     "m02_frame_sample"     -> (Multimodal.m02FrameSample _),
     "m03_audio_meta"       -> (Multimodal.m03AudioMeta _),
@@ -350,6 +355,7 @@ object Queries {
     "e14_postings_delete"  -> Seq("q_id", "rnk"),
     "e16_postings_lifecycle" -> Seq("q_id", "rnk"),
     "e15_index_delete"     -> Seq("q_id", "rnk"),
+    "e17_index_lifecycle"  -> Seq("q_id", "rnk"),
     "e08_filtered_ann"     -> Seq("q_id", "rnk"),
     "m01_multimodal_meta"  -> Seq("doc_id"),
     "m02_frame_sample"     -> Seq("doc_id", "frame_no"),

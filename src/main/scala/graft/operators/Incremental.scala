@@ -547,13 +547,58 @@ object Incremental {
     * with. */
   def writeFullIndexState(s: SparkSession, d: String, dir: String): Unit = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val centroids = Similarity.corpusCentroids(s, d)
-    val codebooks = Similarity.corpusCodebooks(s, d)
+    writeIndexStateOf(s, e, Similarity.corpusCentroids(s, d),
+      Similarity.corpusCodebooks(s, d), dir)
+  }
+
+  /** Persist an index state from explicit quantizers + a base vector
+    * frame — the shared write tail of [[writeFullIndexState]] and the
+    * composed-lifecycle spec's base publish. */
+  def writeIndexStateOf(s: SparkSession, base: DataFrame, centroids: DataFrame,
+                        codebooks: DataFrame, dir: String): Unit = {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
-    Similarity.e05IndexFrom(s, e, centroids, codebooks)
+    Similarity.e05IndexFrom(s, base, centroids, codebooks)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
   }
+
+  /** e17: the composed lifecycle gate for the DENSE index — d17/e16's
+    * slice history through the IVF×PQ state: quantizers train on the
+    * 60% base corpus and stay FROZEN through all three operations
+    * (e06's append posture AND e15's delete posture at once — frozen
+    * params are what make the history composable: encoding is a
+    * per-vector map, so the re-ingested batch₂ vectors encode to
+    * exactly the rows the delete removed plus nothing stale). The
+    * oracle mirrors base-only training with index/query CTEs on the
+    * composed survivor set; hash equality proves three chained index
+    * mutations leave exactly the index of the survivors. Persisted
+    * form: appendToIndexState × 2 + deleteFromIndexState (touched-cell
+    * rewrite) + compaction, frame-equal to this in-query plan
+    * (ComposedIndexSpec). */
+  def e17IndexLifecycle(s: SparkSession, d: String,
+                        shortlist: Int = Similarity.PqShortlist): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val b1 = pmod(col("vec_id"), lit(IngestMod)) === 0
+    val b2n = pmod(col("vec_id"), lit(IngestMod)) === ComposedBatch2Res
+    val delP = col("vec_id") % DeleteMod === DeleteRes
+    val base = e.filter(!b1 && !b2n)
+    val centroids = Similarity.kmeansCentroids(s, base)
+    val codebooks = Similarity.pqCodebooks(s, base)
+    val idx1 = appendToIndex(s,
+      Similarity.e05IndexFrom(s, base, centroids, codebooks),
+      centroids, codebooks, e.filter(b1))
+    val idx2 = idx1.filter(!(col("c_id") % DeleteMod === DeleteRes))
+    val batch2 = e.filter(b2n ||
+      (delP && col("vec_id") % ComposedReingestMod === 0))
+    val idx3 = appendToIndex(s, idx2, centroids, codebooks, batch2)
+    Similarity.e05FromIndex(s, e.filter(composedSurvivor(col("vec_id"))),
+      centroids, idx3, shortlist)
+  }
+
+  /** d17/e16/e17's survivor predicate (deleted ∧ not-re-ingested is
+    * the only absent slice). */
+  private[graft] def composedSurvivor(c: Column): Column =
+    !(c % DeleteMod === DeleteRes && c % ComposedReingestMod =!= 0)
 
   /** Query the persisted index AFTER a [[deleteFromIndexState]]: reads
     * the surgically-rewritten cells plus frozen quantizers — the

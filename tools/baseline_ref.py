@@ -522,6 +522,63 @@ def main(sf):
         return pd.DataFrame(rows, columns=["q_id", "c_id", "cosine", "rnk"])
     maybe("e15_index_delete", e15)
 
+    def e17():
+        # composed dense-index lifecycle: quantizers trained on the 60%
+        # BASE slice and frozen through append -> delete -> append
+        # (encoding is a per-vector map, so the single encode pass over
+        # the survivor set IS the composed index), index and query
+        # restricted to the composed survivors, e05's probe -> ADC
+        # shortlist -> exact re-rank.
+        e = pd.read_parquet(P("embeddings"))
+        V = np.stack(e.embedding.to_numpy()).astype(np.float64)
+        ids = e.vec_id.to_numpy()
+
+        def cosm(A, B):
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            return An @ Bn.T
+        basemask = ~np.isin(ids % 5, [0, 1])
+        hv = np.array([int(hashlib.md5(f"23:{i}".encode()).hexdigest()[:15], 16) % 1000
+                       for i in ids])
+        train_mask = (hv < 250) & basemask
+        C = V[(ids < 16) & basemask].copy()
+        T = V[train_mask]
+        for _ in range(2):
+            a = cosm(T, C).argmax(1)
+            C = np.stack([np.floor(T[a == c] * 1e6).sum(axis=0)
+                          / (np.sum(a == c) * 1e6) if (a == c).any() else C[c]
+                          for c in range(len(C))])
+        cells = cosm(V, C).argmax(1)
+        M, SD, KC, ITERS = 4, 16, 16, 2
+        recon = np.empty_like(V)
+        for m in range(M):
+            S = V[:, m*SD:(m+1)*SD]
+            cent = S[(ids < KC) & basemask].copy()
+            Tm = S[train_mask]
+            for _ in range(ITERS):
+                a = cosm(Tm, cent).argmax(1)
+                cent = np.stack([Tm[a == c].mean(0) if (a == c).any() else cent[c]
+                                 for c in range(len(cent))])
+            recon[:, m*SD:(m+1)*SD] = cent[cosm(S, cent).argmax(1)]
+        live = ~((ids % 10 == 3) & (ids % 3 != 0))
+        qmask = (ids % 100 == 0) & live
+        Q = V[qmask]; qids = ids[qmask]
+        depth = max(30, len(ids) // 20)
+        probes = np.argsort(-cosm(Q, C), axis=1)[:, :3]
+        rows = []
+        for qi in range(len(qids)):
+            cand = np.where(np.isin(cells, probes[qi]) & live
+                            & (ids != qids[qi]))[0]
+            adc6 = np.round(cosm(Q[qi:qi+1], recon[cand])[0], 6)
+            short = cand[np.lexsort((ids[cand], -adc6))[:depth]]
+            cos6 = np.round(cosm(Q[qi:qi+1], V[short])[0], 6)
+            top = short[np.lexsort((ids[short], -cos6))[:10]]
+            cos6 = np.round(cosm(Q[qi:qi+1], V[top])[0], 6)
+            rows.extend((int(qids[qi]), int(ids[top[r]]), float(cos6[r]), r + 1)
+                        for r in range(len(top)))
+        return pd.DataFrame(rows, columns=["q_id", "c_id", "cosine", "rnk"])
+    maybe("e17_index_lifecycle", e17)
+
     def e04():
         # product-quantization ANN, numpy/BLAS form: per-subspace
         # 16-centroid spherical k-means (2 Lloyd rounds on the same 25%
