@@ -82,10 +82,14 @@ class PlanAuditSpec extends SparkSpecBase {
     // e15 is e05's index+query machinery over the delete-filtered
     // index — same <=16-row centroid/codebook broadcasts, nothing else
     // nested-loops).
+    // e17 is e05's index+query machinery over the composed-lifecycle
+    // index (frozen base-trained quantizers) — the same ≤16-row
+    // centroid/codebook broadcasts as e05/e06/e15.
     val broadcastSmallByDesign =
       Set("e01_knn_brute", "e03_ivf_ann", "e04_pq_ann", "e05_ivfpq",
         "e06_index_append", "e07_cluster_stats", "d12_semantic_groups",
-        "e08_filtered_ann", "e10_hybrid_rrf", "e15_index_delete")
+        "e08_filtered_ann", "e10_hybrid_rrf", "e15_index_delete",
+        "e17_index_lifecycle")
     for ((name, _) <- analyzed if !broadcastSmallByDesign(name)) {
       assert(!operators(name).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         s"$name contains BroadcastNestedLoopJoin")
