@@ -1558,6 +1558,22 @@ object Oracles {
           s"${h60(DecontamSeed, "CAST(doc_id AS VARCHAR)")} % $DecontamBenchMod <> 0)")
       },
 
+      // x19's oracle is x08's chain on the COMPOSED survivor set: the
+      // x18 takedown slice (bench-exempt) minus the re-ingested third.
+      // The from-scratch mirror's registry is the survivors' bench
+      // grams — equal to the composed state's monotone registry because
+      // the slice never contains a bench row; hash equality proves the
+      // merge/delete/merge state machine composes (monotone
+      // contamination, registry immutability, pair-graph hygiene,
+      // quality-keeper re-election) on every run.
+      "x19_curation_lifecycle" -> {
+        import graft.operators.Dedup.{DecontamSeed, DecontamBenchMod}
+        import graft.operators.Incremental.{DeleteMod, DeleteRes, ComposedReingestMod}
+        x08SqlWith(s"NOT (doc_id % $DeleteMod = $DeleteRes AND " +
+          s"${h60(DecontamSeed, "CAST(doc_id AS VARCHAR)")} % $DecontamBenchMod <> 0 AND " +
+          s"doc_id % $ComposedReingestMod <> 0)")
+      },
+
       // bands feeds BOTH sides of the candidate self-join; DuckDB 1.0
       // INLINES repeated CTE references (measured: the un-hinted d12
       // mirror ran >4 h at sf1 where the MATERIALIZED form takes ~7 min),

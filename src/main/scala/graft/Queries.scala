@@ -253,6 +253,11 @@ object Queries {
     // components re-CC with QUALITY-keeper re-election, decision frame
     // reassembles; oracle = x08's mirror on corpus-minus-deleted.
     "x18_curation_delete"  -> (Curation.x18CurationDelete _),
+    // x19: the composed curation lifecycle — merge → delete → merge
+    // through one carried eight-frame state; x08's oracle on the
+    // composed survivor set (registry immutability + monotone
+    // contamination across re-ingestion).
+    "x19_curation_lifecycle" -> (Curation.x19CurationLifecycle _),
     "x10_seq_chunk"        -> (Sampling.x10SeqChunk _),
     "x11_quantile_profile" -> (Sampling.x11QuantileProfile _),
     // x12 consumes x10's chunk fingerprints: chunk-level exact dedup
@@ -389,6 +394,7 @@ object Queries {
     "x08_curation_decide"  -> Seq("doc_id"),
     "x09_curation_merge"   -> Seq("doc_id"),
     "x18_curation_delete"  -> Seq("doc_id"),
+    "x19_curation_lifecycle" -> Seq("doc_id"),
     "x10_seq_chunk"        -> Seq("doc_id", "chunk_no"),
     "x11_quantile_profile" -> Seq("source"),
     "x12_chunk_dedup"      -> Seq("chunk_md5"),

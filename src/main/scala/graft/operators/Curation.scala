@@ -250,7 +250,11 @@ object Curation {
   private[graft] final case class MergeParts(
       stagedB: DataFrame, batchClean: DataFrame, removed: DataFrame,
       oldUntouched: DataFrame, relabel: DataFrame, survivorFinal: DataFrame,
-      batchFinal: DataFrame, quality: DataFrame, splits: DataFrame)
+      batchFinal: DataFrame, quality: DataFrame, splits: DataFrame,
+      // state-forward halves (the composed lifecycle carries them into
+      // the next state version; a one-shot merge ignores them):
+      batchShingles: DataFrame, batchBands: DataFrame, newPairs: DataFrame,
+      newBenchGrams: DataFrame, batchCleanGrams: DataFrame)
 
   /** Merge a new batch into persisted curation state. Work is bounded by
     * the batch plus what it disturbs:
@@ -388,8 +392,12 @@ object Curation {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
+    // Cut: consumed by the merge CC's edge lift AND carried forward
+    // into composed state (its lineage is the whole candidate+verify
+    // pipeline).
     val newPairs = Dedup.verifyJaccard(cand, st.shingles.unionByName(shB), 0.5)
       .select(col("id_a"), col("id_b"))
+      .transform(graft.Checkpoints.cut)
 
     // --- merge CC in mixed space (d09's trick + touched raw subgraphs):
     // an endpoint in an UNTOUCHED old component is lifted to its label
@@ -435,7 +443,9 @@ object Curation {
       .select(col("doc_id"), col("split")).join(batchClean, "doc_id")
     MergeParts(stagedB, batchClean, removed, oldUntouched, relabel,
       survivorFinal, batchFinal,
-      st.quality.unionByName(qualB), st.splits.unionByName(splitB))
+      st.quality.unionByName(qualB), st.splits.unionByName(splitB),
+      shB, newBands, newPairs, bgNew,
+      gramsB.join(batchClean, "doc_id"))
   }
 
   /** Non-clean verdict rows of a merge: the batch's drops, the old
@@ -456,8 +466,17 @@ object Curation {
     * Re-emits the whole corpus (one map-side relabel scan); the row-set
     * a daily pipeline persists is [[curationDelta]]. */
   def mergeCuration(s: SparkSession, st: CurationState,
-                    batch: DataFrame): DataFrame = {
-    val p = mergeParts(s, st, batch)
+                    batch: DataFrame): DataFrame =
+    mergedDecisionsFrom(st, mergeParts(s, st, batch))
+
+  /** The full merged decision frame off precomputed [[MergeParts]] —
+    * shared by [[mergeCuration]] and the state-forward
+    * [[mergeCurationState]] (which must not run mergeParts twice). */
+  private[graft] def mergedDecisionsFromForSpec(st: CurationState,
+                                                p: MergeParts): DataFrame =
+    mergedDecisionsFrom(st, p)
+
+  private def mergedDecisionsFrom(st: CurationState, p: MergeParts): DataFrame = {
     val untouchedFinal = p.oldUntouched.join(p.relabel, Seq("lbl"), "left")
       .select(col("doc_id"), coalesce(col("nl"), col("lbl")).as("lbl"))
     val labels = untouchedFinal.unionByName(p.survivorFinal)
@@ -614,4 +633,136 @@ object Curation {
   def curationDeltaFromState(s: SparkSession, d: String, dir: String,
                              mod: Int = Incremental.IngestMod): DataFrame =
     curationDelta(s, readState(s, dir), batchOf(s, d, mod))
+
+  // -------------------------------------------------------------------
+  // x19: the COMPOSED curation lifecycle — merge → delete → merge
+  // through ONE carried CurationState. The family's own interaction
+  // hazards, beyond d17/e16/e17's: the benchmark REGISTRY must survive
+  // the delete untouched (it is immutable; the takedown slice excludes
+  // bench rows by semantics) so a doc deleted and RE-INGESTED re-checks
+  // against the FULL grown registry — contamination stays monotone
+  // across the whole history — and a doc contaminated by batch₁'s
+  // bench grams must leave the clean structures (bands/shingles/
+  // cleanGrams/pairs) so batch₂ can neither pair with it nor
+  // re-contaminate it twice.
+  // -------------------------------------------------------------------
+
+  /** Merge a batch AND carry the full eight-frame state forward —
+    * the composed lifecycle's append. decisions' is [[mergeCuration]]'s
+    * frame; the others update incrementally: bands/shingles/cleanGrams
+    * drop the newly-contaminated docs and gain the batch's clean docs,
+    * quality/splits likewise, benchGrams only GROWS (the immutable
+    * registry), and the pair graph is (old pairs − removed-incident) ∪
+    * the batch's verified new pairs, re-keyed by the new decisions'
+    * group_id (one map-side join — the same corpus-scan class the full
+    * merge's relabel already pays; the takedown-bounded surgical form
+    * lives in the groups family, [[Incremental.deleteGroupStateStep]]). */
+  def mergeCurationState(s: SparkSession, st: CurationState,
+                         batch: DataFrame): CurationState = {
+    val p = mergeParts(s, st, batch)
+    // Cut decisions FIRST, then derive the pair re-key from the CUT
+    // frame — a later cut of a frame that captured the LAZY decisions
+    // would re-evaluate the whole assembly pipeline per cut (the first
+    // x19 form paid exactly that cascade; see [[cutState]]'s note).
+    val decisions = graft.Checkpoints.cut(mergedDecisionsFrom(st, p))
+    val rm = p.removed
+    def drop(df: DataFrame): DataFrame =
+      df.join(rm, Seq("doc_id"), "left_anti")
+    val pairsAll = st.pairs.select("id_a", "id_b")
+      .join(rm.toDF("id_a"), Seq("id_a"), "left_anti")
+      .join(rm.toDF("id_b"), Seq("id_b"), "left_anti")
+      .unionByName(p.newPairs)
+    def c(df: DataFrame) = graft.Checkpoints.cut(df)
+    CurationState(
+      decisions,
+      c(drop(st.bands).unionByName(p.batchBands)),
+      c(drop(st.shingles).unionByName(p.batchShingles)),
+      c(relabelPairs(pairsAll, decisions)),
+      c(drop(p.quality)), c(drop(p.splits)),
+      c(st.benchGrams.unionByName(p.newBenchGrams).distinct()),
+      c(drop(st.cleanGrams).unionByName(p.batchCleanGrams)))
+  }
+
+  /** Delete a takedown list AND carry the state forward. decisions' is
+    * [[deleteCuration]]'s frame; every per-doc store anti-joins the
+    * deleted ids; benchGrams is UNTOUCHED (the registry is immutable
+    * and [[deleteSlice]] excludes bench rows — passing a list that
+    * includes one would silently shrink contamination, so the
+    * precondition is the caller's, exactly as in x18). */
+  def deleteCurationState(s: SparkSession, st: CurationState,
+                          deleted: DataFrame): CurationState = {
+    val delIds = deleted.select("doc_id")
+    val decisions = graft.Checkpoints.cut(deleteCuration(s, st.decisions,
+      st.pairs, st.quality, st.splits, deleted))
+    def drop(df: DataFrame): DataFrame =
+      df.join(delIds, Seq("doc_id"), "left_anti")
+    val keptPairs = st.pairs.select("id_a", "id_b")
+      .join(delIds.toDF("id_a"), Seq("id_a"), "left_anti")
+      .join(delIds.toDF("id_b"), Seq("id_b"), "left_anti")
+    def c(df: DataFrame) = graft.Checkpoints.cut(df)
+    CurationState(
+      decisions, c(drop(st.bands)), c(drop(st.shingles)),
+      c(relabelPairs(keptPairs, decisions)),
+      c(drop(st.quality)), c(drop(st.splits)),
+      st.benchGrams, c(drop(st.cleanGrams)))
+  }
+
+  /** Re-key a clean-clean pair set by the component labels of a
+    * decision frame (pairs' endpoints are clean by construction —
+    * cleanness is only ever LOST via removal/deletion, and both
+    * state-forward callers drop those rows first). */
+  private def relabelPairs(pairs: DataFrame, decisions: DataFrame): DataFrame =
+    pairs.join(decisions.filter(col("stage").isin("kept", "duplicate"))
+        .select(col("doc_id").as("id_a"), col("group_id").as("lbl")), "id_a")
+      .select("id_a", "id_b", "lbl")
+
+  /** Cut every frame of a state — the composed lifecycle's base-state
+    * discipline (x09's), and the root-caused reason it is NON-OPTIONAL
+    * for a multi-step chain: Catalyst's size-only stats visitor
+    * MULTIPLIES child sizeInBytes through joins, and the chain's
+    * self-joins (verify reads shingles twice, the assembly reads
+    * labels⋈quality twice) SQUARE the BigInt exponent per level — by
+    * the second merge the driver was spending minutes inside
+    * BigInteger.multiplyToomCook3 on million-digit size estimates
+    * (jstack'd at sf0.1: 130 s of main-thread CPU under
+    * SizeInBytesOnlyStatsPlanVisitor.visitJoin; the key measured 267 s
+    * against x09's 18.6 s). A localCheckpoint resets stats to the real
+    * materialized size, so per-step cuts bound the estimate depth and
+    * the whole pathology vanishes — the state-forward ops therefore
+    * cut every frame they RETURN (decisions first, so the derived
+    * frames capture the cut one), and this helper cuts a
+    * from-scratch-built state before it enters the chain. */
+  private[graft] def cutState(st: CurationState): CurationState = {
+    def c(df: DataFrame) = graft.Checkpoints.cut(df)
+    CurationState(c(st.decisions), c(st.bands), c(st.shingles), c(st.pairs),
+      c(st.quality), c(st.splits), c(st.benchGrams), c(st.cleanGrams))
+  }
+
+  /** x19: the composed curation lifecycle as a gated key — d17/e16/e17's
+    * slice history through the decision state: base (60%) →
+    * merge(batch₁ = id % 5 == 0) → delete(the x18 slice: id ≡ 3 mod 10
+    * and not bench) → merge(batch₂ = id % 5 == 1 plus the deleted ids
+    * with id % 3 == 0 re-ingested). Oracle: x08's mirror on the
+    * composed survivor set — hash equality proves monotone
+    * contamination, registry immutability, quality-keeper re-election
+    * and pair-graph hygiene COMPOSE across three operations. With d17
+    * (groups), e16 (postings), e17 (dense index) and x19 (decisions),
+    * every persisted family carries the composed gate. */
+  def x19CurationLifecycle(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val b1 = pmod(col("doc_id"), lit(Incremental.IngestMod)) === 0
+    val b2n = pmod(col("doc_id"), lit(Incremental.IngestMod)) ===
+      Incremental.ComposedBatch2Res
+    val base = docs.filter(!b1 && !b2n)
+    val decisions0 = curationDecideDocs(s, base).transform(graft.Checkpoints.cut)
+    val st0 = cutState(curationStateFrom(s, base, decisions0))
+    // The state-forward ops cut their own decisions/pairs; the other
+    // frames are single-consumed per step (see [[cutState]]'s note).
+    val st1 = mergeCurationState(s, st0, docs.filter(b1))
+    val st2 = deleteCurationState(s, st1, deleteSlice(docs))
+    val batch2 = docs.filter(b2n ||
+      (col("doc_id") % Incremental.DeleteMod === Incremental.DeleteRes &&
+        !isBenchCol && col("doc_id") % Incremental.ComposedReingestMod === 0))
+    mergeCurationState(s, st2, batch2).decisions
+  }
 }

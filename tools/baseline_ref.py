@@ -876,6 +876,124 @@ def main(sf):
         assemble(stages, labels, quality)
     maybe("x09_curation_merge", x09)
 
+    def x19():
+        # composed curation lifecycle, honest single-process form: base
+        # state on carried dicts, merge(batch1) with state-forward,
+        # delete(slice — registry untouched), merge(batch2 incl. the
+        # re-ingested third) — never a survivor rebuild. State: stages,
+        # clean labels/shingles/quality, the pair list, the clean
+        # gram index (stale entries liveness-filtered against sh), the
+        # band dict (occupants liveness-filtered), the bench gram set.
+        d = pd.read_parquet(P("documents"))
+        m5 = d.doc_id % 5
+
+        def build(df):
+            st = doc_pass(df)
+            bg = set().union(*(g for isb, _, _, g, _ in st.values() if isb),
+                             set())
+            stages = stages_of(st, bg)
+            sh = {x: st[x][4] for x, s_ in stages.items() if s_ == "clean"}
+            pairs = verified_pairs(band_table(sh), sh)
+            return dict(stages=stages, labels=cc_min(list(sh), pairs),
+                        sh=sh, pairs=pairs,
+                        quality={x: st[x][2] for x in sh},
+                        grams={x: st[x][3] for x in sh},
+                        bands=band_table(sh), bg=bg)
+
+        def merge_step(S, df):
+            stN = doc_pass(df)
+            bgNew = set().union(*(g for isb, _, _, g, _ in stN.values() if isb),
+                                set())
+            bgAll = S["bg"] | bgNew
+            stagesN = stages_of(stN, bgAll)
+            removed = {x for x in S["sh"]
+                       if S["grams"][x] & bgNew}
+            touched = {S["labels"][x] for x in removed}
+            survivors = [x for x, l in S["labels"].items()
+                         if l in touched and x not in removed]
+            sub_edges = [(a, b) for a, b in S["pairs"]
+                         if S["labels"][a] in touched
+                         and a not in removed and b not in removed]
+            shN = {x: stN[x][4] for x, s_ in stagesN.items() if s_ == "clean"}
+            bandsN = band_table(shN)
+            liveC = lambda x: x in S["sh"] and x not in removed
+            cand = set()
+            for key, idsN in bandsN.items():
+                occ = [x for x in S["bands"].get(key, ()) if liveC(x)]
+                for a in idsN:
+                    for b in occ + [x for x in idsN if x != a]:
+                        cand.add((min(a, b), max(a, b)))
+            shAll = {**S["sh"], **shN}
+            new_pairs = [(a, b) for a, b in cand
+                         if round(len(shAll[a] & shAll[b])
+                                  / len(shAll[a] | shAll[b]), 6) >= 0.5]
+            lift = lambda x: S["labels"][x] \
+                if x in S["labels"] and x not in removed \
+                and S["labels"][x] not in touched else x
+            edges = sub_edges + [(lift(a), lift(b)) for a, b in new_pairs]
+            merged = cc_min({v for e in edges for v in e}, edges)
+            labels = {}
+            for x, l in S["labels"].items():
+                if x in removed:
+                    continue
+                labels[x] = merged.get(x, x) if l in touched else merged.get(l, l)
+            for x in shN:
+                labels[x] = merged.get(x, x)
+            stages = {**S["stages"], **stagesN}
+            for x in removed:
+                stages[x] = "contaminated"
+            sh2 = {x: s_ for x, s_ in shAll.items() if x not in removed}
+            bands2 = S["bands"]
+            for key, idsN in bandsN.items():
+                bands2.setdefault(key, []).extend(idsN)
+            return dict(stages=stages, labels=labels, sh=sh2,
+                        pairs=[(a, b) for a, b in S["pairs"]
+                               if a not in removed and b not in removed]
+                              + new_pairs,
+                        quality={**{x: q for x, q in S["quality"].items()
+                                    if x not in removed},
+                                 **{x: stN[x][2] for x in shN}},
+                        grams={**{x: g for x, g in S["grams"].items()
+                                  if x not in removed},
+                               **{x: stN[x][3] for x in shN}},
+                        bands=bands2, bg=bgAll)
+
+        def delete_step(S, dele):
+            touched = {S["labels"][x] for x in dele if x in S["labels"]}
+            surv = [x for x, l in S["labels"].items()
+                    if l in touched and x not in dele]
+            sub = [(a, b) for a, b in S["pairs"]
+                   if S["labels"][a] in touched
+                   and a not in dele and b not in dele]
+            labels = {x: l for x, l in S["labels"].items()
+                      if l not in touched and x not in dele}
+            labels.update(cc_min(surv, sub))
+            return dict(
+                stages={x: s_ for x, s_ in S["stages"].items()
+                        if x not in dele},
+                labels=labels,
+                sh={x: s_ for x, s_ in S["sh"].items() if x not in dele},
+                pairs=[(a, b) for a, b in S["pairs"]
+                       if a not in dele and b not in dele],
+                quality={x: q for x, q in S["quality"].items()
+                         if x not in dele},
+                grams={x: g for x, g in S["grams"].items() if x not in dele},
+                bands=S["bands"], bg=S["bg"])
+
+        S = build(d[(m5 != 0) & (m5 != 1)])
+        S = merge_step(S, d[m5 == 0])
+        dele = {x for x, s_ in S["stages"].items()
+                if x % 10 == 3 and s_ != "benchmark"
+                and h60(str(x), 19) % 20 != 0}
+        S = delete_step(S, dele)
+        S = merge_step(S, d[(m5 == 1) |
+                            ((d.doc_id % 10 == 3) & (d.doc_id % 3 == 0)
+                             & (d.doc_id.map(lambda x: h60(str(x), 19) % 20 != 0)))])
+        # the delete removed the lifecycle liveness of sh/labels;
+        # bands keeps stale occupants — liveness is re-checked at probe
+        return assemble(S["stages"], S["labels"], S["quality"])
+    maybe("x19_curation_lifecycle", x19)
+
     def x18():
         # curation takedown, the honest single-process form of the gated
         # key: build the full decision state (x08's passes), then
