@@ -24,7 +24,7 @@ object Checkpoints {
 
   def cut(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    s.conf.getOption(ReliableDirKey).filter(_.nonEmpty) match {
+    val cp = s.conf.getOption(ReliableDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         // getCheckpointDir returns the QUALIFIED path (scheme-prefixed),
         // so equality with the conf value can't be checked directly —
@@ -34,5 +34,14 @@ object Checkpoints {
         df.checkpoint()
       case None => df.localCheckpoint()
     }
+    // A checkpoint severs LINEAGE but carries the origin plan's
+    // ESTIMATED sizeInBytes into the new leaf (LogicalRDD.fromDataset's
+    // originStats) — so chained cuts compound the estimate
+    // multiplicatively until Catalyst's size-only stats visitor is
+    // multiplying million-digit BigInts on the driver (x19's 345 s
+    // pathology, round 19's fix). Reset the leaf to the MEASURED
+    // materialized size, which both bounds the digits and gives the
+    // planner honest broadcastability information.
+    org.apache.spark.sql.execution.GraftCheckpointStats.withMeasuredStats(cp)
   }
 }

@@ -615,16 +615,23 @@ object Dedup {
     * adversarial long-chain graph, not just stated. */
   def connectedComponentsWithRounds(verts: DataFrame,
                                     edges: DataFrame): (DataFrame, Int) = {
-    val bidir = edges
+    // Cuts go through Checkpoints.cut (round 19): a bare localCheckpoint
+    // carries the origin plan's ESTIMATED sizeInBytes into the new leaf,
+    // and the loop's hop⋈hop self-join doubles the estimate's digit
+    // count per round — the compounding feeds every CC consumer's
+    // downstream stats (x08's assembly inherited 641-digit leaves from
+    // here). cut() resets the leaf to the measured size and also makes
+    // the loop respect the reliable-checkpoint deployment switch.
+    val bidir = graft.Checkpoints.cut(edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // The label-propagation loop runs ONLY over edge-incident vertices:
     // a vertex with no incident edge is its own component by definition
     // and reattaches after convergence with one left join. Near-dup
     // graphs are sparse (dup clusters are a few % of a corpus), so at
     // scale this iterates over the dup subgraph, not the whole corpus.
-    val active = bidir.select(col("src").as("id")).distinct().localCheckpoint()
+    val active = graft.Checkpoints.cut(
+      bidir.select(col("src").as("id")).distinct())
     var labels = active.select(col("id"), col("id").as("lbl"))
     var changed = 1L
     var rounds = 0
@@ -637,11 +644,10 @@ object Dedup {
           least(col("olbl"), coalesce(col("elbl"), col("olbl"))).as("hlbl"))
       // Compression: l(v) ≤ v is invariant (labels start at v and only
       // shrink), so l(l(v)) ≤ l(v) and the inner join always matches.
-      val next = hop
+      val next = graft.Checkpoints.cut(hop
         .join(hop.select(col("id").as("pid"), col("hlbl").as("plbl")),
           col("hlbl") === col("pid"))
-        .select(col("id"), col("olbl"), col("plbl").as("lbl"))
-        .localCheckpoint()
+        .select(col("id"), col("olbl"), col("plbl").as("lbl")))
       changed = next.filter(col("lbl") =!= col("olbl")).count()
       labels = next.select(col("id"), col("lbl"))
       rounds += 1

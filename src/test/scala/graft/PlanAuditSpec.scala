@@ -33,8 +33,16 @@ class PlanAuditSpec extends SparkSpecBase {
 
   /** One planning pass per key, shared by all four sweeps. */
   private lazy val planned: Map[String, Try[SparkPlan]] =
+    queryExecutions.map { case (name, t) =>
+      name -> t.map(_.executedPlan)
+    }
+
+  /** One planning pass per key, shared by all sweeps (the stats sweep
+    * needs the optimized LOGICAL plan, the shape sweeps the physical). */
+  private lazy val queryExecutions
+      : Map[String, Try[org.apache.spark.sql.execution.QueryExecution]] =
     Queries.production.map { case (name, fn) =>
-      name -> Try(fn(spark, sf001).queryExecution.executedPlan)
+      name -> Try(fn(spark, sf001).queryExecution)
     }
 
   private lazy val analyzed: Map[String, SparkPlan] =
@@ -178,5 +186,33 @@ class PlanAuditSpec extends SparkSpecBase {
       (!analyzed.contains("x02_seq_pack") ||
         seen.exists { case (n, k) => n == "x02_seq_pack" && k.contains("shard") }),
       s"expected known windows not observed — audit is blind; saw: $seen")
+  }
+
+  test("no production plan carries an astronomical size estimate") {
+    // Regression pin for the checkpoint stats carry-over pathology
+    // (rounds 18/19, x19): Dataset.localCheckpoint()/checkpoint() wrap
+    // the materialized RDD in a LogicalRDD whose originStats are the
+    // origin plan's ESTIMATED sizeInBytes — so a chain of checkpointed
+    // steps compounds the estimate multiplicatively until Catalyst's
+    // SizeInBytesOnlyStatsPlanVisitor is multiplying million-digit
+    // BigInts on the driver (x19: 1.1e6-digit leaf estimates, 345 s of
+    // single-thread planning CPU at sf0.1; jstack-confirmed twice).
+    // Checkpoints.cut now resets the leaf to the measured size
+    // (GraftCheckpointStats). This sweep fails if ANY catalog key's
+    // optimized plan ever again carries such an estimate: the bound is
+    // deliberately a DIGIT bound, not a wall-clock bound — planning
+    // time on this VM swings ~2.8x with host load (CLAUDE.md), while
+    // the digit count of an honest estimate is deterministic. Honest
+    // worst case observed across the catalog after the fix is far
+    // below 512 bits (~154 digits); the pathology starts at ~2000 bits
+    // for ONE carried step and reaches ~8e7 bits by x19's second merge.
+    for ((name, qe) <- queryExecutions.collect { case (n, Success(q)) => n -> q }) {
+      val worst = qe.optimizedPlan.collect {
+        case p => p.stats.sizeInBytes.bitLength
+      }.max
+      assert(worst <= 512,
+        s"$name optimized plan carries a ${worst}-bit size estimate — " +
+          "checkpoint stats carry-over is back (see GraftCheckpointStats)")
+    }
   }
 }
