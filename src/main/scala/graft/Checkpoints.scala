@@ -22,7 +22,17 @@ object Checkpoints {
 
   val ReliableDirKey = "spark.graft.reliableCheckpointDir"
 
-  def cut(df: DataFrame): DataFrame = {
+  def cut(df: DataFrame): DataFrame =
+    // Idempotent: a frame that IS already a bare checkpoint leaf (its
+    // analyzed plan is a single LogicalRDD scan) has no lineage to cut —
+    // re-checkpointing it would copy the materialized blocks for nothing
+    // (x09's state wrapper cut frames curationStateFrom had already cut).
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => cutAlways(df)
+    }
+
+  private def cutAlways(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val cp = s.conf.getOption(ReliableDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
