@@ -60,24 +60,67 @@ object Curation {
     Text.hash60(col("doc_id").cast("string"), Dedup.DecontamSeed),
     lit(Dedup.DecontamBenchMod)) === 0
 
-  /** Per-doc stage-0 verdict (doc_id, stage0 ∈ {benchmark, low_quality,
-    * contaminated, clean}) — the per-document half of the decision,
-    * shared by the from-scratch and incremental paths. */
-  private def stage0Of(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** Fused base build (round-19 optimization): the decision frame AND
+    * every persisted-state frame off ONE set of corpus passes, each
+    * multiply-consumed core lineage-cut once.
+    *
+    * The previous decide-then-[[curationStateFrom]] shape paid every
+    * corpus pass twice — the decision pipeline ran shingles/LSH/quality/
+    * split/grams, then the state builder re-ran all of them from the raw
+    * corpus (guide §1 measured at sf0.1: the pieces sum to ~2.5 s warm
+    * but x08 alone took 5.9 s and the gated state builders paid the
+    * whole set again). Three further measured changes, all
+    * result-identical:
+    *  - the decision needs only the BOOLEAN contamination hit, so the
+    *    gram semi-join replaces d07's countDistinct aggregates
+    *    (n_hit_ngrams/n_bench_docs are d07 OUTPUTS, never consumed
+    *    here) — 1.27 → 1.00 s warm at sf0.1;
+    *  - shingles/LSH run over CLEAN docs only (the state already stored
+    *    clean-only bands/shingles; endpoint filters commute through the
+    *    candidate self-join, so pre-restricting equals the old
+    *    generate-over-all-then-filter — the same commutation note the
+    *    state builder carried);
+    *  - `staged` is cut once (its five consumers each re-ran the
+    *    quality-filter + gram-contamination lineage).
+    * The lazily-derived frames (pairs-with-label, cleanGrams) stay
+    * uncut: they are cheap joins OF cut leaves, and a caller that never
+    * reads them (x08 consumes only `.decisions`) pays nothing. */
+  private[graft] def curationBase(s: SparkSession, docs: DataFrame): CurationState = {
+    def c(df: DataFrame) = graft.Checkpoints.cut(df)
     val marked = docs.select(col("doc_id"), isBenchCol.as("is_bench"))
-    val q = TextAnalysis.qualityFilter(s, docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("keep").as("q_keep"))
-    val contam = Dedup.decontaminate(s,
-        docs.select(col("doc_id"), col("text"), isBenchCol.as("is_bench")))
-      .select(col("doc_id"), col("contaminated"))
+    val benchGrams = c(gramsOf(s, docs.filter(isBenchCol)).select("gh").distinct())
+    val gramsNB = c(gramsOf(s, docs.filter(!isBenchCol)))
     // d07's frame covers only non-bench docs; bench rows take the
     // 'benchmark' branch first, so the left-join null never decides.
-    marked.join(q, "doc_id").join(contam, Seq("doc_id"), "left")
+    val contam = gramsNB.join(benchGrams, Seq("gh"), "leftsemi")
+      .select("doc_id").distinct().withColumn("contaminated", lit(true))
+    val q = TextAnalysis.qualityFilter(s, docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val staged = c(marked.join(q, "doc_id").join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("is_bench"), "benchmark")
           .when(!col("q_keep"), "low_quality")
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")
-          .otherwise("clean").as("stage0"))
+          .otherwise("clean").as("stage0")))
+    val clean = staged.filter(col("stage0") === "clean").select("doc_id")
+    val shClean = c(Dedup.shingledDocs(s, docs.join(clean, "doc_id")))
+    val bands = c(Dedup.minhashBands(shClean))
+    val pairs = c(Dedup.verifyJaccard(Dedup.bandCandidates(s, bands), shClean, 0.5)
+      .select(col("id_a"), col("id_b")))
+    val labels = Dedup.connectedComponents(
+      clean.select(col("doc_id").as("id")), pairs).toDF("doc_id", "lbl")
+    val quality = c(TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality")).join(clean, "doc_id"))
+    val splits = c(Sampling.stratSplit(docs)
+      .select(col("doc_id"), col("split")).join(clean, "doc_id"))
+    val decisions = c(assembleDecisions(labels, quality, splits,
+      staged.filter(col("stage0") =!= "clean")))
+    val statePairs = pairs
+      .join(decisions.select(col("doc_id").as("id_a"),
+        col("group_id").as("lbl")), "id_a")
+      .select("id_a", "id_b", "lbl")
+    CurationState(decisions, bands, shClean, statePairs, quality, splits,
+      benchGrams, gramsNB.join(clean, "doc_id"))
   }
 
   /** Resolve clean-doc labels + per-doc quality + splits + non-clean
@@ -111,24 +154,11 @@ object Curation {
   }
 
   /** [[x08CurationDecide]] over any documents frame (doc_id, text, lang,
-    * n_chars, ...) — the from-scratch decision, factored so the
-    * incremental path can build base-corpus state from a subset. */
-  def curationDecideDocs(s: SparkSession, docs: DataFrame): DataFrame = {
-    val staged = stage0Of(s, docs)
-    val clean = staged.filter(col("stage0") === "clean").select("doc_id")
-    // d03's verified pairs, both endpoints restricted to clean docs.
-    val pairs = Dedup.minhashLshPairs(s, Dedup.shingledDocs(s, docs))
-      .select(col("id_a"), col("id_b"))
-      .join(clean.toDF("id_a"), "id_a")
-      .join(clean.toDF("id_b"), "id_b")
-    val labels = Dedup.connectedComponents(
-      clean.select(col("doc_id").as("id")), pairs).toDF("doc_id", "lbl")
-    val quality = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("quality"))
-    val split = Sampling.stratSplit(docs).select(col("doc_id"), col("split"))
-    assembleDecisions(labels, quality, split,
-      staged.filter(col("stage0") =!= "clean"))
-  }
+    * n_chars, ...) — the from-scratch decision, [[curationBase]]'s
+    * decision half (the state frames it doesn't read are lazy and never
+    * evaluated). */
+  def curationDecideDocs(s: SparkSession, docs: DataFrame): DataFrame =
+    curationBase(s, docs).decisions
 
   def x08CurationDecide(s: SparkSession, d: String): DataFrame =
     curationDecideDocs(s, Tables.documents(s, d))
@@ -152,25 +182,17 @@ object Curation {
     val mod = Incremental.IngestMod
     val base = docs.filter(!(pmod(col("doc_id"), lit(mod)) === 0))
     val batch = docs.filter(pmod(col("doc_id"), lit(mod)) === 0)
-    // Materialize the state frames — the in-query analog of
-    // writeCurationState + readState. Production state is parquet
-    // (opaque to the optimizer); rebuilding it transparently in-query
-    // would (a) re-run the base pipeline once per downstream state
-    // reference and (b) leak foldable literals (the -1 group_id of
-    // non-clean decision rows) into the merge's anti-join keys, where
-    // FoldablePropagation folds the key away and plans a banned
-    // BroadcastNestedLoopJoin. `decisions` is checkpointed FIRST: five
-    // of the state frames filter it, and checkpointing them off the
-    // shared materialization avoids re-running the whole decision
-    // pipeline (CC included) per frame.
-    val decisionsM = curationDecideDocs(s, base).transform(graft.Checkpoints.cut)
-    val st = curationStateFrom(s, base, decisionsM)
-    val mst = CurationState(
-      decisionsM, st.bands.transform(graft.Checkpoints.cut),
-      st.shingles.transform(graft.Checkpoints.cut), st.pairs.transform(graft.Checkpoints.cut),
-      st.quality.transform(graft.Checkpoints.cut), st.splits.transform(graft.Checkpoints.cut),
-      st.benchGrams.transform(graft.Checkpoints.cut), st.cleanGrams.transform(graft.Checkpoints.cut))
-    mergeCuration(s, mst, batch)
+    // [[curationBase]] materializes the state cores — the in-query
+    // analog of writeCurationState + readState. Production state is
+    // parquet (opaque to the optimizer); rebuilding it transparently
+    // in-query would (a) re-run the base pipeline once per downstream
+    // state reference and (b) leak foldable literals (the -1 group_id
+    // of non-clean decision rows) into the merge's anti-join keys,
+    // where FoldablePropagation folds the key away and plans a banned
+    // BroadcastNestedLoopJoin. The merge's only multiply-consumed state
+    // frames (decisions, shingles) are cut leaves; the lazily-derived
+    // pairs/cleanGrams are single-consumed joins of cut leaves.
+    mergeCuration(s, curationBase(s, base), batch)
   }
 
   // -------------------------------------------------------------------
@@ -210,39 +232,11 @@ object Curation {
 
   /** Build the persisted curation state for a base corpus (in-memory
     * frames; [[writeCurationState]] lands them as parquet). The
-    * once-per-corpus cost — every later batch pays only [[mergeCuration]]. */
+    * once-per-corpus cost — every later batch pays only [[mergeCuration]].
+    * Fused with the decision build ([[curationBase]]): every corpus pass
+    * runs once, shared between the decision frame and the state frames. */
   def curationState(s: SparkSession, base: DataFrame): CurationState =
-    curationStateFrom(s, base, curationDecideDocs(s, base))
-
-  /** [[curationState]] over a PRECOMPUTED decision frame — lets the
-    * in-query gated key (x09) checkpoint `decisions` once before the
-    * five state frames that filter it are derived, instead of
-    * re-running the full decision pipeline per frame. */
-  private[graft] def curationStateFrom(s: SparkSession, base: DataFrame,
-                                       decisions: DataFrame): CurationState = {
-    val clean = decisions.filter(col("stage").isin("kept", "duplicate"))
-      .select("doc_id")
-    val shClean = Dedup.shingledDocs(s, base).join(clean, "doc_id")
-    val bands = Dedup.minhashBands(shClean)
-    // Restricting band rows to clean docs BEFORE pairing equals
-    // restricting pairs to clean endpoints after (candidate generation
-    // is an equi-self-join, so endpoint filters commute through it).
-    val pairs = Dedup.minhashLshPairs(s, shClean)
-      .select(col("id_a"), col("id_b"))
-      .join(decisions.select(col("doc_id").as("id_a"),
-        col("group_id").as("lbl")), "id_a")
-      .select("id_a", "id_b", "lbl")
-    val quality = TextAnalysis.qualityScore(base)
-      .select(col("doc_id"), col("quality")).join(clean, "doc_id")
-    val splits = Sampling.stratSplit(base)
-      .select(col("doc_id"), col("split")).join(clean, "doc_id")
-    val marked = base.select(col("doc_id"), col("text"), isBenchCol.as("is_bench"))
-    val benchGrams = gramsOf(s, marked.filter(col("is_bench")))
-      .select("gh").distinct()
-    val cleanGrams = gramsOf(s, base.join(clean, "doc_id"))
-    CurationState(decisions, bands, shClean, pairs, quality, splits,
-      benchGrams, cleanGrams)
-  }
+    curationBase(s, base)
 
   /** The shared intermediates of a batch merge (built once, consumed by
     * the full and delta forms; package-visible so ScaleGuardSpec can
@@ -371,7 +365,11 @@ object Curation {
       .select("id_a", "id_b")
 
     // --- new pairs: batch clean probes live bands + its own ---
-    val shB = Dedup.shingledDocs(s, batch).join(batchClean, "doc_id")
+    // Cut (round 19): referenced by the band table, the verify's sa/sb,
+    // and the carried batchShingles — uncut, the batch shingle pass
+    // re-ran per reference.
+    val shB = graft.Checkpoints.cut(
+      Dedup.shingledDocs(s, batch).join(batchClean, "doc_id"))
     val newBands = Dedup.minhashBands(shB)
     val n = s.sessionState.conf.numShufflePartitions
     val probe = newBands.toDF("id_a", "band", "bsig")
@@ -589,12 +587,12 @@ object Curation {
     * [[graft.IncBench]] --deletes. */
   def x18CurationDelete(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val decisionsM = curationDecideDocs(s, docs).transform(graft.Checkpoints.cut)
-    val st0 = curationStateFrom(s, docs, decisionsM)
-    deleteCuration(s, decisionsM,
-      st0.pairs.transform(graft.Checkpoints.cut),
-      st0.quality.transform(graft.Checkpoints.cut),
-      st0.splits.transform(graft.Checkpoints.cut),
+    // The delete never reads cleanGrams — that state field stays lazy/
+    // unevaluated. pairs stays uncut: deleteFromGroups consumes the
+    // labeled pair graph exactly once (into an immediately-cut
+    // subEdges), and the frame is a cheap join of two cut leaves.
+    val st0 = curationBase(s, docs)
+    deleteCuration(s, st0.decisions, st0.pairs, st0.quality, st0.splits,
       deleteSlice(docs))
   }
 
@@ -672,15 +670,24 @@ object Curation {
       .join(rm.toDF("id_a"), Seq("id_a"), "left_anti")
       .join(rm.toDF("id_b"), Seq("id_b"), "left_anti")
       .unionByName(p.newPairs)
-    def c(df: DataFrame) = graft.Checkpoints.cut(df)
+    // The carried stores stay LAZY (round 19): each is a map-side
+    // anti-join ∪ batch-part over already-CUT leaves (base state,
+    // mergeParts' cut intermediates), so a downstream consumer pays
+    // ~one cheap scan — while the previous cut-everything form
+    // re-MATERIALIZED five corpus-sized stores per step (and the final
+    // step's carries are never read at all: the gated key returns only
+    // `.decisions`). The original cut-per-step rationale was the stats
+    // carry-over blowup, fixed at the root by measured leaf stats
+    // (Checkpoints.cut); PlanAuditSpec's 512-bit sweep pins that the
+    // lazy chains stay bounded. */
     CurationState(
       decisions,
-      c(drop(st.bands).unionByName(p.batchBands)),
-      c(drop(st.shingles).unionByName(p.batchShingles)),
-      c(relabelPairs(pairsAll, decisions)),
-      c(drop(p.quality)), c(drop(p.splits)),
-      c(st.benchGrams.unionByName(p.newBenchGrams).distinct()),
-      c(drop(st.cleanGrams).unionByName(p.batchCleanGrams)))
+      drop(st.bands).unionByName(p.batchBands),
+      drop(st.shingles).unionByName(p.batchShingles),
+      relabelPairs(pairsAll, decisions),
+      drop(p.quality), drop(p.splits),
+      st.benchGrams.unionByName(p.newBenchGrams).distinct(),
+      drop(st.cleanGrams).unionByName(p.batchCleanGrams))
   }
 
   /** Delete a takedown list AND carry the state forward. decisions' is
@@ -699,12 +706,12 @@ object Curation {
     val keptPairs = st.pairs.select("id_a", "id_b")
       .join(delIds.toDF("id_a"), Seq("id_a"), "left_anti")
       .join(delIds.toDF("id_b"), Seq("id_b"), "left_anti")
-    def c(df: DataFrame) = graft.Checkpoints.cut(df)
+    // Carried stores lazy — same reasoning as [[mergeCurationState]].
     CurationState(
-      decisions, c(drop(st.bands)), c(drop(st.shingles)),
-      c(relabelPairs(keptPairs, decisions)),
-      c(drop(st.quality)), c(drop(st.splits)),
-      st.benchGrams, c(drop(st.cleanGrams)))
+      decisions, drop(st.bands), drop(st.shingles),
+      relabelPairs(keptPairs, decisions),
+      drop(st.quality), drop(st.splits),
+      st.benchGrams, drop(st.cleanGrams))
   }
 
   /** Re-key a clean-clean pair set by the component labels of a
@@ -754,8 +761,10 @@ object Curation {
     val b2n = pmod(col("doc_id"), lit(Incremental.IngestMod)) ===
       Incremental.ComposedBatch2Res
     val base = docs.filter(!b1 && !b2n)
-    val decisions0 = curationDecideDocs(s, base).transform(graft.Checkpoints.cut)
-    val st0 = cutState(curationStateFrom(s, base, decisions0))
+    // cutState is idempotent on curationBase's already-cut cores; it
+    // materializes the two lazily-derived frames (labeled pairs,
+    // cleanGrams) the carried chain consumes more than once.
+    val st0 = cutState(curationBase(s, base))
     // The state-forward ops cut their own decisions/pairs; the other
     // frames are single-consumed per step (see [[cutState]]'s note).
     val st1 = mergeCurationState(s, st0, docs.filter(b1))

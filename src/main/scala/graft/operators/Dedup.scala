@@ -345,21 +345,29 @@ object Dedup {
   /** [[d03MinhashLsh]] over any (doc_id, sh) shingle frame — the same
     * band/verify pipeline, factored so the incremental curation path
     * ([[Curation]]) can run it over a document subset. */
-  def minhashLshPairs(s: SparkSession, sh: DataFrame): DataFrame = {
-    val bands = minhashBands(sh)
-    // Explicit repartition: exempt from AQE input-size coalescing, which
-    // would otherwise run this pair-generating self-join in one task
-    // (band tables are small; the join output is what explodes).
+  def minhashLshPairs(s: SparkSession, sh: DataFrame): DataFrame =
+    verifyJaccard(bandCandidates(s, minhashBands(sh)), sh, 0.5)
+
+  /** Candidate (id_a < id_b) pairs from a band table — the
+    * pair-generating self-join half of [[minhashLshPairs]], factored so
+    * the fused state builders ([[Curation.curationBase]],
+    * [[Incremental.baseGroupState]], [[Incremental.groupLifecycleOf]])
+    * can generate candidates off an already-CUT band table instead of
+    * re-banding per reference. Explicit repartition: exempt from AQE
+    * input-size coalescing, which would otherwise run this self-join in
+    * one task (band tables are small; the join output is what
+    * explodes). */
+  private[operators] def bandCandidates(s: SparkSession,
+                                        bands: DataFrame): DataFrame = {
     val n = s.sessionState.conf.numShufflePartitions
     val ba = bands.toDF("id_a", "band", "bsig")
       .repartition(n, col("band"), col("bsig"))
     val bb = bands.toDF("id_b", "band2", "bsig2")
       .repartition(n, col("band2"), col("bsig2"))
-    val cand = ba
+    ba
       .join(bb, col("band") === col("band2") && col("bsig") === col("bsig2") &&
         col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyJaccard(cand, sh, 0.5)
   }
 
   /** (doc_id, band, bsig) MinHash-LSH band table — factored from d03 so

@@ -220,23 +220,23 @@ object Incremental {
     * actually runs — and what IncBench prices). */
   def baseGroupState(s: SparkSession, d: String,
                      mod: Int = IngestMod): (DataFrame, DataFrame, DataFrame) = {
-    val sh = Dedup.shingled(s, d)
-    val baseSh = sh.filter(!(pmod(col("doc_id"), lit(mod)) === 0))
-    val baseBands = Dedup.minhashBands(baseSh)
-    val n = s.sessionState.conf.numShufflePartitions
-    val ba = baseBands.toDF("id_a", "band", "bsig")
-      .repartition(n, col("band"), col("bsig"))
-    val bb = baseBands.toDF("id_b", "band2", "bsig2")
-      .repartition(n, col("band2"), col("bsig2"))
-    val baseCand = ba
-      .join(bb, col("band") === col("band2") && col("bsig") === col("bsig2") &&
-        col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val basePairs = Dedup.verifyJaccard(baseCand, baseSh, 0.5)
+    // Lineage-cut the three state frames (round 19): they are the
+    // in-query analog of writeGroupState's persisted artifacts, and the
+    // downstream ingest consumes each several times (shingles twice in
+    // the verify's sa/sb plus the batch verify, bands in both the base
+    // self-join and the batch probe's build side, labels in the edge
+    // lift and both relabel maps) — uncut, every reference re-ran the
+    // corpus shingle pass.
+    val baseSh = graft.Checkpoints.cut(
+      Dedup.shingled(s, d).filter(!(pmod(col("doc_id"), lit(mod)) === 0)))
+    val baseBands = graft.Checkpoints.cut(Dedup.minhashBands(baseSh))
+    val basePairs = Dedup.verifyJaccard(
+        Dedup.bandCandidates(s, baseBands), baseSh, 0.5)
       .select(col("id_a"), col("id_b"))
     val baseVerts = Tables.documents(s, d).select(col("doc_id").as("id"))
       .filter(!(pmod(col("id"), lit(mod)) === 0))
-    (Dedup.connectedComponents(baseVerts, basePairs), baseBands, baseSh)
+    (graft.Checkpoints.cut(Dedup.connectedComponents(baseVerts, basePairs)),
+      baseBands, baseSh)
   }
 
   /** Ingest the batch into a given base state and resolve d06's group
@@ -246,7 +246,9 @@ object Incremental {
                                baseLabels: DataFrame, baseBands: DataFrame,
                                baseSh: DataFrame, mod: Int): DataFrame = {
     val isNew = pmod(col("doc_id"), lit(mod)) === 0
-    val newSh = Dedup.shingled(s, d).filter(isNew)
+    // Cut (round 19): batchPairs references the batch shingles ~5x
+    // (band table, touched buckets, build-side union, verify sa/sb).
+    val newSh = graft.Checkpoints.cut(Dedup.shingled(s, d).filter(isNew))
     val newIds = Tables.documents(s, d).select(col("doc_id").as("id"))
       .filter(pmod(col("id"), lit(mod)) === 0)
     val labels =
@@ -467,7 +469,12 @@ object Incremental {
     * a DELETE propagates through (deletes run against the CURRENT
     * corpus, so unlike [[baseGroupState]] there is no batch holdout). */
   private def fullGroupState(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val pairs = Dedup.minhashLshPairs(s, Dedup.shingled(s, d))
+    // Cut the shingles BEFORE pair generation (round 19): the verify
+    // reads them twice (sa/sb) and the band aggregate once — uncut,
+    // the pairs' one materialization ran the corpus shingle pass three
+    // times.
+    val sh = graft.Checkpoints.cut(Dedup.shingled(s, d))
+    val pairs = Dedup.minhashLshPairs(s, sh)
       .select(col("id_a"), col("id_b"))
       .transform(graft.Checkpoints.cut)
     val verts = Tables.documents(s, d).select(col("doc_id").as("id"))
@@ -730,13 +737,21 @@ object Incremental {
     * frame — the once-per-corpus bootstrap (and the spec fixtures'
     * entry). */
   def groupLifecycleOf(s: SparkSession, docs: DataFrame): GroupLifecycleState = {
-    val sh = Dedup.shingledDocs(s, docs)
-    val pairs = Dedup.minhashLshPairs(s, sh).select(col("id_a"), col("id_b"))
-      .transform(graft.Checkpoints.cut)
+    // All four state frames cut (round 19) — the in-query analog of
+    // writeGroupLifecycle's persisted artifacts. Uncut, the carried
+    // shingles/bands re-ran the corpus shingle pass per downstream
+    // reference (the next append's verify alone reads shingles twice),
+    // and the band table was built TWICE (once inside minhashLshPairs,
+    // once for the carried frame).
+    val sh = graft.Checkpoints.cut(Dedup.shingledDocs(s, docs))
+    val bands = graft.Checkpoints.cut(Dedup.minhashBands(sh))
+    val pairs = graft.Checkpoints.cut(
+      Dedup.verifyJaccard(Dedup.bandCandidates(s, bands), sh, 0.5)
+        .select(col("id_a"), col("id_b")))
     val verts = docs.select(col("doc_id").as("id"))
     GroupLifecycleState(
       Dedup.connectedComponents(verts, pairs).transform(graft.Checkpoints.cut),
-      pairs, Dedup.minhashBands(sh), sh)
+      pairs, bands, sh)
   }
 
   /** Append a batch to lifecycle state: [[ingestDupGroups]]'s merge for
@@ -857,10 +872,14 @@ object Incremental {
       : (DataFrame, (DataFrame, DataFrame), DataFrame, (DataFrame, DataFrame)) = {
     val (base, batch1, delIds, batch2) = composedDocSlices(s, d)
     def ids(docs: DataFrame) = docs.select(col("doc_id").as("id"))
+    // Batch shingles cut (round 19): each append references its batch's
+    // shingle frame ~5x (band table, touched buckets, build-side union,
+    // verify sa/sb, state carry) — uncut, the batch shingle pass re-ran
+    // per reference.
     (base,
-      (ids(batch1), Dedup.shingledDocs(s, batch1)),
+      (ids(batch1), graft.Checkpoints.cut(Dedup.shingledDocs(s, batch1))),
       ids(delIds),
-      (ids(batch2), Dedup.shingledDocs(s, batch2)))
+      (ids(batch2), graft.Checkpoints.cut(Dedup.shingledDocs(s, batch2))))
   }
 
   /** Run the composed gate's three operations through PERSISTED state —

@@ -1428,7 +1428,16 @@ object Multimodal {
       * `require(size >= 8)` LOUDLY. Fine for the self-generated corpus
       * (the writer never emits either); an externally produced MP4
       * using those legal encodings would need the largesize/to-EOF
-      * branches added here. */
+      * branches added here.
+      *
+      * KNOWN WRITER DEVIATION (documented, deliberate): encodeAv stamps
+      * the audio trak's tkhd duration in MEDIA-timescale samples where
+      * ISO-BMFF wants MOVIE-timescale (600 Hz) units — this reader (and
+      * every gate) ignores tkhd entirely, and correcting the bytes
+      * would silently change the digests m05-class dedup hashes over
+      * the generated corpus, so the fix is deferred to a round that can
+      * re-gate the digest family; a strict external player would report
+      * a wrong audio track duration. */
     private[Multimodal] def trakInfos(b: Array[Byte]): Seq[TrakInfo] = {
       def be32(i: Int): Long =
         ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
@@ -1461,7 +1470,12 @@ object Multimodal {
             format = new String(b, p + 12, 4, "US-ASCII")
             // SoundSampleEntry's samplesize field (bits per sample);
             // only meaningful for audio formats — the reader checks the
-            // handler before trusting it.
+            // handler before trusting it. Loud failure (round 19,
+            // ADVICE item) instead of reading adjacent bytes: the first
+            // entry must be a full 28-byte sample entry inside the box.
+            require(size >= 16 && be32(p + 8) >= 28 &&
+              p + 8 + 28 <= i + size,
+              "stsd first entry truncated (need a 28-byte sample entry)")
             sampleSize = be16(p + 8 + 26)
           } else if (typ == "stsz") {
             uniformSize = be32(p + 4).toInt

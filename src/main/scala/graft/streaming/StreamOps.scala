@@ -637,6 +637,18 @@ object StreamOps {
   /** Micro-batch count of the most recent [[s10StreamTakedown]] drain. */
   val lastS10MicroBatches = new java.util.concurrent.atomic.AtomicLong(-1L)
 
+  /** Recursive JVM-exit deletion for a scratch tree whose FILES are
+    * created later (by Spark writes), so the per-file deleteOnExit
+    * registration eventsStreamSource uses can't apply. */
+  private def registerTreeOnExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+
   /** Apply a CDC takedown stream to persisted dup-group state: each
     * micro-batch's delete ops run [[Incremental.deleteGroupStateStep]]
     * against the CURRENT state version and publish the next one
@@ -682,8 +694,21 @@ object StreamOps {
           val (nl, np) = Incremental.deleteGroupStateStep(s,
             s.read.parquet(s"$stateRoot/v$v/labels"),
             s.read.parquet(s"$stateRoot/v$v/pairs"), del)
-          nl.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}/labels")
-          np.write.mode("overwrite").parquet(s"$stateRoot/v${v + 1}/pairs")
+          // ATOMIC publish (round 19, ADVICE item): labels+pairs land in
+          // a staging dir and RENAME into v{n+1} in one namespace op —
+          // curVersion only matches v\d+, so a crash mid-write leaves an
+          // invisible .staging dir (cleared on the next attempt), never
+          // a half-published version the restarted drain would wedge on.
+          val p = new org.apache.hadoop.fs.Path(stateRoot)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val staging = new org.apache.hadoop.fs.Path(
+            stateRoot, s".v${v + 1}.staging")
+          fs.delete(staging, true) // stale staging from a killed run
+          nl.write.mode("overwrite").parquet(s"$staging/labels")
+          np.write.mode("overwrite").parquet(s"$staging/pairs")
+          require(fs.rename(staging,
+            new org.apache.hadoop.fs.Path(stateRoot, s"v${v + 1}")),
+            s"takedownDrain: could not publish v${v + 1} (rename failed)")
           applied.incrementAndGet()
         }
         ()
@@ -711,7 +736,15 @@ object StreamOps {
     * (StreamTakedownSpec, the StreamRestartSpec pattern). */
   def s10StreamTakedown(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import graft.operators.Incremental
-    val root = java.nio.file.Files.createTempDirectory("graft-s10").toString
+    // deleteOnExit (round 19, ADVICE item): corpus-sized state versions
+    // otherwise accumulate in /tmp across Verify/Bench runs. The
+    // returned frame is read lazily by the gate, so the dir must
+    // outlive this call — JVM-exit cleanup is the eventsStreamSource
+    // discipline (dirs register before their files; deletion runs in
+    // reverse registration order).
+    val rootPath = java.nio.file.Files.createTempDirectory("graft-s10")
+    registerTreeOnExit(rootPath)
+    val root = rootPath.toString
     Incremental.writeDeleteGroupState(s, d, s"$root/v0")
     publishTakedownOps(s, d, s"$root/ops", Seq(3L, 13L, 23L))
     takedownDrain(s, root, s"$root/ops", s"$root/ckpt")
